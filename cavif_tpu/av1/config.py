@@ -1,0 +1,38 @@
+"""Frozen per-stream AV1 encode configuration.
+
+Equivalent of the reference's Av1EncodeConfig + the EncoderConfig fields it
+pins (av1encoder.rs:649-708): still_picture, fixed quantizer (no rate
+control), 4:4:4 or monochrome sampling, full/limited range, tile heuristic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal, Optional
+
+from .speed import SpeedTweaks
+
+
+@dataclass(frozen=True)
+class AV1Config:
+    width: int
+    height: int
+    bit_depth: int  # 8 or 10
+    quantizer: int  # 0..255, fixed (quantizer == min_quantizer, bitrate 0)
+    tweaks: SpeedTweaks
+    chroma_sampling: Literal["444", "400"]
+    full_range: bool = True
+    # colr/sequence-header code point; None = no color description (alpha)
+    matrix_coefficients: Optional[int] = None
+    threads: Optional[int] = None
+
+    @property
+    def monochrome(self) -> bool:
+        return self.chroma_sampling == "400"
+
+    @property
+    def seq_profile(self) -> int:
+        # AV1 profiles: 0 = main (4:2:0/mono, 8/10-bit), 1 = high (4:4:4,
+        # 8/10-bit), 2 = professional. Color is always 4:4:4 here -> 1;
+        # monochrome requires profile 0.
+        return 0 if self.monochrome else 1

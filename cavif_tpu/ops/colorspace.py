@@ -1,0 +1,84 @@
+"""Color conversion ops (vectorized JAX, run on device as part of the encode
+pipeline).
+
+Reference semantics: /root/reference/ravif/src/av1encoder.rs:483-524 --
+BT.601 RGB->YCbCr at 8/10-bit with round-half-away-from-zero, the GBR identity
+("RGB") model storing planes in (G, B, R) order, and the 8->10-bit expansion
+to_ten(x) = (x << 2) | (x >> 6) so that 255 -> 1023.
+
+The reference computes per pixel in f32 with fused multiply-adds and a final
+`round()`; we compute the same formula vectorized in f32 on the VPU. The fused
+vs unfused distinction can only matter when the pre-round value lands within
+1 ulp of a .5 boundary, which the unit tests pin down against a NumPy f32
+model of the exact reference expression.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# BT.601 luma coefficients (av1encoder.rs:501).
+BT601 = (0.2990, 0.5870, 0.1140)
+# BT.709 kept for completeness (the reference defines but does not use it).
+REC709 = (0.2126, 0.7152, 0.0722)
+
+
+def to_ten(x: jnp.ndarray) -> jnp.ndarray:
+    """8-bit -> 10-bit expansion: (x << 2) | (x >> 6); maps 255 -> 1023."""
+    x = x.astype(jnp.int32)
+    return (x << 2) | (x >> 6)
+
+
+@partial(jax.jit, static_argnames=("depth", "matrix"))
+def rgb_to_ycbcr(rgb: jnp.ndarray, depth: int = 10, matrix=BT601) -> jnp.ndarray:
+    """Convert (..., 3) uint8 RGB to (..., 3) int32 YCbCr at `depth` bits.
+
+    Full-range: scale = (2^depth - 1)/255, shift = round((2^depth - 1) * 0.5).
+    cb = (B*scale - y) * 0.5/(1-Kb) + shift; cr = (R*scale - y) * 0.5/(1-Kr)
+    + shift; every channel rounded half-away-from-zero and saturated to the
+    unsigned range like Rust's `as u16` cast.
+    """
+    kr, kg, kb = matrix
+    max_value = jnp.float32((1 << depth) - 1)
+    scale = max_value / jnp.float32(255.0)
+    shift = jnp.round(max_value * jnp.float32(0.5))
+
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+
+    y = (scale * kr) * r + (scale * kg) * g + (scale * kb) * b
+    cb = (b * scale - y) * jnp.float32(0.5 / (1.0 - kb)) + shift
+    cr = (r * scale - y) * jnp.float32(0.5 / (1.0 - kr)) + shift
+
+    def round_cast(v):
+        # f32::round = half away from zero; values are nonnegative-ish, and
+        # Rust's `as u16` saturates, so clamp to [0, max].
+        return jnp.clip(jnp.floor(v + jnp.float32(0.5)), 0, max_value).astype(jnp.int32)
+
+    return jnp.stack([round_cast(y), round_cast(cb), round_cast(cr)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def rgb_to_gbr(rgb: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
+    """Identity-matrix ("RGB") model: planes stored in (G, B, R) order.
+
+    At 10-bit each channel goes through to_ten (av1encoder.rs:491-498).
+    """
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    r = rgb[..., 0].astype(jnp.int32)
+    gbr = jnp.stack([g, b, r], axis=-1)
+    if depth == 10:
+        gbr = to_ten(gbr)
+    return gbr
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def alpha_plane(alpha: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
+    """Alpha plane at target depth (to_ten at 10-bit, av1encoder.rs:271)."""
+    a = alpha.astype(jnp.int32)
+    return to_ten(a) if depth == 10 else a

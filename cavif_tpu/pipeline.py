@@ -1,0 +1,105 @@
+"""Encode pipeline: plane conversion -> color/alpha AV1 encodes -> AVIF mux.
+
+Mirrors /root/reference/ravif/src/av1encoder.rs:243-481: the color stream is
+4:4:4 at the chosen quantizer; alpha (when present) is a *separate* AV1
+stream, monochrome (Cs400), full range, with its own quantizer and its own
+speed tweaks; both are muxed by the ISOBMFF serializer. The reference forks
+color/alpha onto rayon; here the two encodes are two device programs whose
+block batches are dispatched back-to-back (and can shard over the mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .av1.config import AV1Config
+from .av1.speed import SpeedTweaks
+from .container.mux import serialize_avif
+from .ops import colorspace
+
+
+def _matrix_coefficients(color_model) -> int:
+    # colr nclx code points: BT601 = 6, Identity/RGB = 0 (av1encoder.rs:459-468)
+    from . import ColorModel
+
+    return 6 if color_model is ColorModel.YCbCr else 0
+
+
+def _convert_planes(enc, rgb: np.ndarray, depth: int) -> np.ndarray:
+    from . import ColorModel
+
+    if enc.color_model is ColorModel.YCbCr:
+        return np.asarray(colorspace.rgb_to_ycbcr(rgb, depth=depth))
+    return np.asarray(colorspace.rgb_to_gbr(rgb, depth=depth))
+
+
+def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth: int):
+    from .av1.encoder import encode_planes
+
+    h, w = planes.shape[:2]
+    color_cfg = AV1Config(
+        width=w,
+        height=h,
+        bit_depth=depth,
+        quantizer=enc.quantizer,
+        tweaks=SpeedTweaks.from_preset(enc.speed, enc.quantizer),
+        chroma_sampling="444",
+        full_range=True,
+        matrix_coefficients=_matrix_coefficients(enc.color_model),
+        threads=enc.threads,
+    )
+    color = encode_planes(planes, color_cfg)
+    alpha_payload = None
+    if alpha is not None:
+        alpha_cfg = AV1Config(
+            width=w,
+            height=h,
+            bit_depth=depth,
+            quantizer=enc.alpha_quantizer,
+            tweaks=SpeedTweaks.from_preset(enc.speed, enc.alpha_quantizer),
+            chroma_sampling="400",
+            full_range=True,
+            matrix_coefficients=None,
+            threads=enc.threads,
+        )
+        alpha_payload = encode_planes(alpha, alpha_cfg)
+    return color, alpha_payload
+
+
+def _finish(enc, color: bytes, alpha: Optional[bytes], w: int, h: int, depth: int):
+    from . import EncodedImage
+
+    avif = serialize_avif(
+        color=color,
+        alpha=alpha,
+        width=w,
+        height=h,
+        depth=depth,
+        matrix_coefficients=_matrix_coefficients(enc.color_model),
+        premultiplied_alpha=enc.premultiplied_alpha,
+        exif=enc.exif,
+    )
+    return EncodedImage(
+        avif_file=avif,
+        color_byte_size=len(color),
+        alpha_byte_size=len(alpha) if alpha is not None else 0,
+    )
+
+
+def encode_rgba_pipeline(enc, rgba: np.ndarray):
+    depth = enc.output_depth.bits
+    h, w = rgba.shape[:2]
+    planes = _convert_planes(enc, rgba[..., :3], depth)
+    alpha = np.asarray(colorspace.alpha_plane(rgba[..., 3], depth=depth))
+    color, alpha_payload = _encode_streams(enc, planes, alpha, depth)
+    return _finish(enc, color, alpha_payload, w, h, depth)
+
+
+def encode_rgb_pipeline(enc, rgb: np.ndarray):
+    depth = enc.output_depth.bits
+    h, w = rgb.shape[:2]
+    planes = _convert_planes(enc, rgb, depth)
+    color, _ = _encode_streams(enc, planes, None, depth)
+    return _finish(enc, color, None, w, h, depth)

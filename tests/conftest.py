@@ -1,0 +1,9 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX loads, so
+sharding tests run without a TPU pod (SURVEY.md section 4 test plan)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
