@@ -32,63 +32,54 @@ def _interval(rng: int, icdf_s: int, n_minus_1_minus_s: int) -> int:
 
 
 class RangeEncoder:
-    """Arithmetic encoder matching the AV1 symbol decoder.
+    """Arithmetic encoder, an exact mirror of libaom's od_ec_enc.
 
-    Maintains the coding interval [low, low+rng) in the *stream-value* domain
-    (the decoder complements bits on read, so bytes are emitted directly from
-    `low`). `low` is held as out_bytes || pending where `pending` carries
-    `pending_bits` bits; carries propagate into out_bytes.
+    State: a 32-bit `low` window aligned with `rng` (15-16 bits), a bit
+    counter `cnt` (starts at -9; the daala convention reserving one
+    terminating bit), and a precarry buffer of 9-bit entries flushed one or
+    two bytes at a time during renormalization. done() emits the canonical
+    termination (round the window up to a 2^14 multiple with bit 14 set) —
+    libaom's decoder is strict about this exact form, so byte-for-byte
+    parity with od_ec_enc is required (verified differentially against the
+    system libaom in tests/test_ec.py).
     """
 
     def __init__(self) -> None:
-        self.out = bytearray()
-        self.pending = 0  # top of the interval's low end not yet byte-flushed
-        self.pending_bits = 15  # decoder pre-reads 15 bits
+        self.precarry: list[int] = []
+        self.low = 0
         self.rng = PROB_TOP
-        self.nbits_total = 15
+        self.cnt = -9
 
-    # -- core interval update ------------------------------------------------
-
-    def _carry(self) -> None:
-        i = len(self.out) - 1
-        while i >= 0:
-            if self.out[i] == 0xFF:
-                self.out[i] = 0
-                i -= 1
-            else:
-                self.out[i] += 1
-                return
-        # Carry out of the first byte: cannot happen for a correctly seeded
-        # stream (low + rng <= 2^total_bits by the interval invariant).
-        raise AssertionError("range encoder carry out of stream")
-
-    def _add_low(self, delta: int) -> None:
-        self.pending += delta
-        if self.pending >> self.pending_bits:
-            self.pending &= (1 << self.pending_bits) - 1
-            self._carry()
-
-    def _renorm(self) -> None:
-        d = 16 - self.rng.bit_length()
-        if d:
-            self.rng <<= d
-            self.pending <<= d
-            self.pending_bits += d
-            self.nbits_total += d
-        while self.pending_bits >= 40:
-            shift = self.pending_bits - 8
-            self.out.append((self.pending >> shift) & 0xFF)
-            self.pending &= (1 << shift) - 1
-            self.pending_bits -= 8
+    def _normalize(self, low: int, rng: int) -> None:
+        d = 16 - rng.bit_length()
+        s = self.cnt + d
+        if s >= 0:
+            c = self.cnt
+            m = (1 << (c + 16)) - 1
+            if s > 7:
+                self.precarry.append((low >> (c + 16)) & 0xFFFF)
+                low &= m
+                c -= 8
+                m >>= 8
+            self.precarry.append((low >> (c + 16)) & 0xFFFF)
+            low &= m
+            s = c + d - 8
+        self.low = (low << d) & 0xFFFFFFFF
+        self.rng = rng << d
+        self.cnt = s
 
     def encode_symbol(self, s: int, icdf: Sequence[int]) -> None:
         n = len(icdf)
         r = self.rng
+        low = self.low
         v = _interval(r, icdf[s], n - 1 - s)
-        u = r if s == 0 else _interval(r, icdf[s - 1], n - s)
-        self._add_low(r - u)
-        self.rng = u - v
-        self._renorm()
+        if s > 0:
+            u = _interval(r, icdf[s - 1], n - s)
+            low += r - u
+            r = u - v
+        else:
+            r -= v
+        self._normalize(low, r)
 
     def encode_literal(self, value: int, bits: int) -> None:
         """Equiprobable bits, MSB first (spec L(n): bool with p=1/2)."""
@@ -98,32 +89,30 @@ class RangeEncoder:
     # -- finalization --------------------------------------------------------
 
     def done(self) -> bytes:
-        # Choose the value in [low, low+rng) with the most trailing zeros;
-        # trailing zeros match the decoder's past-the-end bit convention
-        # (missing stream bits read as 0).
-        low = int.from_bytes(bytes(self.out), "big")
-        low = (low << self.pending_bits) | self.pending
-        total = 8 * len(self.out) + self.pending_bits
-        high = low + self.rng  # exclusive
-        # largest k with a multiple of 2^k in [low, high)
-        k = 0
-        while k < total:
-            m = ((low + ((1 << (k + 1)) - 1)) >> (k + 1)) << (k + 1)
-            if m >= high:
-                break
-            k += 1
-        value = ((low + ((1 << k) - 1)) >> k) << k
-        assert low <= value < high
-        nbytes = (total + 7) >> 3
-        value <<= nbytes * 8 - total
-        data = value.to_bytes(nbytes, "big")
-        # Trailing zero bytes are implicit (decoder pads with zero bits) but
-        # keep at least one byte so the tile payload is non-empty.
-        data = data.rstrip(b"\x00") or b"\x00"
-        return data
+        c = self.cnt
+        s = c + 10
+        out = list(self.precarry)
+        if s > 0:
+            m = (1 << (c + 16)) - 1
+            e = ((self.low + 0x3FFF) & ~0x3FFF) | 0x4000
+            while s > 0:
+                out.append((e >> (c + 16)) & 0xFFFF)
+                e &= m
+                s -= 8
+                c -= 8
+                m >>= 8
+        # propagate precarry from the last entry upward
+        data = bytearray(len(out))
+        carry = 0
+        for i in range(len(out) - 1, -1, -1):
+            v = out[i] + carry
+            data[i] = v & 0xFF
+            carry = v >> 8
+        assert carry == 0 or len(out) == 0
+        return bytes(data) if data else b"\x00"
 
     def tell_bits(self) -> int:
-        return self.nbits_total
+        return len(self.precarry) * 8 + self.cnt + 10
 
 
 _LITERAL_ICDF = (PROB_TOP >> 1, 0)

@@ -1,0 +1,322 @@
+"""AV1 intra encoder: plane(s) -> temporal unit (seq header + frame OBU).
+
+Round-1 slice: fixed-grid partitioning (32x32 / 64x64 leaves, HORZ/VERT or
+SPLIT at frame edges), DC intra prediction, DCT-only transforms, fixed
+quantizer, adaptive CDFs, single or multiple tiles. The mode search widens
+into full RDO (partition tree + mode set per SURVEY.md §2.2 speed matrix) as
+the device kernels land; this module keeps the normative walk + syntax.
+
+Reference parity: encode_to_av1 + rav1e's intra pipeline
+(/root/reference/ravif/src/av1encoder.rs:649-771).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import tables, transforms
+from .config import AV1Config
+from .frame import FrameParams, assemble_frame_obu, assemble_temporal_unit
+from .obu import write_sequence_header
+from .symbols import (
+    DC_PRED,
+    PARTITION_HORZ,
+    PARTITION_NONE,
+    PARTITION_SPLIT,
+    PARTITION_VERT,
+    TileParams,
+    TileWriter,
+)
+
+PARTITION_SYMBOLS = {
+    "NONE": 0, "HORZ": 1, "VERT": 2, "SPLIT": 3,
+    "HORZ_A": 4, "HORZ_B": 5, "VERT_A": 6, "VERT_B": 7,
+    "HORZ_4": 8, "VERT_4": 9,
+}
+
+
+def _prob(icdf, s, nsym):
+    """P(symbol s)*32768 from an inverted cdf row."""
+    hi = 32768 if s == 0 else icdf[s - 1]
+    lo = 0 if s == nsym - 1 else icdf[s]
+    return hi - lo
+
+
+def _gather_split_binary(icdf, nsym, horz: bool, bsl: int):
+    """Derived 2-symbol cdf for split_or_horz / split_or_vert.
+
+    split_or_horz (bottom half missing; HORZ vs SPLIT) uses libaom's
+    partition_gather_horz_alike: P(SPLIT) = sum of probabilities of
+    partitions whose top half splits vertically {VERT, SPLIT, HORZ_A,
+    VERT_A, VERT_B, VERT_4}. split_or_vert mirrors with vert_alike
+    {HORZ, SPLIT, HORZ_A, HORZ_B, VERT_A, HORZ_4}."""
+    if horz:  # split_or_horz
+        subtract = [2, 3, 4, 6, 7] + ([9] if bsl != 5 else [])
+    else:  # split_or_vert
+        subtract = [1, 3, 4, 5, 6] + ([8] if bsl != 5 else [])
+    p = 32768
+    for s in subtract:
+        if s < nsym:
+            p -= _prob(icdf, s, nsym)
+    return (32768 - p, 0)
+
+
+@dataclass
+class _PlaneState:
+    src: np.ndarray  # padded source (H, W) int32
+    recon: np.ndarray  # reconstruction (H, W) int32
+
+
+class FrameEncoder:
+    def __init__(self, planes: np.ndarray, cfg: AV1Config):
+        self.cfg = cfg
+        h, w = cfg.height, cfg.width
+        self.mi_cols = 2 * ((w + 7) >> 3)
+        self.mi_rows = 2 * ((h + 7) >> 3)
+        # pad to superblock alignment: edge blocks may legally extend past
+        # the mi grid (HORZ/VERT halves at partial superblocks)
+        pw, ph = ((self.mi_cols + 15) & ~15) * 4, ((self.mi_rows + 15) & ~15) * 4
+        if planes.ndim == 2:
+            planes = planes[..., None]
+        self.num_planes = planes.shape[2]
+        assert self.num_planes in (1, 3)
+        self.planes: List[_PlaneState] = []
+        for i in range(self.num_planes):
+            src = np.asarray(planes[..., i], dtype=np.int32)
+            pad = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
+            self.planes.append(_PlaneState(src=pad, recon=np.zeros_like(pad)))
+        self.base_q = cfg.quantizer
+        self.bit_depth = cfg.bit_depth
+        self.dc_q = tables.dc_q(self.base_q, self.bit_depth)
+        self.ac_q = tables.ac_q(self.base_q, self.bit_depth)
+        # leaf size policy: 32x32. 64x64 leaves would take TX_64X64 whose
+        # residual path trips a libaom-decoder strictness (dav1d accepts);
+        # until that is settled 64-dim transforms are only used skip-coded.
+        self.leaf_mi = 8
+
+    # -- per-tile encode ----------------------------------------------------
+
+    def encode_tile(self, mi_r0: int, mi_r1: int, mi_c0: int, mi_c1: int) -> bytes:
+        tp = TileParams(
+            mi_col_start=mi_c0,
+            mi_col_end=mi_c1,
+            mi_row_start=mi_r0,
+            mi_row_end=mi_r1,
+            base_q=self.base_q,
+            bit_depth=self.bit_depth,
+            num_planes=self.num_planes,
+        )
+        tw = TileWriter(tp)
+        self._tile_origin = (mi_r0, mi_c0)
+        for r in range(mi_r0, mi_r1, 16):
+            tw.clear_left()
+            for c in range(mi_c0, mi_c1, 16):
+                self._encode_partition(tw, r, c, 4)
+        return tw.finish()
+
+    def _encode_partition(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
+        """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        n4 = 1 << bsl
+        half = n4 >> 1
+        has_rows = (r + half) < self.mi_rows
+        has_cols = (c + half) < self.mi_cols
+        r0, c0 = self._tile_origin
+        rr, cc = r - r0, c - c0  # tile-relative
+
+        full = has_rows and has_cols
+        leaf_bsl = self.leaf_mi.bit_length() - 1  # mi-log2 of leaf size
+
+        if full and bsl <= leaf_bsl:
+            tw.write_partition(rr, cc, bsl, PARTITION_NONE)
+            self._encode_block(tw, r, c, n4, n4)
+            return
+        if full:
+            tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
+            self._split4(tw, r, c, bsl)
+            return
+        # partial blocks: at 64 always SPLIT (avoids 64-dim tx); at 32
+        # HORZ/VERT keeps a 32x16/16x32 block (DCT-only, residual-capable);
+        # smaller partials also take HORZ/VERT (skip-forced below 32).
+        if bsl <= 3 and has_cols and not has_rows:
+            self._write_split_binary(tw, rr, cc, bsl, horz=True, split=False)
+            self._encode_block(tw, r, c, n4, half)
+            return
+        if bsl <= 3 and has_rows and not has_cols:
+            self._write_split_binary(tw, rr, cc, bsl, horz=False, split=False)
+            self._encode_block(tw, r, c, half, n4)
+            return
+        if has_cols and not has_rows:
+            self._write_split_binary(tw, rr, cc, bsl, horz=True, split=True)
+        elif has_rows and not has_cols:
+            self._write_split_binary(tw, rr, cc, bsl, horz=False, split=True)
+        # else both missing: implied SPLIT, no symbol
+        self._split4(tw, r, c, bsl)
+
+    def _split4(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
+        half = 1 << (bsl - 1)
+        if bsl - 1 == 0:
+            # 4x4 leaves (no partition syntax below 8x8)
+            for dr in (0, half):
+                for dc in (0, half):
+                    if r + dr < self.mi_rows and c + dc < self.mi_cols:
+                        self._encode_block(tw, r + dr, c + dc, 1, 1)
+            return
+        self._encode_partition(tw, r, c, bsl - 1)
+        self._encode_partition(tw, r, c + half, bsl - 1)
+        self._encode_partition(tw, r + half, c, bsl - 1)
+        self._encode_partition(tw, r + half, c + half, bsl - 1)
+
+    def _part_ctx(self, tw, rr, cc, bsl):
+        # 8x8-relative shift: equal-size neighbors read 0 (see write_partition)
+        above = (int(tw.above_part[cc]) >> (bsl - 1)) & 1
+        left = (int(tw.left_part[rr]) >> (bsl - 1)) & 1
+        return left * 2 + above
+
+    def _part_default(self, tw, rr, cc, bsl):
+        return tables.partition_cdf(bsl - 1, self._part_ctx(tw, rr, cc, bsl))
+
+    def _write_split_binary(self, tw, rr, cc, bsl, horz: bool, split: bool) -> None:
+        ctx = self._part_ctx(tw, rr, cc, bsl)
+        row = tw.cdfs.get(("part", bsl, ctx), self._part_default(tw, rr, cc, bsl))
+        nsym = 4 if bsl == 1 else (8 if bsl == 5 else 10)
+        icdf = _gather_split_binary(row[:nsym], nsym, horz, bsl)
+        tw.enc.encode_symbol(1 if split else 0, icdf)
+
+    # -- leaf block ---------------------------------------------------------
+
+    def _encode_block(self, tw: TileWriter, r: int, c: int, w4: int, h4: int) -> None:
+        r0, c0 = self._tile_origin
+        rr, cc = r - r0, c - c0
+        bw, bh = w4 * 4, h4 * 4
+        y0, x0 = r * 4, c * 4
+        # residual coding requires a DCT-only tx set (sqr_up >= 32x32) until
+        # tx_type signaling lands; 64-dim tx residuals wait on the libaom
+        # strictness issue (see leaf policy note)
+        force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
+        y_mode = DC_PRED
+        uv_mode = DC_PRED
+        cfl_allowed = max(bw, bh) <= 32
+
+        # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
+        plane_txs = []
+        for pl in range(self.num_planes):
+            txw = min(bw, 64) if pl == 0 else min(bw, 32)
+            txh = min(bh, 64) if pl == 0 else min(bh, 32)
+            plane_txs.append((txw, txh))
+
+        # computation pass: per txb in coding order, predict from live recon,
+        # quantize, reconstruct (recon is final regardless of the skip flag:
+        # skip is only set when every txb quantized to zero).
+        maxv = (1 << self.bit_depth) - 1
+        results = []  # (plane, px, py, txw, txh, levels)
+        for pl in range(self.num_planes):
+            txw, txh = plane_txs[pl]
+            for ty in range(0, bh, txh):
+                for tx in range(0, bw, txw):
+                    px, py = x0 + tx, y0 + ty
+                    if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
+                        continue
+                    pred = self._predict_dc(
+                        pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4
+                    )
+                    cw, ch = min(txw, 32), min(txh, 32)
+                    if force_skip:
+                        levels = np.zeros((ch, cw), dtype=np.int32)
+                    else:
+                        src = self.planes[pl].src[py : py + txh, px : px + txw]
+                        res = (src - pred).astype(np.float64)
+                        coef = transforms.forward_dct2d(res)[:ch, :cw]
+                        levels = transforms.quantize_block(
+                            coef, self.dc_q, self.ac_q, cw, ch
+                        )
+                        np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
+                    if levels.any():
+                        resid = transforms.dequant_reconstruct(
+                            _embed(levels, txh, txw), self.dc_q, self.ac_q
+                        )
+                        rec = np.clip(
+                            pred + np.rint(resid).astype(np.int64), 0, maxv
+                        )
+                    else:
+                        rec = pred
+                    self.planes[pl].recon[py : py + txh, px : px + txw] = rec
+                    results.append((pl, px, py, txw, txh, levels))
+        skip = 1 if all(not lv.any() for *_x, lv in results) else 0
+
+        tw.write_skip(rr, cc, skip)
+        tw.write_intra_modes(rr, cc, w4, h4, y_mode, uv_mode, cfl_allowed)
+        tw.record_block(rr, cc, w4, h4, y_mode, skip)
+        tw.update_partition_ctx(rr, cc, w4, h4)
+
+        if skip:
+            tw.reset_block_ctx(rr, cc, w4, h4)
+            return
+
+        for pl, px, py, txw, txh, levels in results:
+            tw.write_coeffs(
+                pl,
+                (py // 4) - r0,
+                (px // 4) - c0,
+                txw,
+                txh,
+                levels,
+                tx_block_eq_block=(pl == 0 and txw == bw and txh == bh),
+            )
+
+    def _predict_dc(self, pl, px, py, txw, txh, rr4, cc4) -> np.ndarray:
+        recon = self.planes[pl].recon
+        have_above = rr4 > 0
+        have_left = cc4 > 0
+        if have_above and have_left:
+            s = int(recon[py - 1, px : px + txw].sum() + recon[py : py + txh, px - 1].sum())
+            avg = (s + ((txw + txh) >> 1)) // (txw + txh)
+        elif have_above:
+            s = int(recon[py - 1, px : px + txw].sum())
+            avg = (s + (txw >> 1)) >> (txw.bit_length() - 1)
+        elif have_left:
+            s = int(recon[py : py + txh, px - 1].sum())
+            avg = (s + (txh >> 1)) >> (txh.bit_length() - 1)
+        else:
+            avg = 1 << (self.bit_depth - 1)
+        return np.full((txh, txw), avg, dtype=np.int32)
+
+    # -- frame assembly -----------------------------------------------------
+
+    def encode(self) -> bytes:
+        cfg = self.cfg
+        seq = write_sequence_header(
+            width=cfg.width,
+            height=cfg.height,
+            seq_profile=cfg.seq_profile,
+            bit_depth=cfg.bit_depth,
+            monochrome=cfg.monochrome,
+            full_range=cfg.full_range,
+            color_primaries=1 if cfg.matrix_coefficients is not None else None,
+            transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
+            matrix_coefficients=cfg.matrix_coefficients,
+        )
+        fp = FrameParams(
+            width=cfg.width,
+            height=cfg.height,
+            bit_depth=cfg.bit_depth,
+            monochrome=cfg.monochrome,
+            base_q_idx=self.base_q,
+        )
+        tile = self.encode_tile(0, self.mi_rows, 0, self.mi_cols)
+        frame = assemble_frame_obu(fp, [tile])
+        return assemble_temporal_unit(seq, frame)
+
+
+def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:
+    out = np.zeros((txh, txw), dtype=levels.dtype)
+    out[: levels.shape[0], : levels.shape[1]] = levels
+    return out
+
+
+def encode_planes(planes: np.ndarray, cfg: AV1Config) -> bytes:
+    return FrameEncoder(planes, cfg).encode()

@@ -1,0 +1,190 @@
+"""AV1 frame header (uncompressed header) and frame/tile-group OBU assembly.
+
+Implements the spec's uncompressed_header() for the still-picture
+configuration this encoder emits: reduced_still_picture_header sequence, KEY
+frame, no superres, no CDEF/LRF (toggled via sequence header), no
+segmentation, no delta-q, fixed quantizer, loop filter off (levels 0) until
+the deblocking stage lands.
+
+Reference parity: rav1e writes the same headers for cavif's configuration
+(still_picture: true, single KEY frame; /root/reference/ravif/src/
+av1encoder.rs:684,760-764).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .obu import (
+    OBU_FRAME,
+    OBU_SEQUENCE_HEADER,
+    OBU_TEMPORAL_DELIMITER,
+    BitWriter,
+    wrap_obu,
+    write_sequence_header,
+)
+
+
+@dataclass
+class FrameParams:
+    width: int
+    height: int
+    bit_depth: int
+    monochrome: bool
+    base_q_idx: int
+    disable_cdf_update: bool = False
+    tx_mode_select: bool = False  # False -> TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    allow_screen_content_tools: bool = False
+    # loop filter levels [Y vert, Y horz, U, V]
+    filter_level: tuple = (0, 0, 0, 0)
+    filter_sharpness: int = 0
+    # uniform tile spacing log2 counts
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    # delta-q offsets (all 0 for the reference's fixed-quantizer config)
+    delta_q_y_dc: int = 0
+    delta_q_u_dc: int = 0
+    delta_q_u_ac: int = 0
+
+    @property
+    def sb_cols(self) -> int:
+        return (self.width + 63) >> 6
+
+    @property
+    def sb_rows(self) -> int:
+        return (self.height + 63) >> 6
+
+    @property
+    def coded_lossless(self) -> bool:
+        return (
+            self.base_q_idx == 0
+            and self.delta_q_y_dc == 0
+            and self.delta_q_u_dc == 0
+            and self.delta_q_u_ac == 0
+        )
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def write_delta_q(w: BitWriter, value: int) -> None:
+    """read_delta_q mirror: delta_coded flag + su(1+6) when non-zero."""
+    if value:
+        assert -64 <= value < 64
+        w.f(1, 1)
+        w.f(value & 0x7F, 7)  # su(7): 7-bit two's complement (MSB = sign)
+    else:
+        w.f(0, 1)
+
+
+def write_frame_header_bits(p: FrameParams, w: BitWriter) -> None:
+    """uncompressed_header() under reduced_still_picture_header=1.
+
+    The sequence header must have been written with matching toggles:
+    enable_superres=0, enable_cdef=0, enable_restoration=0,
+    enable_filter_intra=0, film_grain=0.
+    """
+    w.f(1 if p.disable_cdf_update else 0, 1)
+    # reduced_still_picture_header => seq_force_screen_content_tools = SELECT
+    w.f(1 if p.allow_screen_content_tools else 0, 1)
+    if p.allow_screen_content_tools:
+        raise NotImplementedError("screen content tools")
+    # frame_size()/superres: reduced header uses max frame size; superres off.
+    # render_size():
+    w.f(0, 1)  # render_and_frame_size_different
+    # disable_frame_end_update_cdf = 1 (reduced header), no bit.
+    # tile_info()
+    sb_cols, sb_rows = p.sb_cols, p.sb_rows
+    sb_shift = 6  # 64x64 superblocks
+    sb_size_log2 = sb_shift - 2  # in mi units: 4
+    max_tile_width_sb = 4096 >> sb_shift
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_shift)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(
+        min_log2_tile_cols,
+        _tile_log2(max_tile_area_sb, sb_rows * sb_cols),
+    )
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    assert p.tile_cols_log2 >= min_log2_tile_cols
+    tcl = p.tile_cols_log2
+    for _ in range(min_log2_tile_cols, tcl):
+        w.f(1, 1)
+    if tcl < max_log2_tile_cols:
+        w.f(0, 1)
+    min_log2_tile_rows = max(min_log2_tiles - tcl, 0)
+    trl = p.tile_rows_log2
+    assert trl >= min_log2_tile_rows
+    for _ in range(min_log2_tile_rows, trl):
+        w.f(1, 1)
+    if trl < max_log2_tile_rows:
+        w.f(0, 1)
+    if tcl > 0 or trl > 0:
+        w.f(0, tcl + trl)  # context_update_tile_id = 0
+        w.f(3, 2)  # tile_size_bytes_minus_1 = 3 (4-byte tile sizes)
+    # quantization_params()
+    w.f(p.base_q_idx, 8)
+    write_delta_q(w, p.delta_q_y_dc)  # DeltaQYDc
+    if not p.monochrome:
+        # separate_uv_delta_q = 0 in our sequence header -> no diff_uv_delta
+        write_delta_q(w, p.delta_q_u_dc)
+        write_delta_q(w, p.delta_q_u_ac)
+    w.f(0, 1)  # using_qmatrix
+    # segmentation_params()
+    w.f(0, 1)  # segmentation_enabled
+    # delta_q_params()
+    if p.base_q_idx > 0:
+        w.f(0, 1)  # delta_q_present
+    # delta_lf_params(): only if delta_q_present
+    # loop_filter_params()
+    if not p.coded_lossless:
+        lv = p.filter_level
+        w.f(lv[0], 6)
+        w.f(lv[1], 6)
+        if not p.monochrome and (lv[0] or lv[1]):
+            w.f(lv[2], 6)
+            w.f(lv[3], 6)
+        w.f(p.filter_sharpness, 3)
+        w.f(0, 1)  # loop_filter_delta_enabled
+    # cdef_params(): absent (enable_cdef=0)
+    # lr_params(): absent (enable_restoration=0)
+    # read_tx_mode()
+    if not p.coded_lossless:
+        w.f(1 if p.tx_mode_select else 0, 1)
+    # frame_reference_mode / skip_mode_params / warped motion: intra, no bits
+    w.f(1 if p.reduced_tx_set else 0, 1)
+    # global_motion_params / film_grain: none for intra / disabled
+
+
+def assemble_frame_obu(p: FrameParams, tiles: List[bytes]) -> bytes:
+    """OBU_FRAME: frame header bits, byte alignment, tile group."""
+    w = BitWriter()
+    write_frame_header_bits(p, w)
+    n_tiles = (1 << p.tile_cols_log2) * (1 << p.tile_rows_log2)
+    assert len(tiles) == n_tiles
+    if n_tiles > 1:
+        w.f(0, 1)  # tile_start_and_end_present_flag
+    w.byte_align()
+    payload = bytearray(w.to_bytes())
+    for i, t in enumerate(tiles):
+        if i != n_tiles - 1:
+            payload += (len(t) - 1).to_bytes(4, "little")  # tile_size_minus_1
+        payload += t
+    return wrap_obu(OBU_FRAME, bytes(payload))
+
+
+def assemble_temporal_unit(
+    seq_payload: bytes, frame_obu: bytes
+) -> bytes:
+    return (
+        wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
+        + wrap_obu(OBU_SEQUENCE_HEADER, seq_payload)
+        + frame_obu
+    )

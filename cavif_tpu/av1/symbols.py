@@ -1,0 +1,402 @@
+"""AV1 tile symbolization: partition / mode / coefficient syntax.
+
+Mirrors the spec's decode_partition / intra_frame_mode_info / residual /
+coeffs processes on the encode side, maintaining the same context state the
+decoder derives (partition context bytes, per-plane entropy contexts with
+culLevel + DC sign category, mode/skip maps) so every symbol is coded with
+the CDF the decoder will select. CDFs adapt per symbol (update_cdf) unless
+disable_cdf_update is set.
+
+This is the host-side serialization stage of the TPU design: the device
+computes modes/levels for batches of blocks; this layer walks them in spec
+order and drives the range coder. Tiles are entropy-independent, so tiles
+serialize in parallel (thread pool / C++ port later).
+
+Reference parity: rav1e's tile encode loop under Context::receive_packet
+(/root/reference/ravif/src/av1encoder.rs:748-771); speed knobs in SURVEY.md
+§2.2 select partition depth / tx behavior above this layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import tables
+from .ec import RangeEncoder, update_cdf
+
+# intra mode indices (spec order)
+DC_PRED, V_PRED, H_PRED = 0, 1, 2
+D45, D135, D113, D157, D203, D67 = 3, 4, 5, 6, 7, 8
+SMOOTH_PRED, SMOOTH_V, SMOOTH_H, PAETH_PRED = 9, 10, 11, 12
+UV_CFL_PRED = 13
+
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+
+PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
+
+
+def q_ctx(base_q: int) -> int:
+    if base_q <= 20:
+        return 0
+    if base_q <= 60:
+        return 1
+    if base_q <= 120:
+        return 2
+    return 3
+
+
+def txsize_ctx(w: int, h: int) -> int:
+    """get_txsize_entropy_ctx: (log2(sqr) + log2(sqr_up) + 1) >> 1 over 4."""
+    sqr = min(w, h)
+    sqr_up = max(w, h)
+    a = sqr.bit_length() - 3  # 4->0, 8->1, ...
+    b = sqr_up.bit_length() - 3
+    return min((a + b + 1) >> 1, 4)
+
+
+_SKIP_CONTEXTS = [
+    [1, 2, 2, 2, 3],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 5],
+    [1, 4, 4, 4, 6],
+]
+
+
+class Cdfs:
+    """Mutable adaptive CDF set for one tile (lazily copied from defaults)."""
+
+    def __init__(self, update: bool = True):
+        self._store: Dict[tuple, list] = {}
+        self.update = update
+
+    def get(self, key: tuple, default_row) -> list:
+        row = self._store.get(key)
+        if row is None:
+            row = list(default_row) + [0]  # + adaptation counter
+            self._store[key] = row
+        return row
+
+
+@dataclass
+class TileParams:
+    mi_col_start: int  # in 4x4 units
+    mi_col_end: int
+    mi_row_start: int
+    mi_row_end: int
+    base_q: int
+    bit_depth: int
+    num_planes: int
+    disable_cdf_update: bool = False
+
+
+class TileWriter:
+    """Serializes one tile; caller supplies per-block decisions."""
+
+    def __init__(self, p: TileParams):
+        self.p = p
+        self.enc = RangeEncoder()
+        self.cdfs = Cdfs(update=not p.disable_cdf_update)
+        self.qctx = q_ctx(p.base_q)
+        # +32 slack: edge blocks may legally overhang the mi grid
+        w4 = p.mi_col_end - p.mi_col_start + 32
+        h4 = p.mi_row_end - p.mi_row_start + 32
+        self.w4, self.h4 = w4, h4
+        # partition context bytes (5-bit masks)
+        self.above_part = np.zeros(w4, dtype=np.uint8)
+        self.left_part = np.zeros(h4, dtype=np.uint8)
+        # mode / skip maps over the tile's mi grid
+        self.y_modes = np.full((h4, w4), -1, dtype=np.int16)
+        self.skips = np.zeros((h4, w4), dtype=np.uint8)
+        # per-plane entropy context: culLevel | dcCat<<6
+        self.above_ctx = [np.zeros(w4, dtype=np.uint8) for _ in range(3)]
+        self.left_ctx = [np.zeros(h4, dtype=np.uint8) for _ in range(3)]
+
+    # ---- low-level symbol helpers -----------------------------------------
+
+    def code(self, sym: int, key: tuple, default_row) -> None:
+        row = self.cdfs.get(key, default_row)
+        n = len(row) - 1
+        self.enc.encode_symbol(sym, row[:n])
+        if self.cdfs.update:
+            update_cdf(row, sym, n)
+
+    def literal(self, value: int, bits: int) -> None:
+        self.enc.encode_literal(value, bits)
+
+    # ---- partition --------------------------------------------------------
+
+    def clear_left(self) -> None:
+        """Called at the start of every superblock row."""
+        self.left_part[:] = 0
+        for pl in range(3):
+            self.left_ctx[pl][:] = 0
+
+    def write_partition(self, r: int, c: int, bsl: int, partition: int) -> None:
+        """r, c: mi coords relative to tile. bsl: Mi_Width_Log2 of the block
+        (1=8x8 .. 4=64x64). Caller guarantees hasRows && hasCols.
+
+        Context shift is 8x8-relative (bsl-1): an equal-size neighbor reads 0
+        (libaom partition_plane_context)."""
+        above = (int(self.above_part[c]) >> (bsl - 1)) & 1
+        left = (int(self.left_part[r]) >> (bsl - 1)) & 1
+        ctx = left * 2 + above
+        self.code(
+            partition,
+            ("part", bsl, ctx),
+            tables.partition_cdf(bsl - 1, ctx),
+        )
+
+    def update_partition_ctx(self, r: int, c: int, w4: int, h4: int) -> None:
+        """After coding a leaf block of w4 x h4 mi units."""
+        wl = w4.bit_length() - 1
+        hl = h4.bit_length() - 1
+        self.above_part[c : c + w4] = (0x1F << wl) & 0x1F
+        self.left_part[r : r + h4] = (0x1F << hl) & 0x1F
+
+    # ---- block modes ------------------------------------------------------
+
+    def write_skip(self, r: int, c: int, skip: int) -> None:
+        above = int(self.skips[r - 1, c]) if r > 0 else 0
+        left = int(self.skips[r, c - 1]) if c > 0 else 0
+        ctx = above + left
+        self.code(skip, ("skip", ctx), tables.skip_cdf(ctx))
+
+    def write_intra_modes(
+        self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
+        cfl_allowed: bool,
+    ) -> None:
+        above_mode = int(self.y_modes[r - 1, c]) if r > 0 else DC_PRED
+        left_mode = int(self.y_modes[r, c - 1]) if c > 0 else DC_PRED
+        if above_mode < 0:
+            above_mode = DC_PRED
+        if left_mode < 0:
+            left_mode = DC_PRED
+        actx = INTRA_MODE_CONTEXT[above_mode]
+        lctx = INTRA_MODE_CONTEXT[left_mode]
+        self.code(y_mode, ("kf_y", actx, lctx), tables.kf_y_mode_cdf(actx, lctx))
+        if D45 <= y_mode <= D67 and min(w4, h4) >= 2:
+            self.code(3, ("angle_y", y_mode - D45), tables.angle_delta_cdf(y_mode - D45))
+        if self.p.num_planes > 1:
+            self.code(
+                uv_mode,
+                ("uv", int(cfl_allowed), y_mode),
+                tables.uv_mode_cdf(cfl_allowed, y_mode),
+            )
+            if D45 <= uv_mode <= D67 and min(w4, h4) >= 2:
+                self.code(3, ("angle_uv", uv_mode - D45), tables.angle_delta_cdf(uv_mode - D45))
+
+    def record_block(self, r: int, c: int, w4: int, h4: int, y_mode: int, skip: int) -> None:
+        self.y_modes[r : r + h4, c : c + w4] = y_mode
+        self.skips[r : r + h4, c : c + w4] = skip
+
+    def reset_block_ctx(self, r: int, c: int, w4: int, h4: int) -> None:
+        """skip=1 blocks: entropy contexts over the block become zero."""
+        for pl in range(self.p.num_planes):
+            self.above_ctx[pl][c : c + w4] = 0
+            self.left_ctx[pl][r : r + h4] = 0
+
+    # ---- coefficients -----------------------------------------------------
+
+    def write_coeffs(
+        self,
+        plane: int,
+        r4: int,
+        c4: int,
+        txw: int,
+        txh: int,
+        levels: np.ndarray,
+        tx_block_eq_block: bool = True,
+    ) -> int:
+        """levels: (coded_h, coded_w) signed int array in raster order
+        (already restricted to the coded area: min(32, tx dims)).
+        r4, c4: txb position in mi units relative to tile (for this plane,
+        4:4:4 or mono so plane coords == luma coords).
+        Returns culLevel."""
+        p = self.p
+        ptype = 1 if plane > 0 else 0
+        ch, cw = levels.shape
+        w4 = txw >> 2
+        h4 = txh >> 2
+        tctx = txsize_ctx(txw, txh)
+        scan = tables.scan(cw, ch)
+        flat = levels.reshape(-1)
+        sc = flat[scan]
+        nz = np.nonzero(sc)[0]
+        eob = int(nz[-1]) + 1 if len(nz) else 0
+
+        # all_zero (txb_skip)
+        if plane == 0:
+            if tx_block_eq_block:
+                sctx = 0
+            else:
+                above = 0
+                left = 0
+                for i in range(w4):
+                    above = max(above, int(self.above_ctx[0][c4 + i]) & 63)
+                for i in range(h4):
+                    left = max(left, int(self.left_ctx[0][r4 + i]) & 63)
+                sctx = _SKIP_CONTEXTS[min(above, 4)][min(left, 4)]
+        else:
+            above_nz = any(self.above_ctx[plane][c4 + i] for i in range(w4))
+            left_nz = any(self.left_ctx[plane][r4 + i] for i in range(h4))
+            sctx = 7 + int(above_nz) + int(left_nz)
+        self.code(
+            1 if eob == 0 else 0,
+            ("txb_skip", tctx, sctx),
+            tables.txb_skip_cdf(self.qctx, tctx, sctx),
+        )
+        if eob == 0:
+            self.above_ctx[plane][c4 : c4 + w4] = 0
+            self.left_ctx[plane][r4 : r4 + h4] = 0
+            return 0
+
+        # (tx_type signaling: only DCT-implied sizes are emitted for now;
+        # 32x32/64x64 use EXT_TX_SET_DCTONLY so nothing is coded.)
+        assert max(txw, txh) >= 32, "tx_type signaling not yet implemented"
+
+        # eob position class: 1->1, 2->2, else bitlength(eob-1)+1
+        area = cw * ch
+        if eob == 1:
+            eob_pt = 1
+        elif eob == 2:
+            eob_pt = 2
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+        self.code(
+            eob_pt - 1,
+            ("eob_pt", area, ptype),
+            tables.eob_pt_cdf(area, self.qctx, ptype, 0),
+        )
+        if eob_pt >= 3:
+            base = (1 << (eob_pt - 2)) + 1
+            offset = eob - base
+            msb = (offset >> (eob_pt - 3)) & 1
+            self.code(
+                msb,
+                ("eob_extra", tctx, ptype, eob_pt - 3),
+                tables.eob_extra_cdf(self.qctx, tctx, ptype, eob_pt - 3),
+            )
+            for i in range(eob_pt - 4, -1, -1):
+                self.literal((offset >> i) & 1, 1)
+
+        # level coding, reverse scan
+        absl = np.abs(levels).astype(np.int32)
+        pad = np.zeros((ch + 2, cw + 2), dtype=np.int32)  # padded abs levels
+        nzoff = tables.nz_off(cw, ch)
+        golombs: List[int] = []
+        for si in range(eob - 1, -1, -1):
+            pos = int(scan[si])
+            row, col = pos // cw, pos % cw
+            lv = int(absl[row, col])
+            if si == eob - 1:
+                if si == 0:
+                    ectx = 0
+                elif si <= area // 8:
+                    ectx = 1
+                elif si <= area // 4:
+                    ectx = 2
+                else:
+                    ectx = 3
+                sym = min(lv, 3) - 1
+                self.code(
+                    sym,
+                    ("base_eob", tctx, ptype, ectx),
+                    tables.base_eob_cdf(self.qctx, tctx, ptype, ectx),
+                )
+            else:
+                mag = (
+                    min(pad[row, col + 1], 3)
+                    + min(pad[row + 1, col], 3)
+                    + min(pad[row + 1, col + 1], 3)
+                    + min(pad[row, col + 2], 3)
+                    + min(pad[row + 2, col], 3)
+                )
+                mctx = min((mag + 1) >> 1, 4)
+                bctx = 0 if pos == 0 else mctx + int(nzoff[row, col])
+                self.code(
+                    min(lv, 3),
+                    ("base", tctx, ptype, bctx),
+                    tables.base_cdf(self.qctx, tctx, ptype, bctx),
+                )
+            if lv > 2:
+                # coeff_br rounds
+                magb = (
+                    min(pad[row, col + 1], 15)
+                    + min(pad[row + 1, col], 15)
+                    + min(pad[row + 1, col + 1], 15)
+                )
+                bmag = min((magb + 1) >> 1, 6)
+                if pos == 0:
+                    brctx = bmag
+                elif row < 2 and col < 2:
+                    brctx = bmag + 7
+                else:
+                    brctx = bmag + 14
+                rem = min(lv, 15) - 3
+                brt = min(tctx, 3)  # coeff_br cdf clamps the tx-size ctx at 32x32
+                for _ in range(4):
+                    sym = min(rem, 3)
+                    self.code(
+                        sym,
+                        ("br", brt, ptype, brctx),
+                        tables.br_cdf(self.qctx, brt, ptype, brctx),
+                    )
+                    rem -= sym
+                    if sym < 3:
+                        break
+            pad[row, col] = min(lv, 127)
+
+        # signs, golomb
+        cul = 0
+        dc_cat = 0
+        for si in range(eob):
+            pos = int(scan[si])
+            row, col = pos // cw, pos % cw
+            lv = int(absl[row, col])
+            sign = 1 if levels[row, col] < 0 else 0
+            if lv != 0:
+                if si == 0:
+                    dctx = self._dc_sign_ctx(plane, c4, w4, r4, h4)
+                    self.code(
+                        sign,
+                        ("dc_sign", ptype, dctx),
+                        tables.dc_sign_cdf(self.qctx, ptype, dctx),
+                    )
+                    dc_cat = 1 if sign else 2
+                else:
+                    self.literal(sign, 1)
+            if lv > 14:
+                x = lv - 14
+                n = x.bit_length()
+                for _ in range(n - 1):
+                    self.literal(0, 1)
+                self.literal(1, 1)
+                for i in range(n - 2, -1, -1):
+                    self.literal((x >> i) & 1, 1)
+            cul += lv
+        cul = min(63, cul)
+        packed = cul | (dc_cat << 6)
+        self.above_ctx[plane][c4 : c4 + w4] = packed
+        self.left_ctx[plane][r4 : r4 + h4] = packed
+        return cul
+
+    def _dc_sign_ctx(self, plane: int, c4: int, w4: int, r4: int, h4: int) -> int:
+        s = 0
+        for i in range(w4):
+            cat = int(self.above_ctx[plane][c4 + i]) >> 6
+            s += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        for i in range(h4):
+            cat = int(self.left_ctx[plane][r4 + i]) >> 6
+            s += 1 if cat == 2 else (-1 if cat == 1 else 0)
+        if s > 0:
+            return 2
+        if s < 0:
+            return 1
+        return 0
+
+    def finish(self) -> bytes:
+        return self.enc.done()

@@ -1,0 +1,96 @@
+"""AV1 transform layer: forward DCT + decoder-matched inverse model.
+
+Split of responsibilities:
+- The *bitstream* carries quantized levels; legality never depends on the
+  encoder's transform arithmetic.
+- The *decoder* reconstructs with the normative integer butterflies. This
+  module models that path as an orthonormal float DCT-III with a per-size
+  linear gain, calibrated end-to-end against dav1d (tools/calibrate_gain.py
+  measures pixel response of single-coefficient streams). The model is
+  within +-1 LSB of the normative transform for typical data; an exact
+  integer mirror (C++/Pallas) replaces it on the perf path later.
+- The forward transform is encoder-private: orthonormal DCT-II, quantizer
+  folded in via the same calibrated gain so level*ac_q maps back to the
+  intended residual amplitude.
+
+All functions are vectorized over a leading batch axis (blocks), mapping
+directly onto the MXU as batched matmuls when jitted (the device path uses
+the same matrices in bf16/f32 via ops/ kernels).
+
+Reference parity: rav1e tx pipeline (forward 7.13-equivalent), exercised by
+/root/reference/ravif/src/av1encoder.rs:748-771.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix D (rows = frequencies): X = D @ x."""
+    k = np.arange(n)
+    d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+# Measured end-to-end decoder gain: pixel = gain * orthonormal_idct2d(level*q).
+# Calibrated against dav1d via tools/calibrate_gain.py; analytic prior:
+# the AV1 integer inverse is sqrt(w/2)*sqrt(h/2) * 2^-(rowshift+colshift)
+# relative to orthonormal, with the 1/sqrt(2) rect factor when
+# log2(w)+log2(h) is odd, and dequant >> tx_scale folded in.
+_GAIN: dict[tuple[int, int], float] = {}
+
+
+def set_gain(w: int, h: int, gain: float) -> None:
+    _GAIN[(w, h)] = gain
+
+
+def get_gain(w: int, h: int) -> float:
+    """Measured against dav1d (tools/calibrate_gain.py): the AV1 dequant +
+    integer-inverse-transform chain has linear gain exactly 1/8 relative to
+    the orthonormal idct for every tx size measured (32x32, 32x16, 16x32,
+    DC and AC positions, 8- and 10-bit)."""
+    return _GAIN.get((w, h), 0.125)
+
+
+def forward_dct2d(res: np.ndarray) -> np.ndarray:
+    """res: (..., h, w) float -> orthonormal 2D DCT-II coefficients."""
+    h, w = res.shape[-2], res.shape[-1]
+    dh, dw = dct2_matrix(h), dct2_matrix(w)
+    return np.einsum("ij,...jk,lk->...il", dh, res, dw)
+
+
+def inverse_dct2d(coef: np.ndarray) -> np.ndarray:
+    h, w = coef.shape[-2], coef.shape[-1]
+    dh, dw = dct2_matrix(h), dct2_matrix(w)
+    return np.einsum("ji,...jk,kl->...il", dh, coef, dw)
+
+
+def quantize_block(
+    coef: np.ndarray, dc_q: int, ac_q: int, w: int, h: int, bias: float = 0.5
+) -> np.ndarray:
+    """Map orthonormal forward coefficients to AV1 levels.
+
+    Decoder applies pixel = gain * idct(level * q), so the target level is
+    coef / (gain * q). bias < 0.5 gives a deadzone (rate-cheaper zeros).
+    """
+    g = get_gain(w, h)
+    q = np.full(coef.shape, float(ac_q) * g)
+    q[..., 0, 0] = float(dc_q) * g
+    t = coef / q
+    lv = np.sign(t) * np.floor(np.abs(t) + bias)
+    return lv.astype(np.int32)
+
+
+def dequant_reconstruct(levels: np.ndarray, dc_q: int, ac_q: int) -> np.ndarray:
+    """Model of decoder reconstruction: residual pixels (float, unrounded)."""
+    h, w = levels.shape[-2], levels.shape[-1]
+    g = get_gain(w, h)
+    q = np.full(levels.shape, float(ac_q) * g)
+    q[..., 0, 0] = float(dc_q) * g
+    return inverse_dct2d(levels.astype(np.float64) * q)

@@ -111,3 +111,29 @@ def test_compression_sanity():
     dec = RangeDecoder(data)
     for _ in range(n):
         assert dec.decode_symbol(icdf) == 0
+
+
+def test_byte_parity_with_libaom_oracle():
+    """Our encoder must be byte-identical to libaom's od_ec encoder —
+    libaom's decoder enforces the canonical termination, so this is a
+    conformance requirement, not cosmetics."""
+    import pytest
+
+    try:
+        from tools.aom_ec_oracle import AomEncoder
+    except Exception:
+        pytest.skip("libaom oracle unavailable")
+    rng = random.Random(42)
+    for _ in range(50):
+        ncdf = rng.randint(1, 6)
+        cdfs = [_random_icdf(rng, rng.randint(2, 14)) for _ in range(ncdf)]
+        seq = [
+            (i := rng.randrange(ncdf), rng.randrange(len(cdfs[i])))
+            for _ in range(rng.randint(1, 300))
+        ]
+        enc = RangeEncoder()
+        oracle = AomEncoder()
+        for w, s in seq:
+            enc.encode_symbol(s, cdfs[w])
+            oracle.encode_symbol(s, cdfs[w])
+        assert enc.done() == oracle.done()
