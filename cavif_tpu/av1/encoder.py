@@ -198,8 +198,6 @@ class FrameEncoder:
         # tx_type signaling lands; 64-dim tx residuals wait on the libaom
         # strictness issue (see leaf policy note)
         force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
-        y_mode = DC_PRED
-        uv_mode = DC_PRED
         cfl_allowed = max(bw, bh) <= 32
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
@@ -210,10 +208,13 @@ class FrameEncoder:
             plane_txs.append((txw, txh))
 
         # computation pass: per txb in coding order, predict from live recon,
-        # quantize, reconstruct (recon is final regardless of the skip flag:
-        # skip is only set when every txb quantized to zero).
+        # search intra modes, quantize, reconstruct (recon is final
+        # regardless of the skip flag: skip is only set when every txb
+        # quantized to zero).
         maxv = (1 << self.bit_depth) - 1
+        lam = self._lambda()
         results = []  # (plane, px, py, txw, txh, levels)
+        y_mode = uv_mode = DC_PRED
         for pl in range(self.num_planes):
             txw, txh = plane_txs[pl]
             for ty in range(0, bh, txh):
@@ -221,29 +222,20 @@ class FrameEncoder:
                     px, py = x0 + tx, y0 + ty
                     if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
                         continue
-                    pred = self._predict_dc(
-                        pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4
+                    if pl == 0:
+                        mode_lock = None if (tx == 0 and ty == 0) else y_mode
+                    elif pl == 1:
+                        mode_lock = None if (tx == 0 and ty == 0) else uv_mode
+                    else:
+                        mode_lock = uv_mode  # V follows the joint uv choice
+                    mode, levels, rec = self._search_txb(
+                        pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4,
+                        force_skip, lam, mode_lock,
                     )
-                    cw, ch = min(txw, 32), min(txh, 32)
-                    if force_skip:
-                        levels = np.zeros((ch, cw), dtype=np.int32)
-                    else:
-                        src = self.planes[pl].src[py : py + txh, px : px + txw]
-                        res = (src - pred).astype(np.float64)
-                        coef = transforms.forward_dct2d(res)[:ch, :cw]
-                        levels = transforms.quantize_block(
-                            coef, self.dc_q, self.ac_q, cw, ch
-                        )
-                        np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
-                    if levels.any():
-                        resid = transforms.dequant_reconstruct(
-                            _embed(levels, txh, txw), self.dc_q, self.ac_q
-                        )
-                        rec = np.clip(
-                            pred + np.rint(resid).astype(np.int64), 0, maxv
-                        )
-                    else:
-                        rec = pred
+                    if pl == 0 and tx == 0 and ty == 0:
+                        y_mode = mode
+                    elif pl == 1 and tx == 0 and ty == 0:
+                        uv_mode = mode
                     self.planes[pl].recon[py : py + txh, px : px + txw] = rec
                     results.append((pl, px, py, txw, txh, levels))
         skip = 1 if all(not lv.any() for *_x, lv in results) else 0
@@ -268,22 +260,59 @@ class FrameEncoder:
                 tx_block_eq_block=(pl == 0 and txw == bw and txh == bh),
             )
 
-    def _predict_dc(self, pl, px, py, txw, txh, rr4, cc4) -> np.ndarray:
+    def _lambda(self) -> float:
+        """RD weight between pixel SSE and the |level| rate proxy."""
+        qstep = self.ac_q * 0.125
+        return 0.8 * qstep * qstep / 16.0
+
+    def _neighbors(self, pl, px, py, txw, txh, rr4, cc4):
         recon = self.planes[pl].recon
-        have_above = rr4 > 0
-        have_left = cc4 > 0
-        if have_above and have_left:
-            s = int(recon[py - 1, px : px + txw].sum() + recon[py : py + txh, px - 1].sum())
-            avg = (s + ((txw + txh) >> 1)) // (txw + txh)
-        elif have_above:
-            s = int(recon[py - 1, px : px + txw].sum())
-            avg = (s + (txw >> 1)) >> (txw.bit_length() - 1)
-        elif have_left:
-            s = int(recon[py : py + txh, px - 1].sum())
-            avg = (s + (txh >> 1)) >> (txh.bit_length() - 1)
-        else:
-            avg = 1 << (self.bit_depth - 1)
-        return np.full((txh, txw), avg, dtype=np.int32)
+        above = recon[py - 1, px : px + txw].copy() if rr4 > 0 else None
+        left = recon[py : py + txh, px - 1].copy() if cc4 > 0 else None
+        al = int(recon[py - 1, px - 1]) if (rr4 > 0 and cc4 > 0) else None
+        return above, left, al
+
+    def _search_txb(
+        self, pl, px, py, txw, txh, rr4, cc4, force_skip, lam, mode_lock
+    ):
+        """Pick the intra mode for one txb; returns (mode, levels, recon)."""
+        from .predict import NONDIRECTIONAL_MODES, predict
+
+        maxv = (1 << self.bit_depth) - 1
+        above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
+        src = self.planes[pl].src[py : py + txh, px : px + txw]
+        cw, ch = min(txw, 32), min(txh, 32)
+        modes = [mode_lock] if mode_lock is not None else NONDIRECTIONAL_MODES
+        best = None
+        for mode in modes:
+            pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
+            res = (src - pred).astype(np.float64)
+            if force_skip:
+                cost = float((res * res).sum())
+                cand = (cost, mode, np.zeros((ch, cw), dtype=np.int32), pred)
+            else:
+                coef = transforms.forward_dct2d(res)[:ch, :cw]
+                levels = transforms.quantize_block(
+                    coef, self.dc_q, self.ac_q, cw, ch
+                )
+                np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
+                if levels.any():
+                    resid = transforms.dequant_reconstruct(
+                        _embed(levels, txh, txw), self.dc_q, self.ac_q
+                    )
+                    rec = np.clip(
+                        pred + np.rint(resid).astype(np.int64), 0, maxv
+                    ).astype(np.int32)
+                else:
+                    rec = pred
+                err = (src - rec).astype(np.float64)
+                rate = float(np.abs(levels).sum() + 2 * np.count_nonzero(levels))
+                cost = float((err * err).sum()) + lam * rate
+                cand = (cost, mode, levels, rec)
+            if best is None or cand[0] < best[0]:
+                best = cand
+        _, mode, levels, rec = best
+        return mode, levels, rec
 
     # -- frame assembly -----------------------------------------------------
 

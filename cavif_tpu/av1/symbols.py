@@ -178,16 +178,17 @@ class TileWriter:
         actx = INTRA_MODE_CONTEXT[above_mode]
         lctx = INTRA_MODE_CONTEXT[left_mode]
         self.code(y_mode, ("kf_y", actx, lctx), tables.kf_y_mode_cdf(actx, lctx))
-        if D45 <= y_mode <= D67 and min(w4, h4) >= 2:
-            self.code(3, ("angle_y", y_mode - D45), tables.angle_delta_cdf(y_mode - D45))
+        # V_PRED..D67 are all directional (angle_delta coded); delta 0 -> sym 3
+        if V_PRED <= y_mode <= D67 and min(w4, h4) >= 2:
+            self.code(3, ("angle", y_mode - V_PRED), tables.angle_delta_cdf(y_mode - V_PRED))
         if self.p.num_planes > 1:
             self.code(
                 uv_mode,
                 ("uv", int(cfl_allowed), y_mode),
                 tables.uv_mode_cdf(cfl_allowed, y_mode),
             )
-            if D45 <= uv_mode <= D67 and min(w4, h4) >= 2:
-                self.code(3, ("angle_uv", uv_mode - D45), tables.angle_delta_cdf(uv_mode - D45))
+            if V_PRED <= uv_mode <= D67 and min(w4, h4) >= 2:
+                self.code(3, ("angle", uv_mode - V_PRED), tables.angle_delta_cdf(uv_mode - V_PRED))
 
     def record_block(self, r: int, c: int, w4: int, h4: int, y_mode: int, skip: int) -> None:
         self.y_modes[r : r + h4, c : c + w4] = y_mode

@@ -82,9 +82,11 @@ def main() -> None:
         [u16(46768, (13, 15)), u16(46963, (13, 15))]
     )  # [cfl_allowed][intra_mode][CDF_SIZE(14)] (13 syms when cfl not allowed)
     t["kf_y_mode_cdf"] = u16(47168, (5, 5, 14))  # [above_ctx][left_ctx]
-    t["angle_delta_cdf"] = u16(47552, (8, 8))    # [dir_mode][CDF_SIZE(7)]
-    t["palette_y_size_cdf"] = u16(47616, (7, 8))
-    t["palette_uv_size_cdf"] = u16(47672, (7, 8))
+    t["palette_y_size_cdf"] = u16(47552, (7, 8))
+    t["palette_uv_size_cdf"] = u16(47608, (7, 8))
+    t["angle_delta_cdf"] = u16(47664, (8, 8))    # [dir_mode][CDF_SIZE(7)]
+    # angle rows peak at symbol 3 (delta 0); anchor row 0 value
+    assert int(t["angle_delta_cdf"][0, 0]) == 30588
     t["tx_size_cdf"] = u16(48616, (4, 3, 4))     # [cat][ctx]; cat0 has 2 syms
     t["delta_q_cdf"] = u16(48664, (5,))
     t["skip_cdf"] = np.array(
@@ -177,6 +179,17 @@ def main() -> None:
                 break
     if found is not None:
         t["sinpi"] = ro32[found : found + 7 * 5].reshape(7, 5).copy()
+
+    # ---- smooth-prediction weights (sm_weight_arrays, sizes 4..64) --------
+    smoff = data.find(bytes([255, 149, 85, 64]))
+    assert smoff > 0
+    sm = np.frombuffer(data[smoff : smoff + 4 + 8 + 16 + 32 + 64], dtype=np.uint8)
+    t["sm_weights_4"] = sm[0:4].copy()
+    t["sm_weights_8"] = sm[4:12].copy()
+    t["sm_weights_16"] = sm[12:28].copy()
+    t["sm_weights_32"] = sm[28:60].copy()
+    t["sm_weights_64"] = sm[60:124].copy()
+    assert t["sm_weights_8"][1] == 197 and t["sm_weights_64"][-1] == 4
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **t)

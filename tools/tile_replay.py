@@ -147,8 +147,8 @@ class Replayer:
         lm = INTRA[self.ymodes.get((r, c - 1), 0)] if c > 0 else 0
         ym = self.rd(("kfy", am, lm), 13, T.kf_y_mode_cdf(am, lm),
                      f"y@{r},{c} ctx({am},{lm})")
-        if 3 <= ym <= 8 and min(w4, h4) >= 2:
-            self.rd(("angy", ym - 3), 7, T.angle_delta_cdf(ym - 3), "angle_y")
+        if 1 <= ym <= 8 and min(w4, h4) >= 2:
+            self.rd(("angle", ym - 1), 7, T.angle_delta_cdf(ym - 1), "angle_y")
         uv = -1
         if self.np_ > 1:
             cfl = max(w4, h4) * 4 <= 32
@@ -156,8 +156,8 @@ class Replayer:
                          T.uv_mode_cdf(cfl, ym), f"uv@{r},{c}")
             if uv == 13 and cfl:
                 raise NotImplementedError("CFL")
-            if 3 <= uv <= 8 and min(w4, h4) >= 2:
-                self.rd(("anguv", uv - 3), 7, T.angle_delta_cdf(uv - 3), "angle_uv")
+            if 1 <= uv <= 8 and min(w4, h4) >= 2:
+                self.rd(("angle", uv - 1), 7, T.angle_delta_cdf(uv - 1), "angle_uv")
         if (self.efi and ym == 0 and max(w4, h4) * 4 <= 32):
             raise NotImplementedError("filter_intra cdf")
         for i in range(w4):
