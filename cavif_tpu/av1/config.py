@@ -25,6 +25,8 @@ class AV1Config:
     # colr/sequence-header code point; None = no color description (alpha)
     matrix_coefficients: Optional[int] = None
     threads: Optional[int] = None
+    # entropy-serializer backend: None = native if built, else python
+    ec_backend: Optional[Literal["native", "python"]] = None
 
     @property
     def monochrome(self) -> bool:

@@ -21,6 +21,7 @@ from . import tables, transforms
 from .config import AV1Config
 from .frame import FrameParams, assemble_frame_obu, assemble_temporal_unit
 from .obu import write_sequence_header
+from .opstream import OpTileWriter
 from .symbols import (
     DC_PRED,
     PARTITION_HORZ,
@@ -28,40 +29,7 @@ from .symbols import (
     PARTITION_SPLIT,
     PARTITION_VERT,
     TileParams,
-    TileWriter,
 )
-
-PARTITION_SYMBOLS = {
-    "NONE": 0, "HORZ": 1, "VERT": 2, "SPLIT": 3,
-    "HORZ_A": 4, "HORZ_B": 5, "VERT_A": 6, "VERT_B": 7,
-    "HORZ_4": 8, "VERT_4": 9,
-}
-
-
-def _prob(icdf, s, nsym):
-    """P(symbol s)*32768 from an inverted cdf row."""
-    hi = 32768 if s == 0 else icdf[s - 1]
-    lo = 0 if s == nsym - 1 else icdf[s]
-    return hi - lo
-
-
-def _gather_split_binary(icdf, nsym, horz: bool, bsl: int):
-    """Derived 2-symbol cdf for split_or_horz / split_or_vert.
-
-    split_or_horz (bottom half missing; HORZ vs SPLIT) uses libaom's
-    partition_gather_horz_alike: P(SPLIT) = sum of probabilities of
-    partitions whose top half splits vertically {VERT, SPLIT, HORZ_A,
-    VERT_A, VERT_B, VERT_4}. split_or_vert mirrors with vert_alike
-    {HORZ, SPLIT, HORZ_A, HORZ_B, VERT_A, HORZ_4}."""
-    if horz:  # split_or_horz
-        subtract = [2, 3, 4, 6, 7] + ([9] if bsl != 5 else [])
-    else:  # split_or_vert
-        subtract = [1, 3, 4, 5, 6] + ([8] if bsl != 5 else [])
-    p = 32768
-    for s in subtract:
-        if s < nsym:
-            p -= _prob(icdf, s, nsym)
-    return (32768 - p, 0)
 
 
 @dataclass
@@ -109,13 +77,13 @@ class FrameEncoder:
             bit_depth=self.bit_depth,
             num_planes=self.num_planes,
         )
-        tw = TileWriter(tp)
+        tw = OpTileWriter(tp)
         self._tile_origin = (mi_r0, mi_c0)
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(tw, r, c, 4)
-        return tw.finish()
+        return tw.finish(backend=self.cfg.ec_backend)
 
     def _encode_partition(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
         """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
@@ -143,17 +111,17 @@ class FrameEncoder:
         # HORZ/VERT keeps a 32x16/16x32 block (DCT-only, residual-capable);
         # smaller partials also take HORZ/VERT (skip-forced below 32).
         if bsl <= 3 and has_cols and not has_rows:
-            self._write_split_binary(tw, rr, cc, bsl, horz=True, split=False)
+            tw.write_split_binary(rr, cc, bsl, horz=True, split=False)
             self._encode_block(tw, r, c, n4, half)
             return
         if bsl <= 3 and has_rows and not has_cols:
-            self._write_split_binary(tw, rr, cc, bsl, horz=False, split=False)
+            tw.write_split_binary(rr, cc, bsl, horz=False, split=False)
             self._encode_block(tw, r, c, half, n4)
             return
         if has_cols and not has_rows:
-            self._write_split_binary(tw, rr, cc, bsl, horz=True, split=True)
+            tw.write_split_binary(rr, cc, bsl, horz=True, split=True)
         elif has_rows and not has_cols:
-            self._write_split_binary(tw, rr, cc, bsl, horz=False, split=True)
+            tw.write_split_binary(rr, cc, bsl, horz=False, split=True)
         # else both missing: implied SPLIT, no symbol
         self._split4(tw, r, c, bsl)
 
@@ -170,22 +138,6 @@ class FrameEncoder:
         self._encode_partition(tw, r, c + half, bsl - 1)
         self._encode_partition(tw, r + half, c, bsl - 1)
         self._encode_partition(tw, r + half, c + half, bsl - 1)
-
-    def _part_ctx(self, tw, rr, cc, bsl):
-        # 8x8-relative shift: equal-size neighbors read 0 (see write_partition)
-        above = (int(tw.above_part[cc]) >> (bsl - 1)) & 1
-        left = (int(tw.left_part[rr]) >> (bsl - 1)) & 1
-        return left * 2 + above
-
-    def _part_default(self, tw, rr, cc, bsl):
-        return tables.partition_cdf(bsl - 1, self._part_ctx(tw, rr, cc, bsl))
-
-    def _write_split_binary(self, tw, rr, cc, bsl, horz: bool, split: bool) -> None:
-        ctx = self._part_ctx(tw, rr, cc, bsl)
-        row = tw.cdfs.get(("part", bsl, ctx), self._part_default(tw, rr, cc, bsl))
-        nsym = 4 if bsl == 1 else (8 if bsl == 5 else 10)
-        icdf = _gather_split_binary(row[:nsym], nsym, horz, bsl)
-        tw.enc.encode_symbol(1 if split else 0, icdf)
 
     # -- leaf block ---------------------------------------------------------
 
@@ -240,13 +192,8 @@ class FrameEncoder:
                     results.append((pl, px, py, txw, txh, levels))
         skip = 1 if all(not lv.any() for *_x, lv in results) else 0
 
-        tw.write_skip(rr, cc, skip)
-        tw.write_intra_modes(rr, cc, w4, h4, y_mode, uv_mode, cfl_allowed)
-        tw.record_block(rr, cc, w4, h4, y_mode, skip)
-        tw.update_partition_ctx(rr, cc, w4, h4)
-
+        tw.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed)
         if skip:
-            tw.reset_block_ctx(rr, cc, w4, h4)
             return
 
         for pl, px, py, txw, txh, levels in results:

@@ -1,0 +1,144 @@
+"""Tile op stream: decouples encode decisions from entropy serialization.
+
+The encoder walks the partition tree and emits a compact int32 op stream
+(partition choices, block modes, coefficient levels). Serialization — context
+derivation, CDF adaptation, range coding, per-coefficient symbol work — is a
+pure function of (tile params, op stream) and runs in one of two backends:
+
+- native: the C++ tile coder (cavif_tpu/native), the production path;
+- python: replay through symbols.TileWriter, the reference oracle.
+
+Both produce byte-identical tiles (differentially tested). Tiles are
+entropy-independent, so op streams for different tiles serialize in parallel
+(C++ releases the GIL).
+
+This is the host tail of the TPU design: the device computes modes/levels for
+batches of blocks; this layer is the only sequential-per-symbol stage, kept
+native. Reference parity: rav1e's tile encode under Context::receive_packet
+(/root/reference/ravif/src/av1encoder.rs:748-771).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .symbols import TileParams, TileWriter
+
+OP_CLEAR_LEFT = 0
+OP_PARTITION = 1
+OP_SPLIT_BIN = 2
+OP_BLOCK = 3
+OP_COEFFS = 4
+
+
+class OpTileWriter:
+    """Collects ops; same call surface as TileWriter (minus context state,
+    which lives in the serializer backend)."""
+
+    def __init__(self, p: TileParams):
+        self.p = p
+        self.ops: List[int] = []
+        self.levels: List[np.ndarray] = []
+        self._lvl_len = 0
+
+    def clear_left(self) -> None:
+        self.ops.append(OP_CLEAR_LEFT)
+
+    def write_partition(self, r: int, c: int, bsl: int, partition: int) -> None:
+        self.ops.extend((OP_PARTITION, r, c, bsl, partition))
+
+    def write_split_binary(self, r: int, c: int, bsl: int, horz: bool, split: bool) -> None:
+        self.ops.extend((OP_SPLIT_BIN, r, c, bsl, int(horz), int(split)))
+
+    def write_block(
+        self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
+        skip: int, cfl_allowed: bool,
+    ) -> None:
+        """skip + intra modes + context bookkeeping for one leaf block."""
+        self.ops.extend(
+            (OP_BLOCK, r, c, w4, h4, y_mode, uv_mode, skip, int(cfl_allowed))
+        )
+
+    def write_coeffs(
+        self, plane: int, r4: int, c4: int, txw: int, txh: int,
+        levels: np.ndarray, tx_block_eq_block: bool = True,
+    ) -> None:
+        ch, cw = levels.shape
+        self.ops.extend(
+            (OP_COEFFS, plane, r4, c4, txw, txh, int(tx_block_eq_block),
+             ch, cw, self._lvl_len)
+        )
+        flat = np.ascontiguousarray(levels, dtype=np.int32).reshape(-1)
+        self.levels.append(flat)
+        self._lvl_len += flat.size
+
+    def pack(self):
+        ops = np.asarray(self.ops, dtype=np.int32)
+        levels = (
+            np.concatenate(self.levels)
+            if self.levels
+            else np.zeros(0, dtype=np.int32)
+        )
+        return ops, levels
+
+    def finish(self, backend: Optional[str] = None) -> bytes:
+        ops, levels = self.pack()
+        if backend is None:
+            backend = "native" if _native_available() else "python"
+        if backend == "native":
+            from ..native import encode_tile_native
+
+            return encode_tile_native(self.p, ops, levels)
+        return replay_python(self.p, ops, levels)
+
+
+def _native_available() -> bool:
+    try:
+        from ..native import encode_tile_native  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
+    """Reference serializer: drive TileWriter from an op stream."""
+    tw = TileWriter(p)
+    i = 0
+    n = len(ops)
+    while i < n:
+        op = int(ops[i])
+        if op == OP_CLEAR_LEFT:
+            tw.clear_left()
+            i += 1
+        elif op == OP_PARTITION:
+            _, r, c, bsl, part = (int(x) for x in ops[i : i + 5])
+            tw.write_partition(r, c, bsl, part)
+            i += 5
+        elif op == OP_SPLIT_BIN:
+            _, r, c, bsl, horz, split = (int(x) for x in ops[i : i + 6])
+            tw.write_split_binary(r, c, bsl, bool(horz), bool(split))
+            i += 6
+        elif op == OP_BLOCK:
+            _, r, c, w4, h4, ym, uvm, skip, cfl = (
+                int(x) for x in ops[i : i + 9]
+            )
+            tw.write_skip(r, c, skip)
+            tw.write_intra_modes(r, c, w4, h4, ym, uvm, bool(cfl))
+            tw.record_block(r, c, w4, h4, ym, skip)
+            tw.update_partition_ctx(r, c, w4, h4)
+            if skip:
+                tw.reset_block_ctx(r, c, w4, h4)
+            i += 9
+        elif op == OP_COEFFS:
+            _, pl, r4, c4, txw, txh, eq, ch, cw, off = (
+                int(x) for x in ops[i : i + 10]
+            )
+            lv = levels[off : off + ch * cw].reshape(ch, cw)
+            tw.write_coeffs(pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq))
+            i += 10
+        else:
+            raise ValueError(f"bad op {op} at {i}")
+    return tw.finish()

@@ -38,6 +38,32 @@ INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
 
 
+def _prob(icdf, s, nsym):
+    """P(symbol s)*32768 from an inverted cdf row."""
+    hi = 32768 if s == 0 else icdf[s - 1]
+    lo = 0 if s == nsym - 1 else icdf[s]
+    return hi - lo
+
+
+def gather_split_binary(icdf, nsym, horz: bool, bsl: int):
+    """Derived 2-symbol cdf for split_or_horz / split_or_vert.
+
+    split_or_horz (bottom half missing; HORZ vs SPLIT) uses libaom's
+    partition_gather_horz_alike: P(SPLIT) = sum of probabilities of
+    partitions whose top half splits vertically {VERT, SPLIT, HORZ_A,
+    VERT_A, VERT_B, VERT_4}. split_or_vert mirrors with vert_alike
+    {HORZ, SPLIT, HORZ_A, HORZ_B, VERT_A, HORZ_4}."""
+    if horz:  # split_or_horz
+        subtract = [2, 3, 4, 6, 7] + ([9] if bsl != 5 else [])
+    else:  # split_or_vert
+        subtract = [1, 3, 4, 5, 6] + ([8] if bsl != 5 else [])
+    p = 32768
+    for s in subtract:
+        if s < nsym:
+            p -= _prob(icdf, s, nsym)
+    return (32768 - p, 0)
+
+
 def q_ctx(base_q: int) -> int:
     if base_q <= 20:
         return 0
@@ -149,6 +175,19 @@ class TileWriter:
             ("part", bsl, ctx),
             tables.partition_cdf(bsl - 1, ctx),
         )
+
+    def write_split_binary(self, r: int, c: int, bsl: int, horz: bool, split: bool) -> None:
+        """split_or_horz / split_or_vert at partial superblocks: a derived
+        2-symbol cdf from the current adapted partition row; no adaptation."""
+        above = (int(self.above_part[c]) >> (bsl - 1)) & 1
+        left = (int(self.left_part[r]) >> (bsl - 1)) & 1
+        ctx = left * 2 + above
+        row = self.cdfs.get(
+            ("part", bsl, ctx), tables.partition_cdf(bsl - 1, ctx)
+        )
+        nsym = 4 if bsl == 1 else (8 if bsl == 5 else 10)
+        icdf = gather_split_binary(row[:nsym], nsym, horz, bsl)
+        self.enc.encode_symbol(1 if split else 0, icdf)
 
     def update_partition_ctx(self, r: int, c: int, w4: int, h4: int) -> None:
         """After coding a leaf block of w4 x h4 mi units."""

@@ -1,0 +1,135 @@
+"""Native (C++) runtime components: the tile entropy serializer.
+
+Built on demand with g++ into _tilecoder.so next to the sources; spec tables
+are installed from the same npz that feeds av1/tables.py, so Python and C++
+share one source of truth. encode_tile_native() is byte-identical to the
+Python reference serializer (tests/test_native_tilecoder.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "tilecoder.cpp"
+_SO = _DIR / "_tilecoder.so"
+
+_lock = threading.Lock()
+_lib = None
+
+_CDF_TABLE_IDS = {
+    "partition_cdf": 0,
+    "kf_y_mode_cdf": 1,
+    "uv_mode_cdf": 2,
+    "skip_cdf": 3,
+    "angle_delta_cdf": 4,
+    "txb_skip_cdf": 5,
+    "eob_pt_16_cdf": 6,
+    "eob_pt_32_cdf": 7,
+    "eob_pt_64_cdf": 8,
+    "eob_pt_128_cdf": 9,
+    "eob_pt_256_cdf": 10,
+    "eob_pt_512_cdf": 11,
+    "eob_pt_1024_cdf": 12,
+    "eob_extra_cdf": 13,
+    "base_cdf": 14,
+    "base_eob_cdf": 15,
+    "br_cdf": 16,
+    "dc_sign_cdf": 17,
+}
+
+_SCAN_SIZES = [
+    (4, 4), (4, 8), (8, 4), (8, 8), (4, 16), (16, 4), (8, 16), (16, 8),
+    (16, 16), (8, 32), (32, 8), (16, 32), (32, 16), (32, 32),
+]
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+        lib.tc_set_cdf_table.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+        ]
+        lib.tc_set_cdf_table.restype = ctypes.c_int
+        lib.tc_set_scan.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.tc_set_scan.restype = ctypes.c_int
+        lib.tc_encode_tile.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.tc_encode_tile.restype = ctypes.c_int
+        _install_tables(lib)
+        _lib = lib
+        return _lib
+
+
+def _install_tables(lib) -> None:
+    from ..av1 import tables
+
+    for name, tid in _CDF_TABLE_IDS.items():
+        arr = np.ascontiguousarray(tables.get(name), dtype=np.uint16)
+        rc = lib.tc_set_cdf_table(
+            tid, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), arr.size
+        )
+        if rc != 0:
+            raise RuntimeError(f"tc_set_cdf_table({name}) failed")
+    for w, h in _SCAN_SIZES:
+        scan = np.ascontiguousarray(tables.scan(w, h), dtype=np.int32)
+        nz = np.ascontiguousarray(tables.nz_off(w, h), dtype=np.uint8)
+        rc = lib.tc_set_scan(
+            w, h,
+            scan.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nz.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"tc_set_scan({w}x{h}) failed")
+
+
+def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:
+    """Serialize one tile from its op stream; byte-identical to the Python
+    reference (opstream.replay_python)."""
+    lib = _load()
+    ops = np.ascontiguousarray(ops, dtype=np.int32)
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    cap = 4096 + levels.size * 4 + ops.size * 4
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.tc_encode_tile(
+            p.mi_col_start, p.mi_col_end, p.mi_row_start, p.mi_row_end,
+            p.base_q, p.num_planes, int(p.disable_cdf_update),
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
+            levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        if cap > (1 << 28):
+            raise RuntimeError("tile encode failed")
+        cap *= 4

@@ -112,7 +112,7 @@ class Replayer:
             if row is None:
                 row = list(T.partition_cdf(bsl - 1, ctx)) + [0]
                 self.store[key] = row
-            from cavif_tpu.av1.encoder import _gather_split_binary
+            from cavif_tpu.av1.symbols import gather_split_binary as _gather_split_binary
 
             icdf = _gather_split_binary(row[:nsym], nsym, horz=has_cols, bsl=bsl)
             s = self.dec.decode_symbol(icdf)
