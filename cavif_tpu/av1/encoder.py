@@ -64,10 +64,27 @@ class FrameEncoder:
         # residual path trips a libaom-decoder strictness (dav1d accepts);
         # until that is settled 64-dim transforms are only used skip-coded.
         self.leaf_mi = 8
+        self._collect: Optional[List] = None
+        self._modes: dict = {}
 
     # -- per-tile encode ----------------------------------------------------
 
     def encode_tile(self, mi_r0: int, mi_r1: int, mi_c0: int, mi_c1: int) -> bytes:
+        """Two passes over the tile:
+
+        1. collect leaf-block geometry (deterministic partition walk), then a
+           *batched* intra mode search over all blocks at once using source
+           neighbors (device-friendly: one predict/transform/quant batch per
+           block-size group instead of a Python loop per block);
+        2. sequential reconstruction walk in coding order with the chosen
+           modes — prediction from live recon, exactly what the decoder sees
+           — emitting the op stream for the native serializer.
+        """
+        tw = self.tile_writer(mi_r0, mi_r1, mi_c0, mi_c1)
+        return tw.finish(backend=self.cfg.ec_backend)
+
+    def tile_writer(self, mi_r0: int, mi_r1: int, mi_c0: int, mi_c1: int) -> OpTileWriter:
+        """Run both passes and return the filled OpTileWriter (unserialized)."""
         tp = TileParams(
             mi_col_start=mi_c0,
             mi_col_end=mi_c1,
@@ -77,13 +94,104 @@ class FrameEncoder:
             bit_depth=self.bit_depth,
             num_planes=self.num_planes,
         )
-        tw = OpTileWriter(tp)
         self._tile_origin = (mi_r0, mi_c0)
+
+        # pass 1: geometry collection + batched mode search
+        self._collect = []
+        for r in range(mi_r0, mi_r1, 16):
+            for c in range(mi_c0, mi_c1, 16):
+                self._encode_partition(None, r, c, 4)
+        blocks = self._collect
+        self._collect = None
+        self._modes = self._batch_search(blocks)
+
+        # pass 2: sequential recon + op emission
+        tw = OpTileWriter(tp)
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(tw, r, c, 4)
-        return tw.finish(backend=self.cfg.ec_backend)
+        return tw
+
+    # -- pass 1: batched mode search ----------------------------------------
+
+    def _batch_search(self, blocks) -> dict:
+        """Choose (y_mode, uv_mode) per leaf block with one batched
+        predict/transform/quantize pass per (block size, plane) group,
+        using *source* neighbors (recon is not yet available; at encode
+        quantizers recon tracks source closely, and pass 2 re-derives the
+        residual against true recon, so there is no drift)."""
+        from .predict import NONDIRECTIONAL_MODES, predict_all_batch
+
+        r0, c0 = self._tile_origin
+        lam = self._lambda()
+        groups: dict = {}  # (bw, bh) -> list of (block_idx, plane)
+        for idx, (r, c, w4b, h4b) in enumerate(blocks):
+            bw, bh = w4b * 4, h4b * 4
+            groups.setdefault((bw, bh), []).append((idx, 0))
+            if self.num_planes > 1:
+                groups[(bw, bh)].append((idx, 1))
+        modes: dict = {}
+        CHUNK = 1024  # bounds temporaries to ~200 MB at 32x32
+        for (bw, bh), all_items in groups.items():
+            force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
+            for c0i in range(0, len(all_items), CHUNK):
+                items = all_items[c0i : c0i + CHUNK]
+                B = len(items)
+                src = np.empty((B, bh, bw), dtype=np.int64)
+                above = np.zeros((B, bw), dtype=np.int64)
+                left = np.zeros((B, bh), dtype=np.int64)
+                al = np.zeros(B, dtype=np.int64)
+                have_a = np.zeros(B, dtype=bool)
+                have_l = np.zeros(B, dtype=bool)
+                for i, (idx, pl) in enumerate(items):
+                    r, c, _, _ = blocks[idx]
+                    py, px = r * 4, c * 4
+                    sp = self.planes[pl].src
+                    src[i] = sp[py : py + bh, px : px + bw]
+                    rr4, cc4 = r - r0, c - c0
+                    if rr4 > 0:
+                        above[i] = sp[py - 1, px : px + bw]
+                        have_a[i] = True
+                    if cc4 > 0:
+                        left[i] = sp[py : py + bh, px - 1]
+                        have_l[i] = True
+                    if rr4 > 0 and cc4 > 0:
+                        al[i] = sp[py - 1, px - 1]
+                preds = predict_all_batch(
+                    above, left, al, have_a, have_l, bw, bh, self.bit_depth
+                )  # (B, 7, bh, bw)
+                res = (src[:, None] - preds).astype(np.float32)
+                if force_skip:
+                    cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
+                else:
+                    coef = transforms.forward_dct2d(res)
+                    levels = transforms.quantize_block(
+                        coef, self.dc_q, self.ac_q, bw, bh
+                    )
+                    np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
+                    resid = transforms.dequant_reconstruct(
+                        levels, self.dc_q, self.ac_q, dtype=np.float32
+                    )
+                    maxv = (1 << self.bit_depth) - 1
+                    rec = np.clip(
+                        preds + np.rint(resid).astype(np.int64), 0, maxv
+                    )
+                    err = (src[:, None] - rec).astype(np.float32)
+                    rate = np.abs(levels).sum(axis=(2, 3)) + 2 * np.count_nonzero(
+                        levels, axis=(2, 3)
+                    )
+                    cost = (err * err).sum(axis=(2, 3), dtype=np.float64) + lam * rate
+                best = np.argmin(cost, axis=1)
+                for i, (idx, pl) in enumerate(items):
+                    key = blocks[idx][:2]
+                    ym, uvm = modes.get(key, (DC_PRED, DC_PRED))
+                    mode = NONDIRECTIONAL_MODES[int(best[i])]
+                    if pl == 0:
+                        modes[key] = (mode, uvm)
+                    else:
+                        modes[key] = (ym, mode)
+        return modes
 
     def _encode_partition(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
         """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
@@ -98,29 +206,34 @@ class FrameEncoder:
 
         full = has_rows and has_cols
         leaf_bsl = self.leaf_mi.bit_length() - 1  # mi-log2 of leaf size
+        emit = tw is not None
 
         if full and bsl <= leaf_bsl:
-            tw.write_partition(rr, cc, bsl, PARTITION_NONE)
+            if emit:
+                tw.write_partition(rr, cc, bsl, PARTITION_NONE)
             self._encode_block(tw, r, c, n4, n4)
             return
         if full:
-            tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
+            if emit:
+                tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
             self._split4(tw, r, c, bsl)
             return
         # partial blocks: at 64 always SPLIT (avoids 64-dim tx); at 32
         # HORZ/VERT keeps a 32x16/16x32 block (DCT-only, residual-capable);
         # smaller partials also take HORZ/VERT (skip-forced below 32).
         if bsl <= 3 and has_cols and not has_rows:
-            tw.write_split_binary(rr, cc, bsl, horz=True, split=False)
+            if emit:
+                tw.write_split_binary(rr, cc, bsl, horz=True, split=False)
             self._encode_block(tw, r, c, n4, half)
             return
         if bsl <= 3 and has_rows and not has_cols:
-            tw.write_split_binary(rr, cc, bsl, horz=False, split=False)
+            if emit:
+                tw.write_split_binary(rr, cc, bsl, horz=False, split=False)
             self._encode_block(tw, r, c, half, n4)
             return
-        if has_cols and not has_rows:
+        if emit and has_cols and not has_rows:
             tw.write_split_binary(rr, cc, bsl, horz=True, split=True)
-        elif has_rows and not has_cols:
+        elif emit and has_rows and not has_cols:
             tw.write_split_binary(rr, cc, bsl, horz=False, split=True)
         # else both missing: implied SPLIT, no symbol
         self._split4(tw, r, c, bsl)
@@ -141,7 +254,10 @@ class FrameEncoder:
 
     # -- leaf block ---------------------------------------------------------
 
-    def _encode_block(self, tw: TileWriter, r: int, c: int, w4: int, h4: int) -> None:
+    def _encode_block(self, tw, r: int, c: int, w4: int, h4: int) -> None:
+        if self._collect is not None:
+            self._collect.append((r, c, w4, h4))
+            return
         r0, c0 = self._tile_origin
         rr, cc = r - r0, c - c0
         bw, bh = w4 * 4, h4 * 4
@@ -151,6 +267,7 @@ class FrameEncoder:
         # strictness issue (see leaf policy note)
         force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
+        y_mode, uv_mode = self._modes[(r, c)]
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -159,35 +276,23 @@ class FrameEncoder:
             txh = min(bh, 64) if pl == 0 else min(bh, 32)
             plane_txs.append((txw, txh))
 
-        # computation pass: per txb in coding order, predict from live recon,
-        # search intra modes, quantize, reconstruct (recon is final
-        # regardless of the skip flag: skip is only set when every txb
+        # reconstruction pass: per txb in coding order, predict from live
+        # recon with the batch-chosen mode, quantize, reconstruct (recon is
+        # final regardless of the skip flag: skip is only set when every txb
         # quantized to zero).
-        maxv = (1 << self.bit_depth) - 1
-        lam = self._lambda()
         results = []  # (plane, px, py, txw, txh, levels)
-        y_mode = uv_mode = DC_PRED
         for pl in range(self.num_planes):
             txw, txh = plane_txs[pl]
+            mode = y_mode if pl == 0 else uv_mode
             for ty in range(0, bh, txh):
                 for tx in range(0, bw, txw):
                     px, py = x0 + tx, y0 + ty
                     if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
                         continue
-                    if pl == 0:
-                        mode_lock = None if (tx == 0 and ty == 0) else y_mode
-                    elif pl == 1:
-                        mode_lock = None if (tx == 0 and ty == 0) else uv_mode
-                    else:
-                        mode_lock = uv_mode  # V follows the joint uv choice
-                    mode, levels, rec = self._search_txb(
+                    levels, rec = self._compute_txb(
                         pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4,
-                        force_skip, lam, mode_lock,
+                        force_skip, mode,
                     )
-                    if pl == 0 and tx == 0 and ty == 0:
-                        y_mode = mode
-                    elif pl == 1 and tx == 0 and ty == 0:
-                        uv_mode = mode
                     self.planes[pl].recon[py : py + txh, px : px + txw] = rec
                     results.append((pl, px, py, txw, txh, levels))
         skip = 1 if all(not lv.any() for *_x, lv in results) else 0
@@ -219,47 +324,32 @@ class FrameEncoder:
         al = int(recon[py - 1, px - 1]) if (rr4 > 0 and cc4 > 0) else None
         return above, left, al
 
-    def _search_txb(
-        self, pl, px, py, txw, txh, rr4, cc4, force_skip, lam, mode_lock
-    ):
-        """Pick the intra mode for one txb; returns (mode, levels, recon)."""
-        from .predict import NONDIRECTIONAL_MODES, predict
+    def _compute_txb(self, pl, px, py, txw, txh, rr4, cc4, force_skip, mode):
+        """Quantize + reconstruct one txb with a fixed mode; returns
+        (levels, recon). Prediction reads live recon — the decoder's view."""
+        from .predict import predict
 
         maxv = (1 << self.bit_depth) - 1
         above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
         src = self.planes[pl].src[py : py + txh, px : px + txw]
         cw, ch = min(txw, 32), min(txh, 32)
-        modes = [mode_lock] if mode_lock is not None else NONDIRECTIONAL_MODES
-        best = None
-        for mode in modes:
-            pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
-            res = (src - pred).astype(np.float64)
-            if force_skip:
-                cost = float((res * res).sum())
-                cand = (cost, mode, np.zeros((ch, cw), dtype=np.int32), pred)
-            else:
-                coef = transforms.forward_dct2d(res)[:ch, :cw]
-                levels = transforms.quantize_block(
-                    coef, self.dc_q, self.ac_q, cw, ch
-                )
-                np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
-                if levels.any():
-                    resid = transforms.dequant_reconstruct(
-                        _embed(levels, txh, txw), self.dc_q, self.ac_q
-                    )
-                    rec = np.clip(
-                        pred + np.rint(resid).astype(np.int64), 0, maxv
-                    ).astype(np.int32)
-                else:
-                    rec = pred
-                err = (src - rec).astype(np.float64)
-                rate = float(np.abs(levels).sum() + 2 * np.count_nonzero(levels))
-                cost = float((err * err).sum()) + lam * rate
-                cand = (cost, mode, levels, rec)
-            if best is None or cand[0] < best[0]:
-                best = cand
-        _, mode, levels, rec = best
-        return mode, levels, rec
+        pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
+        if force_skip:
+            return np.zeros((ch, cw), dtype=np.int32), pred
+        res = (src - pred).astype(np.float64)
+        coef = transforms.forward_dct2d(res)[:ch, :cw]
+        levels = transforms.quantize_block(coef, self.dc_q, self.ac_q, cw, ch)
+        np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
+        if levels.any():
+            resid = transforms.dequant_reconstruct(
+                _embed(levels, txh, txw), self.dc_q, self.ac_q
+            )
+            rec = np.clip(
+                pred + np.rint(resid).astype(np.int64), 0, maxv
+            ).astype(np.int32)
+        else:
+            rec = pred
+        return levels, rec
 
     # -- frame assembly -----------------------------------------------------
 

@@ -136,3 +136,80 @@ NONDIRECTIONAL_MODES = [
     SMOOTH_H,
     PAETH_PRED,
 ]
+
+
+def predict_all_batch(
+    above: np.ndarray,
+    left: np.ndarray,
+    al: np.ndarray,
+    have_a: np.ndarray,
+    have_l: np.ndarray,
+    w: int,
+    h: int,
+    bit_depth: int,
+) -> np.ndarray:
+    """Batched non-directional predictors, (B, 7, h, w) int32 in
+    NONDIRECTIONAL_MODES order. Same integer arithmetic as predict();
+    availability synthesis is vectorized across the batch.
+
+    above (B, w), left (B, h), al (B,): raw neighbor pixels (contents ignored
+    where the corresponding have_* flag is False)."""
+    B = above.shape[0]
+    base = 1 << (bit_depth - 1)
+    above = above.astype(np.int64)
+    left = left.astype(np.int64)
+    al = al.astype(np.int64)
+    ha = have_a[:, None]
+    hl = have_l[:, None]
+    a0 = above[:, 0:1]
+    l0 = left[:, 0:1]
+    # availability synthesis (mirrors predict())
+    above_s = np.where(ha, above, np.where(hl, l0, base - 1))
+    left_s = np.where(hl, left, np.where(ha, a0, base + 1))
+    al_s = np.where(
+        have_a & have_l,
+        al,
+        np.where(have_a, above[:, 0], np.where(have_l, left[:, 0], base)),
+    )
+
+    out = np.empty((B, 7, h, w), dtype=np.int32)
+
+    # DC: per-availability averaging over the *real* sides
+    sum_a = above.sum(axis=1)
+    sum_l = left.sum(axis=1)
+    avg_both = (sum_a + sum_l + ((w + h) >> 1)) // (w + h)
+    avg_a = (sum_a + (w >> 1)) >> (w.bit_length() - 1)
+    avg_l = (sum_l + (h >> 1)) >> (h.bit_length() - 1)
+    avg = np.where(
+        have_a & have_l,
+        avg_both,
+        np.where(have_a, avg_a, np.where(have_l, avg_l, base)),
+    )
+    out[:, 0] = avg[:, None, None]
+
+    # V / H
+    out[:, 1] = np.broadcast_to(above_s[:, None, :], (B, h, w))
+    out[:, 2] = np.broadcast_to(left_s[:, :, None], (B, h, w))
+
+    # SMOOTH family
+    wh = _sm_weights(h)[None, :, None]  # (1, h, 1)
+    ww = _sm_weights(w)[None, None, :]  # (1, 1, w)
+    below = left_s[:, h - 1][:, None, None]
+    right = above_s[:, w - 1][:, None, None]
+    a2 = above_s[:, None, :]
+    l2 = left_s[:, :, None]
+    t = wh * a2 + (256 - wh) * below + ww * l2 + (256 - ww) * right
+    out[:, 3] = (t + 256) >> 9
+    out[:, 4] = (wh * a2 + (256 - wh) * below + 128) >> 8
+    out[:, 5] = (ww * l2 + (256 - ww) * right + 128) >> 8
+
+    # PAETH
+    alb = al_s[:, None, None]
+    b = l2 + a2 - alb
+    pl = np.abs(b - l2)
+    pt = np.abs(b - a2)
+    ptl = np.abs(b - alb)
+    out[:, 6] = np.where(
+        (pl <= pt) & (pl <= ptl), l2, np.where(pt <= ptl, a2, alb)
+    )
+    return out

@@ -29,13 +29,13 @@ import numpy as np
 
 
 @lru_cache(maxsize=None)
-def dct2_matrix(n: int) -> np.ndarray:
+def dct2_matrix(n: int, dtype=np.float64) -> np.ndarray:
     """Orthonormal DCT-II matrix D (rows = frequencies): X = D @ x."""
     k = np.arange(n)
     d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     d *= np.sqrt(2.0 / n)
     d[0] /= np.sqrt(2.0)
-    return d
+    return d.astype(dtype)
 
 
 # Measured end-to-end decoder gain: pixel = gain * orthonormal_idct2d(level*q).
@@ -61,14 +61,16 @@ def get_gain(w: int, h: int) -> float:
 def forward_dct2d(res: np.ndarray) -> np.ndarray:
     """res: (..., h, w) float -> orthonormal 2D DCT-II coefficients."""
     h, w = res.shape[-2], res.shape[-1]
-    dh, dw = dct2_matrix(h), dct2_matrix(w)
-    return np.einsum("ij,...jk,lk->...il", dh, res, dw)
+    dt = res.dtype if res.dtype in (np.float32, np.float64) else np.float64
+    dh, dw = dct2_matrix(h, dt), dct2_matrix(w, dt)
+    return dh @ res @ dw.T
 
 
 def inverse_dct2d(coef: np.ndarray) -> np.ndarray:
     h, w = coef.shape[-2], coef.shape[-1]
-    dh, dw = dct2_matrix(h), dct2_matrix(w)
-    return np.einsum("ji,...jk,kl->...il", dh, coef, dw)
+    dt = coef.dtype if coef.dtype in (np.float32, np.float64) else np.float64
+    dh, dw = dct2_matrix(h, dt), dct2_matrix(w, dt)
+    return dh.T @ coef @ dw
 
 
 def quantize_block(
@@ -80,17 +82,18 @@ def quantize_block(
     coef / (gain * q). bias < 0.5 gives a deadzone (rate-cheaper zeros).
     """
     g = get_gain(w, h)
-    q = np.full(coef.shape, float(ac_q) * g)
-    q[..., 0, 0] = float(dc_q) * g
-    t = coef / q
+    t = coef * (1.0 / (float(ac_q) * g))
+    t[..., 0, 0] = coef[..., 0, 0] * (1.0 / (float(dc_q) * g))
     lv = np.sign(t) * np.floor(np.abs(t) + bias)
     return lv.astype(np.int32)
 
 
-def dequant_reconstruct(levels: np.ndarray, dc_q: int, ac_q: int) -> np.ndarray:
+def dequant_reconstruct(
+    levels: np.ndarray, dc_q: int, ac_q: int, dtype=np.float64
+) -> np.ndarray:
     """Model of decoder reconstruction: residual pixels (float, unrounded)."""
     h, w = levels.shape[-2], levels.shape[-1]
     g = get_gain(w, h)
-    q = np.full(levels.shape, float(ac_q) * g)
-    q[..., 0, 0] = float(dc_q) * g
-    return inverse_dct2d(levels.astype(np.float64) * q)
+    x = levels.astype(dtype) * dtype(float(ac_q) * g)
+    x[..., 0, 0] = levels[..., 0, 0] * dtype(float(dc_q) * g)
+    return inverse_dct2d(x)

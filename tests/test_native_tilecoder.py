@@ -33,17 +33,8 @@ def _ops_for(w, h, cs, bd, q, seed=0):
         full_range=True, matrix_coefficients=None if cs == "400" else 6,
     )
     fe = FrameEncoder(np.asarray(planes), cfg)
-    tp = TileParams(
-        mi_col_start=0, mi_col_end=fe.mi_cols, mi_row_start=0,
-        mi_row_end=fe.mi_rows, base_q=q, bit_depth=bd, num_planes=nplanes,
-    )
-    tw = OpTileWriter(tp)
-    fe._tile_origin = (0, 0)
-    for r in range(0, fe.mi_rows, 16):
-        tw.clear_left()
-        for c in range(0, fe.mi_cols, 16):
-            fe._encode_partition(tw, r, c, 4)
-    return tp, tw.pack()
+    tw = fe.tile_writer(0, fe.mi_rows, 0, fe.mi_cols)
+    return tw.p, tw.pack()
 
 
 @pytest.mark.parametrize(
