@@ -17,6 +17,24 @@ from typing import Optional
 
 import numpy as np
 
+
+def _tune_allocator() -> None:
+    """Keep multi-MB numpy temporaries on the heap and recycled: the batch
+    pipelines allocate hundreds of MB per image, and glibc's default
+    mmap/munmap behavior re-page-faults every encode (10x slowdowns in VM
+    environments). No-op where unavailable."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 28)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
 from .errors import CavifError, EncodingError, TooFewPixelsError, UnsupportedError
 from .ops.quality import alpha_quality_for, quality_to_quantizer
 

@@ -12,6 +12,7 @@ Reference parity: encode_to_av1 + rav1e's intra pipeline
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -36,6 +37,16 @@ from .symbols import (
 class _PlaneState:
     src: np.ndarray  # padded source (H, W) int32
     recon: np.ndarray  # reconstruction (H, W) int32
+
+
+@dataclass
+class _TileCtx:
+    """Per-tile walk state: encoding different tiles is reentrant."""
+
+    origin: tuple
+    collect: Optional[List] = None
+    skeleton: bool = False
+    modes: Optional[dict] = None
 
 
 class FrameEncoder:
@@ -64,8 +75,6 @@ class FrameEncoder:
         # residual path trips a libaom-decoder strictness (dav1d accepts);
         # until that is settled 64-dim transforms are only used skip-coded.
         self.leaf_mi = 8
-        self._collect: Optional[List] = None
-        self._modes: dict = {}
 
     # -- per-tile encode ----------------------------------------------------
 
@@ -80,8 +89,65 @@ class FrameEncoder:
            modes — prediction from live recon, exactly what the decoder sees
            — emitting the op stream for the native serializer.
         """
+        backend = self.cfg.ec_backend
+        if backend is None:
+            from .opstream import _native_available
+
+            backend = "native" if _native_available() else "python"
+        if backend == "native":
+            return self._encode_tile_native(mi_r0, mi_r1, mi_c0, mi_c1)
         tw = self.tile_writer(mi_r0, mi_r1, mi_c0, mi_c1)
-        return tw.finish(backend=self.cfg.ec_backend)
+        return tw.finish(backend=backend)
+
+    def _tile_skeleton(self, mi_r0, mi_r1, mi_c0, mi_c1):
+        """Partition walk (geometry) + batched mode search for one tile;
+        returns (TileParams, skeleton ops) ready for the native pipeline.
+        Mutates per-encoder scratch state: call serially per tile."""
+        tp = TileParams(
+            mi_col_start=mi_c0,
+            mi_col_end=mi_c1,
+            mi_row_start=mi_r0,
+            mi_row_end=mi_r1,
+            base_q=self.base_q,
+            bit_depth=self.bit_depth,
+            num_planes=self.num_planes,
+        )
+        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
+        for r in range(mi_r0, mi_r1, 16):
+            for c in range(mi_c0, mi_c1, 16):
+                self._encode_partition(ctx, None, r, c, 4)
+        blocks = ctx.collect
+        ctx.collect = None
+        ctx.modes = self._batch_search(blocks, ctx.origin)
+
+        tw = OpTileWriter(tp)
+        ctx.skeleton = True
+        for r in range(mi_r0, mi_r1, 16):
+            tw.clear_left()
+            for c in range(mi_c0, mi_c1, 16):
+                self._encode_partition(ctx, tw, r, c, 4)
+        ops, _ = tw.pack()
+        return tp, ops
+
+    def _encode_tile_native(self, mi_r0, mi_r1, mi_c0, mi_c1) -> bytes:
+        """Native pass 2: Python does the partition walk (geometry) and the
+        batched mode search; C++ does predict/transform/quantize/recon and
+        entropy coding in one call over the skeleton op stream."""
+        from ..native import encode_tile_bp
+
+        tp, ops = self._tile_skeleton(mi_r0, mi_r1, mi_c0, mi_c1)
+        src = self._src_stack()
+        return encode_tile_bp(
+            tp, src, self.mi_rows, self.mi_cols, self.dc_q, self.ac_q,
+            transforms.get_gain(32, 32), ops,
+        )
+
+    def _src_stack(self) -> np.ndarray:
+        if getattr(self, "_src_stack_cache", None) is None:
+            self._src_stack_cache = np.ascontiguousarray(
+                np.stack([p.src for p in self.planes], axis=0)
+            )
+        return self._src_stack_cache
 
     def tile_writer(self, mi_r0: int, mi_r1: int, mi_c0: int, mi_c1: int) -> OpTileWriter:
         """Run both passes and return the filled OpTileWriter (unserialized)."""
@@ -94,28 +160,26 @@ class FrameEncoder:
             bit_depth=self.bit_depth,
             num_planes=self.num_planes,
         )
-        self._tile_origin = (mi_r0, mi_c0)
-
+        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
         # pass 1: geometry collection + batched mode search
-        self._collect = []
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
-                self._encode_partition(None, r, c, 4)
-        blocks = self._collect
-        self._collect = None
-        self._modes = self._batch_search(blocks)
+                self._encode_partition(ctx, None, r, c, 4)
+        blocks = ctx.collect
+        ctx.collect = None
+        ctx.modes = self._batch_search(blocks, ctx.origin)
 
         # pass 2: sequential recon + op emission
         tw = OpTileWriter(tp)
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
-                self._encode_partition(tw, r, c, 4)
+                self._encode_partition(ctx, tw, r, c, 4)
         return tw
 
     # -- pass 1: batched mode search ----------------------------------------
 
-    def _batch_search(self, blocks) -> dict:
+    def _batch_search(self, blocks, origin) -> dict:
         """Choose (y_mode, uv_mode) per leaf block with one batched
         predict/transform/quantize pass per (block size, plane) group,
         using *source* neighbors (recon is not yet available; at encode
@@ -123,7 +187,7 @@ class FrameEncoder:
         residual against true recon, so there is no drift)."""
         from .predict import NONDIRECTIONAL_MODES, predict_all_batch
 
-        r0, c0 = self._tile_origin
+        r0, c0 = origin
         lam = self._lambda()
         groups: dict = {}  # (bw, bh) -> list of (block_idx, plane)
         for idx, (r, c, w4b, h4b) in enumerate(blocks):
@@ -167,9 +231,9 @@ class FrameEncoder:
                 else:
                     coef = transforms.forward_dct2d(res)
                     levels = transforms.quantize_block(
-                        coef, self.dc_q, self.ac_q, bw, bh
+                        coef, self.dc_q, self.ac_q, bw, bh,
+                        bit_depth=self.bit_depth,
                     )
-                    np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
                     resid = transforms.dequant_reconstruct(
                         levels, self.dc_q, self.ac_q, dtype=np.float32
                     )
@@ -193,7 +257,7 @@ class FrameEncoder:
                         modes[key] = (ym, mode)
         return modes
 
-    def _encode_partition(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
+    def _encode_partition(self, ctx, tw, r: int, c: int, bsl: int) -> None:
         """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
         if r >= self.mi_rows or c >= self.mi_cols:
             return
@@ -201,7 +265,7 @@ class FrameEncoder:
         half = n4 >> 1
         has_rows = (r + half) < self.mi_rows
         has_cols = (c + half) < self.mi_cols
-        r0, c0 = self._tile_origin
+        r0, c0 = ctx.origin
         rr, cc = r - r0, c - c0  # tile-relative
 
         full = has_rows and has_cols
@@ -211,12 +275,12 @@ class FrameEncoder:
         if full and bsl <= leaf_bsl:
             if emit:
                 tw.write_partition(rr, cc, bsl, PARTITION_NONE)
-            self._encode_block(tw, r, c, n4, n4)
+            self._encode_block(ctx, tw, r, c, n4, n4)
             return
         if full:
             if emit:
                 tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
-            self._split4(tw, r, c, bsl)
+            self._split4(ctx, tw, r, c, bsl)
             return
         # partial blocks: at 64 always SPLIT (avoids 64-dim tx); at 32
         # HORZ/VERT keeps a 32x16/16x32 block (DCT-only, residual-capable);
@@ -224,41 +288,45 @@ class FrameEncoder:
         if bsl <= 3 and has_cols and not has_rows:
             if emit:
                 tw.write_split_binary(rr, cc, bsl, horz=True, split=False)
-            self._encode_block(tw, r, c, n4, half)
+            self._encode_block(ctx, tw, r, c, n4, half)
             return
         if bsl <= 3 and has_rows and not has_cols:
             if emit:
                 tw.write_split_binary(rr, cc, bsl, horz=False, split=False)
-            self._encode_block(tw, r, c, half, n4)
+            self._encode_block(ctx, tw, r, c, half, n4)
             return
         if emit and has_cols and not has_rows:
             tw.write_split_binary(rr, cc, bsl, horz=True, split=True)
         elif emit and has_rows and not has_cols:
             tw.write_split_binary(rr, cc, bsl, horz=False, split=True)
         # else both missing: implied SPLIT, no symbol
-        self._split4(tw, r, c, bsl)
+        self._split4(ctx, tw, r, c, bsl)
 
-    def _split4(self, tw: TileWriter, r: int, c: int, bsl: int) -> None:
+    def _split4(self, ctx, tw, r: int, c: int, bsl: int) -> None:
         half = 1 << (bsl - 1)
         if bsl - 1 == 0:
             # 4x4 leaves (no partition syntax below 8x8)
             for dr in (0, half):
                 for dc in (0, half):
                     if r + dr < self.mi_rows and c + dc < self.mi_cols:
-                        self._encode_block(tw, r + dr, c + dc, 1, 1)
+                        self._encode_block(ctx, tw, r + dr, c + dc, 1, 1)
             return
-        self._encode_partition(tw, r, c, bsl - 1)
-        self._encode_partition(tw, r, c + half, bsl - 1)
-        self._encode_partition(tw, r + half, c, bsl - 1)
-        self._encode_partition(tw, r + half, c + half, bsl - 1)
+        self._encode_partition(ctx, tw, r, c, bsl - 1)
+        self._encode_partition(ctx, tw, r, c + half, bsl - 1)
+        self._encode_partition(ctx, tw, r + half, c, bsl - 1)
+        self._encode_partition(ctx, tw, r + half, c + half, bsl - 1)
 
     # -- leaf block ---------------------------------------------------------
 
-    def _encode_block(self, tw, r: int, c: int, w4: int, h4: int) -> None:
-        if self._collect is not None:
-            self._collect.append((r, c, w4, h4))
+    def _encode_block(self, ctx, tw, r: int, c: int, w4: int, h4: int) -> None:
+        if ctx.collect is not None:
+            ctx.collect.append((r, c, w4, h4))
             return
-        r0, c0 = self._tile_origin
+        if ctx.skeleton:
+            ym, uvm = ctx.modes[(r, c)]
+            tw.write_block_compute(r, c, w4, h4, ym, uvm)
+            return
+        r0, c0 = ctx.origin
         rr, cc = r - r0, c - c0
         bw, bh = w4 * 4, h4 * 4
         y0, x0 = r * 4, c * 4
@@ -267,7 +335,7 @@ class FrameEncoder:
         # strictness issue (see leaf policy note)
         force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
-        y_mode, uv_mode = self._modes[(r, c)]
+        y_mode, uv_mode = ctx.modes[(r, c)]
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -338,8 +406,9 @@ class FrameEncoder:
             return np.zeros((ch, cw), dtype=np.int32), pred
         res = (src - pred).astype(np.float64)
         coef = transforms.forward_dct2d(res)[:ch, :cw]
-        levels = transforms.quantize_block(coef, self.dc_q, self.ac_q, cw, ch)
-        np.clip(levels, -(1 << 15), (1 << 15) - 1, out=levels)
+        levels = transforms.quantize_block(
+            coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
+        )
         if levels.any():
             resid = transforms.dequant_reconstruct(
                 _embed(levels, txh, txw), self.dc_q, self.ac_q
@@ -366,16 +435,85 @@ class FrameEncoder:
             transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
             matrix_coefficients=cfg.matrix_coefficients,
         )
+        tcl, trl = self._tile_split()
         fp = FrameParams(
             width=cfg.width,
             height=cfg.height,
             bit_depth=cfg.bit_depth,
             monochrome=cfg.monochrome,
             base_q_idx=self.base_q,
+            tile_cols_log2=tcl,
+            tile_rows_log2=trl,
         )
-        tile = self.encode_tile(0, self.mi_rows, 0, self.mi_cols)
-        frame = assemble_frame_obu(fp, [tile])
+        tiles = self._encode_tiles(tcl, trl)
+        frame = assemble_frame_obu(fp, tiles)
         return assemble_temporal_unit(seq, frame)
+
+    def _tile_split(self) -> tuple:
+        """Uniform tile split sized by the reference heuristic
+        tiles = min(threads, W*H/min_tile_size^2) (av1encoder.rs:665-668),
+        preferring tile columns. Tiles are entropy-independent: they are the
+        parallel unit for the native serializer (threads) and the `tile` mesh
+        axis on device."""
+        from .speed import tile_count
+
+        cfg = self.cfg
+        threads = cfg.threads or (os.cpu_count() or 1)
+        target = max(1, tile_count(cfg.width, cfg.height,
+                                   threads, cfg.tweaks.min_tile_size))
+        sb_cols = (self.mi_cols + 15) >> 4
+        sb_rows = (self.mi_rows + 15) >> 4
+        max_tcl = max(0, sb_cols.bit_length() - 1)
+        max_trl = max(0, sb_rows.bit_length() - 1)
+        tcl = trl = 0
+        while (1 << (tcl + trl)) < target:
+            if tcl <= trl and tcl < max_tcl:
+                tcl += 1
+            elif trl < max_trl:
+                trl += 1
+            elif tcl < max_tcl:
+                tcl += 1
+            else:
+                break
+        return tcl, trl
+
+    def _tile_ranges(self, n_sb: int, log2: int, total_mi: int):
+        """Uniform tile spacing (spec tile_info): ceil-divided SB widths."""
+        tw = (n_sb + (1 << log2) - 1) >> log2
+        starts = []
+        s = 0
+        while s < n_sb:
+            starts.append(s * 16)
+            s += tw
+        starts.append(total_mi)
+        return [(starts[i], min(starts[i + 1], total_mi))
+                for i in range(len(starts) - 1)]
+
+    def _encode_tiles(self, tcl: int, trl: int) -> List[bytes]:
+        sb_cols = (self.mi_cols + 15) >> 4
+        sb_rows = (self.mi_rows + 15) >> 4
+        col_ranges = self._tile_ranges(sb_cols, tcl, self.mi_cols)
+        row_ranges = self._tile_ranges(sb_rows, trl, self.mi_rows)
+        tiles_rc = [
+            (r0, r1, c0, c1) for (r0, r1) in row_ranges for (c0, c1) in col_ranges
+        ]
+        backend = self.cfg.ec_backend
+        if backend is None:
+            from .opstream import _native_available
+
+            backend = "native" if _native_available() else "python"
+        if backend != "native" or len(tiles_rc) == 1:
+            return [self.encode_tile(*t) for t in tiles_rc]
+        # native path: whole tiles in parallel — the walk/search is reentrant
+        # (per-tile _TileCtx) and the C++ encode releases the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._src_stack()  # materialize once before the fan-out
+        workers = min(len(tiles_rc), self.cfg.threads or (os.cpu_count() or 1))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return list(
+                ex.map(lambda t: self._encode_tile_native(*t), tiles_rc)
+            )
 
 
 def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:

@@ -167,11 +167,14 @@ def assemble_frame_obu(p: FrameParams, tiles: List[bytes]) -> bytes:
     """OBU_FRAME: frame header bits, byte alignment, tile group."""
     w = BitWriter()
     write_frame_header_bits(p, w)
+    w.byte_align()
     n_tiles = (1 << p.tile_cols_log2) * (1 << p.tile_rows_log2)
     assert len(tiles) == n_tiles
     if n_tiles > 1:
+        # tile_group_obu(): the flag is the first bit after the frame-header
+        # alignment, then the tile group aligns again before tile data
         w.f(0, 1)  # tile_start_and_end_present_flag
-    w.byte_align()
+        w.byte_align()
     payload = bytearray(w.to_bytes())
     for i, t in enumerate(tiles):
         if i != n_tiles - 1:

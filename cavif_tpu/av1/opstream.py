@@ -31,6 +31,7 @@ OP_PARTITION = 1
 OP_SPLIT_BIN = 2
 OP_BLOCK = 3
 OP_COEFFS = 4
+OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, y_mode, uv_mode), abs mi
 
 
 class OpTileWriter:
@@ -60,6 +61,13 @@ class OpTileWriter:
         self.ops.extend(
             (OP_BLOCK, r, c, w4, h4, y_mode, uv_mode, skip, int(cfl_allowed))
         )
+
+    def write_block_compute(
+        self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int
+    ) -> None:
+        """Skeleton op for the native pass-2 pipeline: the C++ side computes
+        levels/skip/recon itself. r, c are absolute mi coords."""
+        self.ops.extend((OP_BLOCK_COMPUTE, r, c, w4, h4, y_mode, uv_mode))
 
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,

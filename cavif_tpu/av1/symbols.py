@@ -261,6 +261,11 @@ class TileWriter:
         ch, cw = levels.shape
         w4 = txw >> 2
         h4 = txh >> 2
+        # decoders clamp context *writes* to the frame/tile mi bounds for
+        # blocks overhanging the bottom/right edge (dav1d: imin(txh, bh-by)
+        # memsets); reads then see zeros beyond the edge. Mirror exactly.
+        w4w = min(w4, (p.mi_col_end - p.mi_col_start) - c4)
+        h4w = min(h4, (p.mi_row_end - p.mi_row_start) - r4)
         tctx = txsize_ctx(txw, txh)
         scan = tables.scan(cw, ch)
         flat = levels.reshape(-1)
@@ -290,8 +295,8 @@ class TileWriter:
             tables.txb_skip_cdf(self.qctx, tctx, sctx),
         )
         if eob == 0:
-            self.above_ctx[plane][c4 : c4 + w4] = 0
-            self.left_ctx[plane][r4 : r4 + h4] = 0
+            self.above_ctx[plane][c4 : c4 + w4w] = 0
+            self.left_ctx[plane][r4 : r4 + h4w] = 0
             return 0
 
         # (tx_type signaling: only DCT-implied sizes are emitted for now;
@@ -420,8 +425,8 @@ class TileWriter:
             cul += lv
         cul = min(63, cul)
         packed = cul | (dc_cat << 6)
-        self.above_ctx[plane][c4 : c4 + w4] = packed
-        self.left_ctx[plane][r4 : r4 + h4] = packed
+        self.above_ctx[plane][c4 : c4 + w4w] = packed
+        self.left_ctx[plane][r4 : r4 + h4w] = packed
         return cul
 
     def _dc_sign_ctx(self, plane: int, c4: int, w4: int, r4: int, h4: int) -> int:

@@ -73,19 +73,38 @@ def inverse_dct2d(coef: np.ndarray) -> np.ndarray:
     return dh.T @ coef @ dw
 
 
+def level_limits(dc_q: int, ac_q: int, bit_depth: int) -> tuple:
+    """Conformance bound: the dequantized coefficient |level * q| must stay
+    below 1 << (7 + BitDepth) (spec 7.13.3 dequantization; dav1d/libaom
+    reject streams exceeding it). Returns (max_dc_level, max_ac_level)."""
+    coeff_max = (1 << (7 + bit_depth)) - 1
+    return min(32767, coeff_max // dc_q), min(32767, coeff_max // ac_q)
+
+
 def quantize_block(
-    coef: np.ndarray, dc_q: int, ac_q: int, w: int, h: int, bias: float = 0.5
+    coef: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    w: int,
+    h: int,
+    bias: float = 0.5,
+    bit_depth: int = 10,
 ) -> np.ndarray:
     """Map orthonormal forward coefficients to AV1 levels.
 
     Decoder applies pixel = gain * idct(level * q), so the target level is
     coef / (gain * q). bias < 0.5 gives a deadzone (rate-cheaper zeros).
+    Levels are clamped to the spec's dequant conformance bound.
     """
     g = get_gain(w, h)
     t = coef * (1.0 / (float(ac_q) * g))
     t[..., 0, 0] = coef[..., 0, 0] * (1.0 / (float(dc_q) * g))
-    lv = np.sign(t) * np.floor(np.abs(t) + bias)
-    return lv.astype(np.int32)
+    lv = (np.sign(t) * np.floor(np.abs(t) + bias)).astype(np.int32)
+    max_dc, max_ac = level_limits(dc_q, ac_q, bit_depth)
+    dc = np.clip(lv[..., 0, 0], -max_dc, max_dc)
+    np.clip(lv, -max_ac, max_ac, out=lv)
+    lv[..., 0, 0] = dc
+    return lv
 
 
 def dequant_reconstruct(

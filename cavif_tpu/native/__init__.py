@@ -52,7 +52,8 @@ _SCAN_SIZES = [
 
 def _build() -> None:
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-funroll-loops",
+        "-shared", "-fPIC", "-std=c++17",
         str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -85,6 +86,21 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
         lib.tc_encode_tile.restype = ctypes.c_int
+        lib.tc_set_sm_weights.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.tc_set_sm_weights.restype = ctypes.c_int
+        lib.bp_encode_tile.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # src planes
+            ctypes.c_int, ctypes.c_int,      # Hp, Wp
+            ctypes.c_int, ctypes.c_int,      # mi_rows, mi_cols
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tile
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # q/bd/planes/dcu
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,  # dc_q, ac_q, gain
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.bp_encode_tile.restype = ctypes.c_int
         _install_tables(lib)
         _lib = lib
         return _lib
@@ -110,6 +126,50 @@ def _install_tables(lib) -> None:
         )
         if rc != 0:
             raise RuntimeError(f"tc_set_scan({w}x{h}) failed")
+    for n in (4, 8, 16, 32, 64):
+        w = np.ascontiguousarray(tables.get(f"sm_weights_{n}"), dtype=np.uint8)
+        rc = lib.tc_set_sm_weights(
+            n, w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc != 0:
+            raise RuntimeError(f"tc_set_sm_weights({n}) failed")
+
+
+def encode_tile_bp(
+    p,
+    src_planes: np.ndarray,
+    mi_rows: int,
+    mi_cols: int,
+    dc_q: int,
+    ac_q: int,
+    gain: float,
+    ops: np.ndarray,
+) -> bytes:
+    """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
+    drive intra predict + DCT + quantize + reconstruct + entropy coding in
+    C++. src_planes: (P, Hp, Wp) contiguous int32 padded source."""
+    lib = _load()
+    ops = np.ascontiguousarray(ops, dtype=np.int32)
+    src_planes = np.ascontiguousarray(src_planes, dtype=np.int32)
+    P, Hp, Wp = src_planes.shape
+    assert P == p.num_planes
+    cap = 65536 + src_planes.size * 4
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.bp_encode_tile(
+            src_planes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            Hp, Wp, mi_rows, mi_cols,
+            p.mi_row_start, p.mi_row_end, p.mi_col_start, p.mi_col_end,
+            p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
+            dc_q, ac_q, gain,
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        if n == -2 or cap > (1 << 28):
+            raise RuntimeError("bp tile encode failed")
+        cap *= 4
 
 
 def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:

@@ -15,6 +15,7 @@
 // Reference parity: rav1e's od_ec + tile encode loop, exercised via
 // /root/reference/ravif/src/av1encoder.rs:748-771.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -49,6 +50,8 @@ struct SpecTables {
   // coded-area size; index = (log2(w)-2)*4 + (log2(h)-2), sizes 4..32.
   std::vector<int32_t> scan[16];
   std::vector<uint8_t> nzoff[16];
+  // smooth-predictor weights per size 4..64 (index log2(n)-2)
+  std::vector<uint8_t> sm_weights[5];
 };
 
 SpecTables g_tables;
@@ -215,6 +218,7 @@ constexpr int OP_PARTITION = 1;
 constexpr int OP_SPLIT_BIN = 2;
 constexpr int OP_BLOCK = 3;
 constexpr int OP_COEFFS = 4;
+constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, y_mode, uv_mode)
 
 constexpr int DC_PRED = 0, V_PRED = 1, D67 = 8;
 
@@ -249,7 +253,8 @@ struct TileCoder {
   bool cdf_update;
   int qctx;
   int num_planes;
-  int w4, h4;
+  int w4, h4;        // context array extents (tile + 32 slack)
+  int mi_w4, mi_h4;  // tile mi dimensions (context-write clamp bound)
 
   // contexts
   std::vector<uint8_t> above_part, left_part;
@@ -281,6 +286,8 @@ struct TileCoder {
     num_planes = planes;
     w4 = mi_col_end - mi_col_start + 32;
     h4 = mi_row_end - mi_row_start + 32;
+    mi_w4 = mi_col_end - mi_col_start;
+    mi_h4 = mi_row_end - mi_row_start;
     above_part.assign(w4, 0);
     left_part.assign(h4, 0);
     y_modes.assign((size_t)w4 * h4, -1);
@@ -444,6 +451,11 @@ struct TileCoder {
     int ptype = plane > 0 ? 1 : 0;
     int bw4 = txw >> 2;
     int bh4 = txh >> 2;
+    // decoders clamp context *writes* to the tile mi bounds for blocks
+    // overhanging the bottom/right edge (dav1d memsets with imin(txh,
+    // bh-by)); reads then see zeros beyond the edge. Mirror exactly.
+    int w4w = bw4 < (mi_w4 - c4) ? bw4 : (mi_w4 - c4);
+    int h4w = bh4 < (mi_h4 - r4) ? bh4 : (mi_h4 - r4);
     int tctx = txsize_ctx(txw, txh);
     int sidx = size_idx(cw, ch);
     const int32_t* scan = g_tables.scan[sidx].data();
@@ -483,8 +495,8 @@ struct TileCoder {
       code(cdf_txb_skip[tctx][sctx], eob == 0 ? 1 : 0, 2);
     }
     if (eob == 0) {
-      for (int i = 0; i < bw4; i++) above_ctx[plane][c4 + i] = 0;
-      for (int i = 0; i < bh4; i++) left_ctx[plane][r4 + i] = 0;
+      for (int i = 0; i < w4w; i++) above_ctx[plane][c4 + i] = 0;
+      for (int i = 0; i < h4w; i++) left_ctx[plane][r4 + i] = 0;
       return;
     }
 
@@ -590,8 +602,347 @@ struct TileCoder {
     }
     if (cul > 63) cul = 63;
     uint8_t packed = (uint8_t)(cul | (dc_cat << 6));
-    for (int i = 0; i < bw4; i++) above_ctx[plane][c4 + i] = packed;
-    for (int i = 0; i < bh4; i++) left_ctx[plane][r4 + i] = packed;
+    for (int i = 0; i < w4w; i++) above_ctx[plane][c4 + i] = packed;
+    for (int i = 0; i < h4w; i++) left_ctx[plane][r4 + i] = packed;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Block pipeline: intra predict + forward DCT + quantize + reconstruct.
+// Mirrors av1/predict.py (bit-exact integer predictors) and av1/transforms.py
+// (orthonormal float DCT with the calibrated decoder gain). Drives the
+// TileCoder directly, so pass 2 of the encoder runs entirely native.
+// ---------------------------------------------------------------------------
+
+struct DctMatrix {
+  int n = 0;
+  std::vector<double> d;  // (n, n), rows = frequencies
+};
+
+const double PI = 3.14159265358979323846;
+
+const DctMatrix& dct_matrix(int n) {
+  static DctMatrix cache[8];
+  int idx = bitlength((uint32_t)n) - 3;  // 4->0 .. 64->4
+  DctMatrix& m = cache[idx];
+  if (m.n != n) {
+    m.n = n;
+    m.d.resize((size_t)n * n);
+    double s = std::sqrt(2.0 / n);
+    for (int k = 0; k < n; k++)
+      for (int j = 0; j < n; j++)
+        m.d[(size_t)k * n + j] = s * std::cos(PI * (2 * j + 1) * k / (2 * n));
+    double r = 1.0 / std::sqrt(2.0);
+    for (int j = 0; j < n; j++) m.d[j] *= r;
+  }
+  return m;
+}
+
+// out = A(h x h) * X(h x w) * B(w x w)^T, all row-major doubles.
+void mat_sandwich(const double* A, const double* X, const double* B, int h,
+                  int w, double* tmp, double* out) {
+  // tmp = A * X
+  for (int i = 0; i < h; i++) {
+    for (int j = 0; j < w; j++) tmp[(size_t)i * w + j] = 0.0;
+    for (int k = 0; k < h; k++) {
+      double a = A[(size_t)i * h + k];
+      const double* xr = &X[(size_t)k * w];
+      double* tr = &tmp[(size_t)i * w];
+      for (int j = 0; j < w; j++) tr[j] += a * xr[j];
+    }
+  }
+  // out = tmp * B^T  (out[i][j] = sum_k tmp[i][k] * B[j][k])
+  for (int i = 0; i < h; i++) {
+    const double* tr = &tmp[(size_t)i * w];
+    double* orow = &out[(size_t)i * w];
+    for (int j = 0; j < w; j++) {
+      const double* br = &B[(size_t)j * w];
+      double acc = 0.0;
+      for (int k = 0; k < w; k++) acc += tr[k] * br[k];
+      orow[j] = acc;
+    }
+  }
+}
+
+struct BlockPipe {
+  const int32_t* src;  // (P, Hp, Wp) plane-major padded source
+  int32_t* recon;      // same shape, scratch owned by caller or us
+  std::vector<int32_t> recon_store;
+  int P, Hp, Wp;
+  int mi_rows, mi_cols;
+  int mi_r0, mi_c0;  // tile origin (mi units)
+  int bit_depth;
+  int dc_q, ac_q;
+  double gain;
+
+  std::vector<double> fbuf, tbuf, cbuf, rbuf;
+  std::vector<int32_t> lvbuf;
+  std::vector<int32_t> pred;
+
+  void init(const int32_t* s, int p, int hp, int wp, int mir, int mic,
+            int r0, int c0, int bd, int dq, int aq, double g) {
+    src = s; P = p; Hp = hp; Wp = wp;
+    mi_rows = mir; mi_cols = mic; mi_r0 = r0; mi_c0 = c0;
+    bit_depth = bd; dc_q = dq; ac_q = aq; gain = g;
+    recon_store.assign((size_t)P * Hp * Wp, 0);
+    recon = recon_store.data();
+    fbuf.resize(64 * 64); tbuf.resize(64 * 64);
+    cbuf.resize(64 * 64); rbuf.resize(64 * 64);
+    lvbuf.resize(32 * 32); pred.resize(64 * 64);
+  }
+
+  // intra predict into pred[] (txh x txw), reading recon neighbors
+  void predict(int pl, int px, int py, int txw, int txh, int mode) {
+    const int32_t* rp = &recon[(size_t)pl * Hp * Wp];
+    int rr4 = (py >> 2) - mi_r0;
+    int cc4 = (px >> 2) - mi_c0;
+    bool have_a = rr4 > 0;
+    bool have_l = cc4 > 0;
+    int base = 1 << (bit_depth - 1);
+    int64_t above[64], left[64], al;
+    if (!have_a && !have_l) {
+      for (int i = 0; i < txw; i++) above[i] = base - 1;
+      for (int i = 0; i < txh; i++) left[i] = base + 1;
+      al = base;
+    } else if (!have_a) {
+      for (int i = 0; i < txh; i++) left[i] = rp[(size_t)(py + i) * Wp + px - 1];
+      for (int i = 0; i < txw; i++) above[i] = left[0];
+      al = left[0];
+    } else if (!have_l) {
+      for (int i = 0; i < txw; i++) above[i] = rp[(size_t)(py - 1) * Wp + px + i];
+      for (int i = 0; i < txh; i++) left[i] = above[0];
+      al = above[0];
+    } else {
+      for (int i = 0; i < txw; i++) above[i] = rp[(size_t)(py - 1) * Wp + px + i];
+      for (int i = 0; i < txh; i++) left[i] = rp[(size_t)(py + i) * Wp + px - 1];
+      al = rp[(size_t)(py - 1) * Wp + px - 1];
+    }
+    int32_t* out = pred.data();
+    switch (mode) {
+      case 0: {  // DC
+        int64_t avg;
+        if (have_a && have_l) {
+          int64_t s = 0;
+          for (int i = 0; i < txw; i++) s += above[i];
+          for (int i = 0; i < txh; i++) s += left[i];
+          avg = (s + ((txw + txh) >> 1)) / (txw + txh);
+        } else if (have_a) {
+          int64_t s = 0;
+          for (int i = 0; i < txw; i++) s += above[i];
+          avg = (s + (txw >> 1)) >> (bitlength((uint32_t)txw) - 1);
+        } else if (have_l) {
+          int64_t s = 0;
+          for (int i = 0; i < txh; i++) s += left[i];
+          avg = (s + (txh >> 1)) >> (bitlength((uint32_t)txh) - 1);
+        } else {
+          avg = base;
+        }
+        for (int i = 0; i < txh * txw; i++) out[i] = (int32_t)avg;
+        break;
+      }
+      case 1:  // V
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) out[y * txw + x] = (int32_t)above[x];
+        break;
+      case 2:  // H
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) out[y * txw + x] = (int32_t)left[y];
+        break;
+      case 9: {  // SMOOTH
+        const uint8_t* wh = g_tables.sm_weights[bitlength((uint32_t)txh) - 3].data();
+        const uint8_t* ww = g_tables.sm_weights[bitlength((uint32_t)txw) - 3].data();
+        int64_t below = left[txh - 1], right = above[txw - 1];
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) {
+            int64_t t = (int64_t)wh[y] * above[x] + (256 - wh[y]) * below +
+                        (int64_t)ww[x] * left[y] + (256 - ww[x]) * right;
+            out[y * txw + x] = (int32_t)((t + 256) >> 9);
+          }
+        break;
+      }
+      case 10: {  // SMOOTH_V
+        const uint8_t* wh = g_tables.sm_weights[bitlength((uint32_t)txh) - 3].data();
+        int64_t below = left[txh - 1];
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) {
+            int64_t t = (int64_t)wh[y] * above[x] + (256 - wh[y]) * below;
+            out[y * txw + x] = (int32_t)((t + 128) >> 8);
+          }
+        break;
+      }
+      case 11: {  // SMOOTH_H
+        const uint8_t* ww = g_tables.sm_weights[bitlength((uint32_t)txw) - 3].data();
+        int64_t right = above[txw - 1];
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) {
+            int64_t t = (int64_t)ww[x] * left[y] + (256 - ww[x]) * right;
+            out[y * txw + x] = (int32_t)((t + 128) >> 8);
+          }
+        break;
+      }
+      case 12: {  // PAETH
+        for (int y = 0; y < txh; y++)
+          for (int x = 0; x < txw; x++) {
+            int64_t b = left[y] + above[x] - al;
+            int64_t pl_ = b - left[y]; if (pl_ < 0) pl_ = -pl_;
+            int64_t pt = b - above[x]; if (pt < 0) pt = -pt;
+            int64_t ptl = b - al; if (ptl < 0) ptl = -ptl;
+            int64_t v;
+            if (pl_ <= pt && pl_ <= ptl) v = left[y];
+            else if (pt <= ptl) v = above[x];
+            else v = al;
+            out[y * txw + x] = (int32_t)v;
+          }
+        break;
+      }
+      default:
+        for (int i = 0; i < txh * txw; i++) out[i] = base;
+    }
+  }
+
+  // Compute one txb with fixed mode: quantize + reconstruct.
+  // Returns levels in lvbuf (ch x cw); recon plane updated. force_skip
+  // zeroes levels and reconstructs as pure prediction.
+  void compute_txb(int pl, int px, int py, int txw, int txh, int mode,
+                   bool force_skip, int* out_ch, int* out_cw, bool* any_nz) {
+    predict(pl, px, py, txw, txh, mode);
+    int cw = txw < 32 ? txw : 32;
+    int ch = txh < 32 ? txh : 32;
+    *out_ch = ch; *out_cw = cw;
+    int32_t* rp = &recon[(size_t)pl * Hp * Wp];
+    const int32_t* sp = &src[(size_t)pl * Hp * Wp];
+    int maxv = (1 << bit_depth) - 1;
+    if (force_skip) {
+      for (int i = 0; i < ch * cw; i++) lvbuf[i] = 0;
+      *any_nz = false;
+      for (int y = 0; y < txh; y++)
+        for (int x = 0; x < txw; x++)
+          rp[(size_t)(py + y) * Wp + px + x] = pred[y * txw + x];
+      return;
+    }
+    // residual
+    for (int y = 0; y < txh; y++)
+      for (int x = 0; x < txw; x++)
+        fbuf[y * txw + x] =
+            (double)(sp[(size_t)(py + y) * Wp + px + x] - pred[y * txw + x]);
+    const DctMatrix& dh = dct_matrix(txh);
+    const DctMatrix& dw = dct_matrix(txw);
+    mat_sandwich(dh.d.data(), fbuf.data(), dw.d.data(), txh, txw, tbuf.data(),
+                 cbuf.data());
+    // quantize coded area (top-left ch x cw of the txh x txw coef array);
+    // clamp to the dequant conformance bound |level * q| < 1 << (7 + bd)
+    // (spec 7.13.3 — transforms.level_limits mirrors this)
+    double inv_ac = 1.0 / ((double)ac_q * gain);
+    double inv_dc = 1.0 / ((double)dc_q * gain);
+    int coeff_max = (1 << (7 + bit_depth)) - 1;
+    int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
+    int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
+    bool nz = false;
+    for (int y = 0; y < ch; y++)
+      for (int x = 0; x < cw; x++) {
+        bool is_dc = (y == 0 && x == 0);
+        double t = cbuf[y * txw + x] * (is_dc ? inv_dc : inv_ac);
+        double a = std::floor(std::fabs(t) + 0.5);
+        int32_t lv = (int32_t)(t < 0 ? -a : a);
+        int lim = is_dc ? max_dc : max_ac;
+        if (lv > lim) lv = lim;
+        if (lv < -lim) lv = -lim;
+        lvbuf[y * cw + x] = lv;
+        nz |= lv != 0;
+      }
+    *any_nz = nz;
+    if (!nz) {
+      for (int y = 0; y < txh; y++)
+        for (int x = 0; x < txw; x++)
+          rp[(size_t)(py + y) * Wp + px + x] = pred[y * txw + x];
+      return;
+    }
+    // dequant + inverse (float model, gain folded in), embedded in txh x txw
+    for (int i = 0; i < txh * txw; i++) cbuf[i] = 0.0;
+    double s_ac = (double)ac_q * gain;
+    double s_dc = (double)dc_q * gain;
+    for (int y = 0; y < ch; y++)
+      for (int x = 0; x < cw; x++)
+        cbuf[y * txw + x] =
+            lvbuf[y * cw + x] * (y == 0 && x == 0 ? s_dc : s_ac);
+    // inverse: D^T * C * D  == mat_sandwich with transposed matrices.
+    // Build transposes on the fly via a transposed multiply:
+    // out = A^T C B with A=dh, B=dw: out[i][j] = sum_k sum_l dh[k][i] C[k][l] dw[l][j]
+    // tmp = dh^T * C
+    for (int i = 0; i < txh; i++) {
+      for (int j = 0; j < txw; j++) tbuf[(size_t)i * txw + j] = 0.0;
+    }
+    for (int k = 0; k < txh; k++) {
+      const double* crow = &cbuf[(size_t)k * txw];
+      for (int i = 0; i < txh; i++) {
+        double a = dh.d[(size_t)k * txh + i];
+        double* tr = &tbuf[(size_t)i * txw];
+        for (int j = 0; j < txw; j++) tr[j] += a * crow[j];
+      }
+    }
+    // rbuf = tmp * dw  (rbuf[i][j] = sum_l tmp[i][l] * dw[l][j])
+    for (int i = 0; i < txh; i++) {
+      double* orow = &rbuf[(size_t)i * txw];
+      for (int j = 0; j < txw; j++) orow[j] = 0.0;
+      const double* tr = &tbuf[(size_t)i * txw];
+      for (int l = 0; l < txw; l++) {
+        double t = tr[l];
+        const double* dr = &dw.d[(size_t)l * txw];
+        for (int j = 0; j < txw; j++) orow[j] += t * dr[j];
+      }
+    }
+    for (int y = 0; y < txh; y++)
+      for (int x = 0; x < txw; x++) {
+        long long v = (long long)pred[y * txw + x] +
+                      (long long)std::llround(rbuf[y * txw + x]);
+        if (v < 0) v = 0;
+        if (v > maxv) v = maxv;
+        rp[(size_t)(py + y) * Wp + px + x] = (int32_t)v;
+      }
+  }
+
+  // Full leaf block: compute all txbs, then emit skip/modes/coeffs.
+  void encode_block(TileCoder& tc, int r, int c, int w4, int h4, int y_mode,
+                    int uv_mode, int num_planes) {
+    int rr = r - mi_r0, cc = c - mi_c0;
+    int bw = w4 * 4, bh = h4 * 4;
+    int x0 = c * 4, y0 = r * 4;
+    int mx = bw > bh ? bw : bh;
+    bool force_skip = mx < 32 || mx == 64;
+    int cfl_allowed = mx <= 32;
+
+    struct TxbRec { int pl, px, py, txw, txh, ch, cw, lvl_off; };
+    TxbRec recs[32];
+    int nrec = 0;
+    static thread_local std::vector<int32_t> all_levels;
+    all_levels.clear();
+    bool any_nz = false;
+    for (int pl = 0; pl < num_planes; pl++) {
+      int txw = pl == 0 ? (bw < 64 ? bw : 64) : (bw < 32 ? bw : 32);
+      int txh = pl == 0 ? (bh < 64 ? bh : 64) : (bh < 32 ? bh : 32);
+      int mode = pl == 0 ? y_mode : uv_mode;
+      for (int ty = 0; ty < bh; ty += txh)
+        for (int tx = 0; tx < bw; tx += txw) {
+          int px = x0 + tx, py = y0 + ty;
+          if (px >= mi_cols * 4 || py >= mi_rows * 4) continue;
+          int ch, cw; bool nz;
+          compute_txb(pl, px, py, txw, txh, mode, force_skip, &ch, &cw, &nz);
+          any_nz |= nz;
+          int off = (int)all_levels.size();
+          all_levels.insert(all_levels.end(), lvbuf.begin(),
+                            lvbuf.begin() + ch * cw);
+          recs[nrec++] = {pl, px, py, txw, txh, ch, cw, off};
+        }
+    }
+    int skip = any_nz ? 0 : 1;
+    tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed);
+    if (skip) return;
+    for (int i = 0; i < nrec; i++) {
+      const TxbRec& t = recs[i];
+      int eq = (t.pl == 0 && t.txw == bw && t.txh == bh) ? 1 : 0;
+      tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
+                      t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off]);
+    }
   }
 };
 
@@ -637,6 +988,53 @@ int tc_set_scan(int w, int h, const int32_t* scan, const uint8_t* nzoff) {
   g_tables.scan[idx].assign(scan, scan + (size_t)w * h);
   g_tables.nzoff[idx].assign(nzoff, nzoff + (size_t)w * h);
   return 0;
+}
+
+int tc_set_sm_weights(int n, const uint8_t* w) {
+  if (n < 4 || n > 64) return -1;
+  g_tables.sm_weights[bitlength((uint32_t)n) - 3].assign(w, w + n);
+  return 0;
+}
+
+// Full pass-2 tile encode: skeleton ops (partition walk + per-block modes),
+// native predict/transform/quantize/reconstruct, entropy coding.
+// src: (num_planes, Hp, Wp) plane-major padded int32 source.
+int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
+                   int mi_cols, int mi_r0, int mi_r1, int mi_c0, int mi_c1,
+                   int base_q, int bit_depth, int num_planes,
+                   int disable_cdf_update, int dc_q, int ac_q, double gain,
+                   const int32_t* ops, int n_ops, uint8_t* out, int cap) {
+  TileCoder tc;
+  tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
+  BlockPipe bp;
+  bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, bit_depth,
+          dc_q, ac_q, gain);
+  int i = 0;
+  while (i < n_ops) {
+    switch (ops[i]) {
+      case OP_CLEAR_LEFT:
+        tc.clear_left();
+        i += 1;
+        break;
+      case OP_PARTITION:
+        tc.write_partition(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4]);
+        i += 5;
+        break;
+      case OP_SPLIT_BIN:
+        tc.write_split_binary(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
+                              ops[i + 5]);
+        i += 6;
+        break;
+      case OP_BLOCK_COMPUTE:
+        bp.encode_block(tc, ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
+                        ops[i + 5], ops[i + 6], num_planes);
+        i += 7;
+        break;
+      default:
+        return -2;
+    }
+  }
+  return tc.enc.done(out, cap);
 }
 
 // Returns bytes written, or -1 on error / insufficient cap.

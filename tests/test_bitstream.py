@@ -115,3 +115,17 @@ def test_monochrome_alpha_stream():
 
     info = parse_sequence_header_info(payload)
     assert info.monochrome and info.max_width == w
+
+
+def test_overhang_block_context_clamp():
+    """32x32 NONE leaves overhanging the frame bottom (mi%16 in 5..7) must
+    clamp entropy-context writes to the frame edge like real decoders do;
+    regression for a libaom 'Failed to decode tile data' desync (the stream
+    only desyncs when two adjacent overhanging blocks both carry residual)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:600, 0:64]
+    plane = ((x + 384) * 3 + y * 5).astype(np.int32) % 1024
+    payload = _encode_ycbcr(plane[..., None], q=121, depth=10, chroma="400")
+    dec = _decode(payload, 64, 600, depth=10, mono=True)
+    assert dec is not None
