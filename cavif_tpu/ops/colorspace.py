@@ -82,3 +82,46 @@ def alpha_plane(alpha: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
     """Alpha plane at target depth (to_ten at 10-bit, av1encoder.rs:271)."""
     a = alpha.astype(jnp.int32)
     return to_ten(a) if depth == 10 else a
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) mirrors: identical f32 arithmetic, used on the latency path.
+# The conversion is a few ms of VPU work; when the accelerator sits behind a
+# network tunnel the transfer round-trip dwarfs it, so the encode pipeline
+# converts on host by default and the jitted versions above serve the
+# device-resident pipeline (graft entry / fused batch path).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def rgb_to_ycbcr_host(rgb, depth: int = 10, matrix=BT601):
+    kr, kg, kb = matrix
+    max_value = np.float32((1 << depth) - 1)
+    scale = np.float32(max_value / np.float32(255.0))
+    shift = np.float32(np.round(max_value * np.float32(0.5)))
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = np.float32(scale * kr) * r + np.float32(scale * kg) * g + np.float32(scale * kb) * b
+    cb = (b * scale - y) * np.float32(0.5 / (1.0 - kb)) + shift
+    cr = (r * scale - y) * np.float32(0.5 / (1.0 - kr)) + shift
+
+    def round_cast(v):
+        return np.clip(np.floor(v + np.float32(0.5)), 0, max_value).astype(np.int32)
+
+    return np.stack([round_cast(y), round_cast(cb), round_cast(cr)], axis=-1)
+
+
+def rgb_to_gbr_host(rgb, depth: int = 10):
+    gbr = np.stack(
+        [rgb[..., 1], rgb[..., 2], rgb[..., 0]], axis=-1
+    ).astype(np.int32)
+    if depth == 10:
+        gbr = (gbr << 2) | (gbr >> 6)
+    return gbr
+
+
+def alpha_plane_host(alpha, depth: int = 10):
+    a = alpha.astype(np.int32)
+    return ((a << 2) | (a >> 6)) if depth == 10 else a

@@ -31,8 +31,8 @@ def _convert_planes(enc, rgb: np.ndarray, depth: int) -> np.ndarray:
     from . import ColorModel
 
     if enc.color_model is ColorModel.YCbCr:
-        return np.asarray(colorspace.rgb_to_ycbcr(rgb, depth=depth))
-    return np.asarray(colorspace.rgb_to_gbr(rgb, depth=depth))
+        return colorspace.rgb_to_ycbcr_host(rgb, depth=depth)
+    return colorspace.rgb_to_gbr_host(rgb, depth=depth)
 
 
 def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth: int):
@@ -92,7 +92,7 @@ def encode_rgba_pipeline(enc, rgba: np.ndarray):
     depth = enc.output_depth.bits
     h, w = rgba.shape[:2]
     planes = _convert_planes(enc, rgba[..., :3], depth)
-    alpha = np.asarray(colorspace.alpha_plane(rgba[..., 3], depth=depth))
+    alpha = colorspace.alpha_plane_host(rgba[..., 3], depth=depth)
     color, alpha_payload = _encode_streams(enc, planes, alpha, depth)
     return _finish(enc, color, alpha_payload, w, h, depth)
 
