@@ -1,5 +1,4 @@
-"""Color conversion ops (vectorized JAX, run on device as part of the encode
-pipeline).
+"""Color conversion ops: jitted device versions + exact numpy host mirrors.
 
 Reference semantics: /root/reference/ravif/src/av1encoder.rs:483-524 --
 BT.601 RGB->YCbCr at 8/10-bit with round-half-away-from-zero, the GBR identity
@@ -7,92 +6,105 @@ BT.601 RGB->YCbCr at 8/10-bit with round-half-away-from-zero, the GBR identity
 to_ten(x) = (x << 2) | (x >> 6) so that 255 -> 1023.
 
 The reference computes per pixel in f32 with fused multiply-adds and a final
-`round()`; we compute the same formula vectorized in f32 on the VPU. The fused
-vs unfused distinction can only matter when the pre-round value lands within
+`round()`; we compute the same formula vectorized in f32. The fused vs
+unfused distinction can only matter when the pre-round value lands within
 1 ulp of a .5 boundary, which the unit tests pin down against a NumPy f32
 model of the exact reference expression.
+
+The jitted device versions (to_ten / rgb_to_ycbcr / rgb_to_gbr / alpha_plane)
+are materialized lazily via module __getattr__ so host-only consumers (the
+CLI) never pay the JAX import; the *_host mirrors use identical f32
+arithmetic (equality-tested) and serve the latency path — a few ms of VPU
+work is not worth a tunnel round-trip.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 # BT.601 luma coefficients (av1encoder.rs:501).
 BT601 = (0.2990, 0.5870, 0.1140)
 # BT.709 kept for completeness (the reference defines but does not use it).
 REC709 = (0.2126, 0.7152, 0.0722)
 
-
-def to_ten(x: jnp.ndarray) -> jnp.ndarray:
-    """8-bit -> 10-bit expansion: (x << 2) | (x >> 6); maps 255 -> 1023."""
-    x = x.astype(jnp.int32)
-    return (x << 2) | (x >> 6)
+_JAX_NAMES = ("to_ten", "rgb_to_ycbcr", "rgb_to_gbr", "alpha_plane")
 
 
-@partial(jax.jit, static_argnames=("depth", "matrix"))
-def rgb_to_ycbcr(rgb: jnp.ndarray, depth: int = 10, matrix=BT601) -> jnp.ndarray:
-    """Convert (..., 3) uint8 RGB to (..., 3) int32 YCbCr at `depth` bits.
-
-    Full-range: scale = (2^depth - 1)/255, shift = round((2^depth - 1) * 0.5).
-    cb = (B*scale - y) * 0.5/(1-Kb) + shift; cr = (R*scale - y) * 0.5/(1-Kr)
-    + shift; every channel rounded half-away-from-zero and saturated to the
-    unsigned range like Rust's `as u16` cast.
-    """
-    kr, kg, kb = matrix
-    max_value = jnp.float32((1 << depth) - 1)
-    scale = max_value / jnp.float32(255.0)
-    shift = jnp.round(max_value * jnp.float32(0.5))
-
-    r = rgb[..., 0].astype(jnp.float32)
-    g = rgb[..., 1].astype(jnp.float32)
-    b = rgb[..., 2].astype(jnp.float32)
-
-    y = (scale * kr) * r + (scale * kg) * g + (scale * kb) * b
-    cb = (b * scale - y) * jnp.float32(0.5 / (1.0 - kb)) + shift
-    cr = (r * scale - y) * jnp.float32(0.5 / (1.0 - kr)) + shift
-
-    def round_cast(v):
-        # f32::round = half away from zero; values are nonnegative-ish, and
-        # Rust's `as u16` saturates, so clamp to [0, max].
-        return jnp.clip(jnp.floor(v + jnp.float32(0.5)), 0, max_value).astype(jnp.int32)
-
-    return jnp.stack([round_cast(y), round_cast(cb), round_cast(cr)], axis=-1)
+def __getattr__(name):
+    if name in _JAX_NAMES:
+        _build_jax()
+        return globals()[name]
+    raise AttributeError(name)
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def rgb_to_gbr(rgb: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
-    """Identity-matrix ("RGB") model: planes stored in (G, B, R) order.
+def _build_jax() -> None:
+    from functools import partial
 
-    At 10-bit each channel goes through to_ten (av1encoder.rs:491-498).
-    """
-    g = rgb[..., 1].astype(jnp.int32)
-    b = rgb[..., 2].astype(jnp.int32)
-    r = rgb[..., 0].astype(jnp.int32)
-    gbr = jnp.stack([g, b, r], axis=-1)
-    if depth == 10:
-        gbr = to_ten(gbr)
-    return gbr
+    import jax
+    import jax.numpy as jnp
 
+    def to_ten(x):
+        """8-bit -> 10-bit expansion: (x << 2) | (x >> 6); maps 255 -> 1023."""
+        x = x.astype(jnp.int32)
+        return (x << 2) | (x >> 6)
 
-@partial(jax.jit, static_argnames=("depth",))
-def alpha_plane(alpha: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
-    """Alpha plane at target depth (to_ten at 10-bit, av1encoder.rs:271)."""
-    a = alpha.astype(jnp.int32)
-    return to_ten(a) if depth == 10 else a
+    @partial(jax.jit, static_argnames=("depth", "matrix"))
+    def rgb_to_ycbcr(rgb, depth: int = 10, matrix=BT601):
+        """Convert (..., 3) uint8 RGB to (..., 3) int32 YCbCr at `depth` bits.
+
+        Full-range: scale = (2^d - 1)/255, shift = round((2^d - 1) * 0.5);
+        cb = (B*scale - y) * 0.5/(1-Kb) + shift, cr analogous; every channel
+        rounded half-away-from-zero and saturated like Rust's `as u16`.
+        """
+        kr, kg, kb = matrix
+        max_value = jnp.float32((1 << depth) - 1)
+        scale = max_value / jnp.float32(255.0)
+        shift = jnp.round(max_value * jnp.float32(0.5))
+        r = rgb[..., 0].astype(jnp.float32)
+        g = rgb[..., 1].astype(jnp.float32)
+        b = rgb[..., 2].astype(jnp.float32)
+        y = (scale * kr) * r + (scale * kg) * g + (scale * kb) * b
+        cb = (b * scale - y) * jnp.float32(0.5 / (1.0 - kb)) + shift
+        cr = (r * scale - y) * jnp.float32(0.5 / (1.0 - kr)) + shift
+
+        def round_cast(v):
+            return jnp.clip(
+                jnp.floor(v + jnp.float32(0.5)), 0, max_value
+            ).astype(jnp.int32)
+
+        return jnp.stack(
+            [round_cast(y), round_cast(cb), round_cast(cr)], axis=-1
+        )
+
+    @partial(jax.jit, static_argnames=("depth",))
+    def rgb_to_gbr(rgb, depth: int = 10):
+        """Identity-matrix ("RGB") model: planes in (G, B, R) order; at
+        10-bit each channel goes through to_ten (av1encoder.rs:491-498)."""
+        g = rgb[..., 1].astype(jnp.int32)
+        b = rgb[..., 2].astype(jnp.int32)
+        r = rgb[..., 0].astype(jnp.int32)
+        gbr = jnp.stack([g, b, r], axis=-1)
+        if depth == 10:
+            gbr = to_ten(gbr)
+        return gbr
+
+    @partial(jax.jit, static_argnames=("depth",))
+    def alpha_plane(alpha, depth: int = 10):
+        """Alpha plane at target depth (to_ten at 10-bit, av1encoder.rs:271)."""
+        a = alpha.astype(jnp.int32)
+        return to_ten(a) if depth == 10 else a
+
+    globals().update(
+        to_ten=to_ten,
+        rgb_to_ycbcr=rgb_to_ycbcr,
+        rgb_to_gbr=rgb_to_gbr,
+        alpha_plane=alpha_plane,
+    )
 
 
 # ---------------------------------------------------------------------------
-# Host (numpy) mirrors: identical f32 arithmetic, used on the latency path.
-# The conversion is a few ms of VPU work; when the accelerator sits behind a
-# network tunnel the transfer round-trip dwarfs it, so the encode pipeline
-# converts on host by default and the jitted versions above serve the
-# device-resident pipeline (graft entry / fused batch path).
+# Host (numpy) mirrors — identical f32 arithmetic, equality-tested.
 # ---------------------------------------------------------------------------
-
-import numpy as np
 
 
 def rgb_to_ycbcr_host(rgb, depth: int = 10, matrix=BT601):
@@ -103,12 +115,18 @@ def rgb_to_ycbcr_host(rgb, depth: int = 10, matrix=BT601):
     r = rgb[..., 0].astype(np.float32)
     g = rgb[..., 1].astype(np.float32)
     b = rgb[..., 2].astype(np.float32)
-    y = np.float32(scale * kr) * r + np.float32(scale * kg) * g + np.float32(scale * kb) * b
+    y = (
+        np.float32(scale * kr) * r
+        + np.float32(scale * kg) * g
+        + np.float32(scale * kb) * b
+    )
     cb = (b * scale - y) * np.float32(0.5 / (1.0 - kb)) + shift
     cr = (r * scale - y) * np.float32(0.5 / (1.0 - kr)) + shift
 
     def round_cast(v):
-        return np.clip(np.floor(v + np.float32(0.5)), 0, max_value).astype(np.int32)
+        return np.clip(
+            np.floor(v + np.float32(0.5)), 0, max_value
+        ).astype(np.int32)
 
     return np.stack([round_cast(y), round_cast(cb), round_cast(cr)], axis=-1)
 
