@@ -1,0 +1,45 @@
+"""Device (whole-plane JAX) vs host (numpy group) mode-search agreement."""
+
+import numpy as np
+
+from cavif_tpu.av1 import tables
+from cavif_tpu.av1.config import AV1Config
+from cavif_tpu.av1.encoder import FrameEncoder, _TileCtx
+from cavif_tpu.av1.predict import NONDIRECTIONAL_MODES
+from cavif_tpu.av1.speed import SpeedTweaks
+from cavif_tpu.ops.block_search import plane_mode_search
+
+
+def test_plane_search_matches_host():
+    rng = np.random.default_rng(9)
+    h = w = 128
+    y, x = np.mgrid[0:h, 0:w]
+    plane = np.clip(
+        ((x * 3 + y * 2) % 1024) + rng.integers(-60, 60, (h, w)), 0, 1023
+    ).astype(np.int32)
+    q = 121
+    cfg = AV1Config(
+        width=w, height=h, bit_depth=10, quantizer=q,
+        tweaks=SpeedTweaks.from_preset(4, q), chroma_sampling="400",
+        full_range=True, matrix_coefficients=None,
+    )
+    fe = FrameEncoder(plane, cfg)
+    ctx = _TileCtx(origin=(0, 0), collect=[])
+    for r in range(0, fe.mi_rows, 16):
+        for c in range(0, fe.mi_cols, 16):
+            fe._encode_partition(ctx, None, r, c, 4)
+    host_modes = fe._batch_search(ctx.collect, (0, 0))
+
+    dev = plane_mode_search(
+        plane[None], fe.dc_q, fe.ac_q, fe._lambda(), 10
+    )  # (1, 4, 4)
+
+    agree = total = 0
+    for (r, c), (ym, _uv) in host_modes.items():
+        by, bx = r // 8, c // 8
+        total += 1
+        if NONDIRECTIONAL_MODES[int(dev[0, by, bx])] == ym:
+            agree += 1
+    assert total == 16
+    # identical formulas in f32; tie-breaks may differ on a block or two
+    assert agree >= total - 2, (agree, total)
