@@ -842,7 +842,8 @@ struct BlockPipe {
       for (int x = 0; x < cw; x++) {
         bool is_dc = (y == 0 && x == 0);
         double t = cbuf[y * txw + x] * (is_dc ? inv_dc : inv_ac);
-        double a = std::floor(std::fabs(t) + 0.5);
+        // DC rounds to nearest; AC uses a deadzone (transforms.AC_BIAS)
+        double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : 0.35));
         int32_t lv = (int32_t)(t < 0 ? -a : a);
         int lim = is_dc ? max_dc : max_ac;
         if (lv > lim) lv = lim;

@@ -130,7 +130,10 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
         inv_dc = 1.0 / (dc_q.astype(jnp.float32) * gain)
         t = coef * inv_ac
         t = t.at[..., 0, 0].set(coef[..., 0, 0] * inv_dc)
-        lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + 0.5)
+        lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + 0.35)  # AC deadzone
+        lv = lv.at[..., 0, 0].set(
+            jnp.sign(t[..., 0, 0]) * jnp.floor(jnp.abs(t[..., 0, 0]) + 0.5)
+        )
         x = lv * (ac_q.astype(jnp.float32) * gain)
         x = x.at[..., 0, 0].set(lv[..., 0, 0] * dc_q.astype(jnp.float32) * gain)
         resid = dct.T @ x @ dct
