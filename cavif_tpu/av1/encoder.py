@@ -47,6 +47,7 @@ class _TileCtx:
     collect: Optional[List] = None
     skeleton: bool = False
     modes: Optional[dict] = None
+    part: Optional[dict] = None  # (r, c, n4_mi) -> PARTITION_NONE / _SPLIT
 
 
 class FrameEncoder:
@@ -71,10 +72,16 @@ class FrameEncoder:
         self.bit_depth = cfg.bit_depth
         self.dc_q = tables.dc_q(self.base_q, self.bit_depth)
         self.ac_q = tables.ac_q(self.base_q, self.bit_depth)
-        # leaf size policy: 32x32. 64x64 leaves would take TX_64X64 whose
-        # residual path trips a libaom-decoder strictness (dav1d accepts);
-        # until that is settled 64-dim transforms are only used skip-coded.
-        self.leaf_mi = 8
+        # partition search range from the speed preset (SURVEY.md 2.2),
+        # clamped to [8x8, 32x32]: 4x4 leaves land with the 4x4 DP tier;
+        # 64x64 leaves would take TX_64X64 whose residual path trips a
+        # libaom-decoder strictness (dav1d accepts), so 64 stays split.
+        minp, maxp = cfg.tweaks.partition_range
+        self.min_leaf_mi = max(minp // 4, 2)
+        # The preset's upper bound is rav1e's search policy; our RD search is
+        # cheap enough to always consider up to 32x32 (the DP only picks a
+        # larger leaf when it wins), which strictly improves RD here.
+        self.max_leaf_mi = max(8, self.min_leaf_mi)
 
     # -- per-tile encode ----------------------------------------------------
 
@@ -111,14 +118,17 @@ class FrameEncoder:
             base_q=self.base_q,
             bit_depth=self.bit_depth,
             num_planes=self.num_planes,
+            reduced_tx_set=self.cfg.tweaks.reduced_tx_set,
         )
         ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(ctx, None, r, c, 4)
-        blocks = ctx.collect
+        partials = [b for b in ctx.collect if b[2] != b[3] or b[2] != self.min_leaf_mi]
         ctx.collect = None
-        ctx.modes = self._batch_search(blocks, ctx.origin)
+        ctx.part, ctx.modes = self._rdo_partition(
+            partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
+        )
 
         tw = OpTileWriter(tp)
         ctx.skeleton = True
@@ -159,15 +169,18 @@ class FrameEncoder:
             base_q=self.base_q,
             bit_depth=self.bit_depth,
             num_planes=self.num_planes,
+            reduced_tx_set=self.cfg.tweaks.reduced_tx_set,
         )
         ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
-        # pass 1: geometry collection + batched mode search
+        # pass 1: geometry collection + partition RDO + batched mode search
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(ctx, None, r, c, 4)
-        blocks = ctx.collect
+        partials = [b for b in ctx.collect if b[2] != b[3] or b[2] != self.min_leaf_mi]
         ctx.collect = None
-        ctx.modes = self._batch_search(blocks, ctx.origin)
+        ctx.part, ctx.modes = self._rdo_partition(
+            partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
+        )
 
         # pass 2: sequential recon + op emission
         tw = OpTileWriter(tp)
@@ -180,11 +193,13 @@ class FrameEncoder:
     # -- pass 1: batched mode search ----------------------------------------
 
     def _batch_search(self, blocks, origin) -> dict:
-        """Choose (y_mode, uv_mode) per leaf block with one batched
-        predict/transform/quantize pass per (block size, plane) group,
-        using *source* neighbors (recon is not yet available; at encode
-        quantizers recon tracks source closely, and pass 2 re-derives the
-        residual against true recon, so there is no drift)."""
+        """Batched mode search over candidate blocks using *source*
+        neighbors (recon is not yet available; at encode quantizers recon
+        tracks source closely, and pass 2 re-derives the residual against
+        true recon, so there is no drift).
+
+        Returns {(r, c, w4, h4): (y_mode, uv_mode, rd_cost)} where rd_cost
+        sums luma + both-chroma proxies (V approximated by U's cost)."""
         from .predict import NONDIRECTIONAL_MODES, predict_all_batch
 
         r0, c0 = origin
@@ -198,7 +213,7 @@ class FrameEncoder:
         modes: dict = {}
         CHUNK = 1024  # bounds temporaries to ~200 MB at 32x32
         for (bw, bh), all_items in groups.items():
-            force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
+            force_skip = max(bw, bh) == 64
             for c0i in range(0, len(all_items), CHUNK):
                 items = all_items[c0i : c0i + CHUNK]
                 B = len(items)
@@ -247,15 +262,85 @@ class FrameEncoder:
                     )
                     cost = (err * err).sum(axis=(2, 3), dtype=np.float64) + lam * rate
                 best = np.argmin(cost, axis=1)
+                uv_dc_only = max(min(bw, 32), min(bh, 32)) <= 16
                 for i, (idx, pl) in enumerate(items):
-                    key = blocks[idx][:2]
-                    ym, uvm = modes.get(key, (DC_PRED, DC_PRED))
-                    mode = NONDIRECTIONAL_MODES[int(best[i])]
+                    key = blocks[idx]
+                    ym, uvm, tot = modes.get(key, (DC_PRED, DC_PRED, 0.0))
+                    bi = int(best[i])
                     if pl == 0:
-                        modes[key] = (mode, uvm)
+                        modes[key] = (
+                            NONDIRECTIONAL_MODES[bi], uvm,
+                            tot + float(cost[i, bi]),
+                        )
+                    elif uv_dc_only:
+                        modes[key] = (ym, DC_PRED, tot + 2.0 * float(cost[i, 0]))
                     else:
-                        modes[key] = (ym, mode)
+                        modes[key] = (
+                            ym, NONDIRECTIONAL_MODES[bi],
+                            tot + 2.0 * float(cost[i, bi]),
+                        )
         return modes
+
+    # -- partition RDO ------------------------------------------------------
+
+    # rate proxies (in the same units as the |level| rate proxy of the
+    # block cost): per-leaf mode/skip/tx_type overhead and per-partition
+    # symbol overhead. Larger OVH_BLOCK biases toward larger blocks.
+    OVH_BLOCK = 12.0
+    OVH_SPLIT = 2.0
+
+    def _rdo_partition(self, partials, origin, mi_r0, mi_r1, mi_c0, mi_c1):
+        """Bottom-up NONE/SPLIT decision per full block.
+
+        Candidate full squares at every power-of-two size in
+        [min_leaf_mi, max_leaf_mi] are cost-searched in one batch (source
+        neighbors), then merged bottom-up: split wins when the children's
+        total (plus a partition-rate proxy) beats coding the block whole.
+        `partials` (edge slivers from the geometry walk) are searched too.
+        Returns (part_decisions, modes)."""
+        cands = list(partials)
+        sizes = []
+        n4 = self.min_leaf_mi
+        while n4 <= self.max_leaf_mi:
+            sizes.append(n4)
+            n4 *= 2
+        for s4 in sizes:
+            for r in range(mi_r0, mi_r1, s4):
+                if r + s4 > self.mi_rows:
+                    continue
+                for c in range(mi_c0, mi_c1, s4):
+                    if c + s4 > self.mi_cols:
+                        continue
+                    cands.append((r, c, s4, s4))
+        modes = self._batch_search(cands, origin)
+        lam = self._lambda()
+        part: dict = {}
+        best_cost: dict = {}  # (r, c, s4) -> subtree cost
+        for s4 in sizes:
+            half = s4 // 2
+            for r in range(mi_r0, mi_r1, s4):
+                if r + s4 > self.mi_rows:
+                    continue
+                for c in range(mi_c0, mi_c1, s4):
+                    if c + s4 > self.mi_cols:
+                        continue
+                    none_c = (
+                        modes[(r, c, s4, s4)][2] + lam * self.OVH_BLOCK
+                    )
+                    if s4 == self.min_leaf_mi:
+                        best_cost[(r, c, s4)] = none_c
+                        continue
+                    split_c = lam * self.OVH_SPLIT
+                    for dr in (0, half):
+                        for dc_ in (0, half):
+                            split_c += best_cost[(r + dr, c + dc_, half)]
+                    if none_c <= split_c:
+                        part[(r, c, s4)] = PARTITION_NONE
+                        best_cost[(r, c, s4)] = none_c
+                    else:
+                        part[(r, c, s4)] = PARTITION_SPLIT
+                        best_cost[(r, c, s4)] = split_c
+        return part, modes
 
     def _encode_partition(self, ctx, tw, r: int, c: int, bsl: int) -> None:
         """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
@@ -269,18 +354,21 @@ class FrameEncoder:
         rr, cc = r - r0, c - c0  # tile-relative
 
         full = has_rows and has_cols
-        leaf_bsl = self.leaf_mi.bit_length() - 1  # mi-log2 of leaf size
         emit = tw is not None
 
-        if full and bsl <= leaf_bsl:
-            if emit:
-                tw.write_partition(rr, cc, bsl, PARTITION_NONE)
-            self._encode_block(ctx, tw, r, c, n4, n4)
-            return
         if full:
-            if emit:
-                tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
-            self._split4(ctx, tw, r, c, bsl)
+            if n4 <= self.min_leaf_mi or (
+                n4 <= self.max_leaf_mi
+                and ctx.part is not None
+                and ctx.part.get((r, c, n4)) == PARTITION_NONE
+            ):
+                if emit:
+                    tw.write_partition(rr, cc, bsl, PARTITION_NONE)
+                self._encode_block(ctx, tw, r, c, n4, n4)
+            else:
+                if emit:
+                    tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
+                self._split4(ctx, tw, r, c, bsl)
             return
         # partial blocks: at 64 always SPLIT (avoids 64-dim tx); at 32
         # HORZ/VERT keeps a 32x16/16x32 block (DCT-only, residual-capable);
@@ -323,19 +411,23 @@ class FrameEncoder:
             ctx.collect.append((r, c, w4, h4))
             return
         if ctx.skeleton:
-            ym, uvm = ctx.modes[(r, c)]
+            ym, uvm, _cost = ctx.modes[(r, c, w4, h4)]
             tw.write_block_compute(r, c, w4, h4, ym, uvm)
             return
         r0, c0 = ctx.origin
         rr, cc = r - r0, c - c0
         bw, bh = w4 * 4, h4 * 4
         y0, x0 = r * 4, c * 4
-        # residual coding requires a DCT-only tx set (sqr_up >= 32x32) until
-        # tx_type signaling lands; 64-dim tx residuals wait on the libaom
-        # strictness issue (see leaf policy note)
-        force_skip = max(bw, bh) < 32 or max(bw, bh) == 64
+        # 64-dim tx residuals wait on a libaom strictness issue (see leaf
+        # policy note); all other sizes code residuals (tx_type = DCT_DCT
+        # signaled for sqr_up <= 16)
+        force_skip = max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
-        y_mode, uv_mode = ctx.modes[(r, c)]
+        y_mode, uv_mode, _cost = ctx.modes[(r, c, w4, h4)]
+        if self.num_planes > 1 and max(min(bw, 32), min(bh, 32)) <= 16:
+            # chroma tx <= 16x16: non-DC uv modes imply ADST transforms
+            # (Mode_To_Txfm_Type); until ADST lands, uv stays DC_PRED
+            uv_mode = DC_PRED
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -378,6 +470,7 @@ class FrameEncoder:
                 txh,
                 levels,
                 tx_block_eq_block=(pl == 0 and txw == bw and txh == bh),
+                y_mode=y_mode,
             )
 
     def _lambda(self) -> float:
@@ -444,6 +537,7 @@ class FrameEncoder:
             base_q_idx=self.base_q,
             tile_cols_log2=tcl,
             tile_rows_log2=trl,
+            reduced_tx_set=cfg.tweaks.reduced_tx_set,
         )
         tiles = self._encode_tiles(tcl, trl)
         frame = assemble_frame_obu(fp, tiles)

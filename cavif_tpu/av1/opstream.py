@@ -72,11 +72,12 @@ class OpTileWriter:
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,
         levels: np.ndarray, tx_block_eq_block: bool = True,
+        y_mode: int = 0,
     ) -> None:
         ch, cw = levels.shape
         self.ops.extend(
             (OP_COEFFS, plane, r4, c4, txw, txh, int(tx_block_eq_block),
-             ch, cw, self._lvl_len)
+             ch, cw, self._lvl_len, y_mode)
         )
         flat = np.ascontiguousarray(levels, dtype=np.int32).reshape(-1)
         self.levels.append(flat)
@@ -141,12 +142,14 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
                 tw.reset_block_ctx(r, c, w4, h4)
             i += 9
         elif op == OP_COEFFS:
-            _, pl, r4, c4, txw, txh, eq, ch, cw, off = (
-                int(x) for x in ops[i : i + 10]
+            _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym = (
+                int(x) for x in ops[i : i + 11]
             )
             lv = levels[off : off + ch * cw].reshape(ch, cw)
-            tw.write_coeffs(pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq))
-            i += 10
+            tw.write_coeffs(
+                pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq), y_mode=ym
+            )
+            i += 11
         else:
             raise ValueError(f"bad op {op} at {i}")
     return tw.finish()

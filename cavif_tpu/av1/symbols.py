@@ -117,6 +117,7 @@ class TileParams:
     bit_depth: int
     num_planes: int
     disable_cdf_update: bool = False
+    reduced_tx_set: bool = False
 
 
 class TileWriter:
@@ -250,6 +251,7 @@ class TileWriter:
         txh: int,
         levels: np.ndarray,
         tx_block_eq_block: bool = True,
+        y_mode: int = 0,
     ) -> int:
         """levels: (coded_h, coded_w) signed int array in raster order
         (already restricted to the coded area: min(32, tx dims)).
@@ -299,9 +301,21 @@ class TileWriter:
             self.left_ctx[plane][r4 : r4 + h4w] = 0
             return 0
 
-        # (tx_type signaling: only DCT-implied sizes are emitted for now;
-        # 32x32/64x64 use EXT_TX_SET_DCTONLY so nothing is coded.)
-        assert max(txw, txh) >= 32, "tx_type signaling not yet implemented"
+        # transform_type(): luma only, when the tx set is non-trivial
+        # (sqr_up <= 16; 32/64 use EXT_TX_SET_DCTONLY). We code DCT_DCT —
+        # symbol 1 in both intra sets (spec Tx_Type_Intra_Inv_Set1/2).
+        if plane == 0 and max(txw, txh) <= 16:
+            sqr = min(txw, txh)
+            tx_sqr = sqr.bit_length() - 3  # 4->0 .. 32->3
+            if self.p.reduced_tx_set or min(txw, txh) == 16:
+                set_idx = 2
+            else:
+                set_idx = 1
+            self.code(
+                1,
+                ("ext_tx", set_idx, tx_sqr, y_mode),
+                tables.intra_ext_tx_cdf(set_idx, tx_sqr, y_mode),
+            )
 
         # eob position class: 1->1, 2->2, else bitlength(eob-1)+1
         area = cw * ch

@@ -102,6 +102,13 @@ def tx_size_cdf(cat, ctx):
     return _as_lists("tx_size_cdf", 2 if cat == 0 else 3)[cat, ctx]
 
 
+def intra_ext_tx_cdf(set_idx, tx_sqr, intra_mode):
+    """set_idx 1 (DTT4_IDTX_1DDCT, 7 syms) or 2 (DTT4_IDTX, 5 syms);
+    tx_sqr = Tx_Size_Sqr index 0..3; intra_mode = luma mode."""
+    nsym = 7 if set_idx == 1 else 5
+    return _as_lists("intra_ext_tx_cdf", nsym)[set_idx - 1, tx_sqr, intra_mode]
+
+
 # -- quant -------------------------------------------------------------------
 
 def dc_q(qindex: int, bit_depth: int) -> int:

@@ -42,6 +42,7 @@ _CDF_TABLE_IDS = {
     "base_eob_cdf": 15,
     "br_cdf": 16,
     "dc_sign_cdf": 17,
+    "intra_ext_tx_cdf": 18,
 }
 
 _SCAN_SIZES = [
@@ -80,7 +81,7 @@ def _load():
         lib.tc_set_scan.restype = ctypes.c_int
         lib.tc_encode_tile.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -96,6 +97,7 @@ def _load():
             ctypes.c_int, ctypes.c_int,      # mi_rows, mi_cols
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tile
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # q/bd/planes/dcu
+            ctypes.c_int,                    # reduced_tx_set
             ctypes.c_int, ctypes.c_int, ctypes.c_double,  # dc_q, ac_q, gain
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -161,7 +163,7 @@ def encode_tile_bp(
             Hp, Wp, mi_rows, mi_cols,
             p.mi_row_start, p.mi_row_end, p.mi_col_start, p.mi_col_end,
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
-            dc_q, ac_q, gain,
+            int(p.reduced_tx_set), dc_q, ac_q, gain,
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         )
@@ -184,6 +186,7 @@ def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:
         n = lib.tc_encode_tile(
             p.mi_col_start, p.mi_col_end, p.mi_row_start, p.mi_row_end,
             p.base_q, p.num_planes, int(p.disable_cdf_update),
+            int(p.reduced_tx_set),
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,

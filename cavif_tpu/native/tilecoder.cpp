@@ -46,6 +46,7 @@ struct SpecTables {
   std::vector<uint16_t> base_eob;   // (4, 5, 2, 4, 4)  nsym 3
   std::vector<uint16_t> br;         // (4, 5, 2, 21, 5) nsym 4
   std::vector<uint16_t> dc_sign;    // (4, 2, 3, 3)     nsym 2
+  std::vector<uint16_t> intra_ext_tx; // (2, 4, 13, 17)  nsym 7 (set1) / 5 (set2)
   // scans (forward diagonal) + coeff-base context offsets, per (w, h)
   // coded-area size; index = (log2(w)-2)*4 + (log2(h)-2), sizes 4..32.
   std::vector<int32_t> scan[16];
@@ -251,6 +252,7 @@ int txsize_ctx(int w, int h) {
 struct TileCoder {
   RangeEncoder enc;
   bool cdf_update;
+  bool reduced_tx_set = false;
   int qctx;
   int num_planes;
   int w4, h4;        // context array extents (tile + 32 slack)
@@ -275,6 +277,7 @@ struct TileCoder {
   CdfRow cdf_base_eob[5][2][4];
   CdfRow cdf_br[5][2][21];        // txs ctx clamped to 0..3 by callers; 5 kept
   CdfRow cdf_dc_sign[2][3];
+  CdfRow cdf_ext_tx[2][4][13];
 
   // scratch for coefficient coding
   std::vector<int32_t> padbuf;
@@ -336,6 +339,12 @@ struct TileCoder {
     for (int p = 0; p < 2; p++)
       for (int c = 0; c < 3; c++)
         load_row(cdf_dc_sign[p][c], &T.dc_sign[((qctx * 2 + p) * 3 + c) * 3], 2);
+    for (int st = 0; st < 2; st++)
+      for (int tsq = 0; tsq < 4; tsq++)
+        for (int m = 0; m < 13; m++)
+          load_row(cdf_ext_tx[st][tsq][m],
+                   &T.intra_ext_tx[((st * 4 + tsq) * 13 + m) * 17],
+                   st == 0 ? 7 : 5);
   }
 
   void code(CdfRow& row, int sym, int nsym) {
@@ -447,7 +456,8 @@ struct TileCoder {
   }
 
   void write_coeffs(int plane, int r4, int c4, int txw, int txh,
-                    int eq_block, int ch, int cw, const int32_t* lv) {
+                    int eq_block, int ch, int cw, const int32_t* lv,
+                    int y_mode) {
     int ptype = plane > 0 ? 1 : 0;
     int bw4 = txw >> 2;
     int bh4 = txh >> 2;
@@ -498,6 +508,14 @@ struct TileCoder {
       for (int i = 0; i < w4w; i++) above_ctx[plane][c4 + i] = 0;
       for (int i = 0; i < h4w; i++) left_ctx[plane][r4 + i] = 0;
       return;
+    }
+
+    // transform_type(): luma, tx sets 1/2 (sqr_up <= 16); DCT_DCT = sym 1
+    if (plane == 0 && (txw > txh ? txw : txh) <= 16) {
+      int sqr = txw < txh ? txw : txh;
+      int tx_sqr = bitlength((uint32_t)sqr) - 3;
+      int set_idx = (reduced_tx_set || sqr == 16) ? 2 : 1;
+      code(cdf_ext_tx[set_idx - 1][tx_sqr][y_mode], 1, set_idx == 1 ? 7 : 5);
     }
 
     // eob position class
@@ -909,7 +927,7 @@ struct BlockPipe {
     int bw = w4 * 4, bh = h4 * 4;
     int x0 = c * 4, y0 = r * 4;
     int mx = bw > bh ? bw : bh;
-    bool force_skip = mx < 32 || mx == 64;
+    bool force_skip = mx == 64;
     int cfl_allowed = mx <= 32;
 
     struct TxbRec { int pl, px, py, txw, txh, ch, cw, lvl_off; };
@@ -942,7 +960,7 @@ struct BlockPipe {
       const TxbRec& t = recs[i];
       int eq = (t.pl == 0 && t.txw == bw && t.txh == bh) ? 1 : 0;
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
-                      t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off]);
+                      t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode);
     }
   }
 };
@@ -977,6 +995,7 @@ int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
     case 15: dst = &T.base_eob; break;
     case 16: dst = &T.br; break;
     case 17: dst = &T.dc_sign; break;
+    case 18: dst = &T.intra_ext_tx; break;
     default: return -1;
   }
   dst->assign(data, data + n);
@@ -1003,10 +1022,12 @@ int tc_set_sm_weights(int n, const uint8_t* w) {
 int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int mi_cols, int mi_r0, int mi_r1, int mi_c0, int mi_c1,
                    int base_q, int bit_depth, int num_planes,
-                   int disable_cdf_update, int dc_q, int ac_q, double gain,
+                   int disable_cdf_update, int reduced_tx_set,
+                   int dc_q, int ac_q, double gain,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap) {
   TileCoder tc;
   tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
+  tc.reduced_tx_set = reduced_tx_set != 0;
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, bit_depth,
           dc_q, ac_q, gain);
@@ -1041,11 +1062,13 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
 // Returns bytes written, or -1 on error / insufficient cap.
 int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
                    int mi_row_end, int base_q, int num_planes,
-                   int disable_cdf_update, const int32_t* ops, int n_ops,
+                   int disable_cdf_update, int reduced_tx_set,
+                   const int32_t* ops, int n_ops,
                    const int32_t* levels, uint8_t* out, int cap) {
   TileCoder tc;
   tc.init(mi_col_start, mi_col_end, mi_row_start, mi_row_end, base_q,
           num_planes, disable_cdf_update);
+  tc.reduced_tx_set = reduced_tx_set != 0;
   int i = 0;
   while (i < n_ops) {
     switch (ops[i]) {
@@ -1070,8 +1093,8 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
       case OP_COEFFS:
         tc.write_coeffs(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                         ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
-                        levels + ops[i + 9]);
-        i += 10;
+                        levels + ops[i + 9], ops[i + 10]);
+        i += 11;
         break;
       default:
         return -1;

@@ -4,7 +4,7 @@ import numpy as np
 
 from cavif_tpu.av1 import tables
 from cavif_tpu.av1.config import AV1Config
-from cavif_tpu.av1.encoder import FrameEncoder, _TileCtx
+from cavif_tpu.av1.encoder import FrameEncoder
 from cavif_tpu.av1.predict import NONDIRECTIONAL_MODES
 from cavif_tpu.av1.speed import SpeedTweaks
 from cavif_tpu.ops.block_search import plane_mode_search
@@ -24,18 +24,18 @@ def test_plane_search_matches_host():
         full_range=True, matrix_coefficients=None,
     )
     fe = FrameEncoder(plane, cfg)
-    ctx = _TileCtx(origin=(0, 0), collect=[])
-    for r in range(0, fe.mi_rows, 16):
-        for c in range(0, fe.mi_cols, 16):
-            fe._encode_partition(ctx, None, r, c, 4)
-    host_modes = fe._batch_search(ctx.collect, (0, 0))
+    blocks = [
+        (r, c, 8, 8) for r in range(0, fe.mi_rows, 8)
+        for c in range(0, fe.mi_cols, 8)
+    ]
+    host_modes = fe._batch_search(blocks, (0, 0))
 
     dev = plane_mode_search(
         plane[None], fe.dc_q, fe.ac_q, fe._lambda(), 10
     )  # (1, 4, 4)
 
     agree = total = 0
-    for (r, c), (ym, _uv) in host_modes.items():
+    for (r, c, _w4, _h4), (ym, _uv, _cost) in host_modes.items():
         by, bx = r // 8, c // 8
         total += 1
         if NONDIRECTIONAL_MODES[int(dev[0, by, bx])] == ym:

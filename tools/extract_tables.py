@@ -88,6 +88,10 @@ def main() -> None:
     # angle rows peak at symbol 3 (delta 0); anchor row 0 value
     assert int(t["angle_delta_cdf"][0, 0]) == 30588
     t["tx_size_cdf"] = u16(48616, (4, 3, 4))     # [cat][ctx]; cat0 has 2 syms
+    # intra tx-type CDFs (entropymode.c default_intra_ext_tx_cdf sets 1-2;
+    # set 0 is DCT-only/uncoded): [set][tx_size_sqr][intra_mode][CDF_SIZE(16)]
+    # set 1 = EXT_TX_SET_DTT4_IDTX_1DDCT (7 syms), set 2 = DTT4_IDTX (5 syms)
+    t["intra_ext_tx_cdf"] = u16(44772, (2, 4, 13, 17))
     t["delta_q_cdf"] = u16(48664, (5,))
     t["skip_cdf"] = np.array(
         [[1097, 0, 0], [16253, 0, 0], [28192, 0, 0]], dtype=np.uint16
@@ -96,6 +100,8 @@ def main() -> None:
     t["cfl_alpha_cdf"] = u16(48688, (6, 17))
 
     check_cdf_rows(t["kf_y_mode_cdf"], 13)
+    assert list(t["intra_ext_tx_cdf"][0, 0, 0, :2]) == [31233, 24733]
+    assert list(t["intra_ext_tx_cdf"][1, 0, 0, :2]) == [26214, 19661]
     check_cdf_rows(t["angle_delta_cdf"], 7)
     assert list(t["skip_cdf"][:, 0]) == [1097, 16253, 28192]
     assert list(t["delta_q_cdf"][:3]) == [4608, 648, 91]
@@ -103,6 +109,9 @@ def main() -> None:
     check_cdf_rows(t["partition_cdf"], part_nsym)
 
     # ---- quantizer lookups (quant_common.c) -------------------------------
+    # directional-prediction slope table (reconintra.c dr_intra_derivative):
+    # uint16[90], indexed by angle, nonzero only at the coded angles
+    t["dr_intra_derivative"] = u16(154944, (90,))
     t["ac_q_12"] = u16(151088, (256,)).astype(np.int32)
     t["ac_q_10"] = u16(151344, (256,)).astype(np.int32)
     t["ac_q_8"] = u16(151600, (256,)).astype(np.int32)
