@@ -48,6 +48,9 @@ class _TileCtx:
     skeleton: bool = False
     modes: Optional[dict] = None
     part: Optional[dict] = None  # (r, c, n4_mi) -> PARTITION_NONE / _SPLIT
+    sb: tuple = (0, 0)  # current superblock origin (abs mi)
+    mask: Optional[np.ndarray] = None  # BlockDecoded mirror, (18, 18), +1 offset
+    end: tuple = (0, 0)  # tile (mi_row_end, mi_col_end): prediction clamp bound
 
 
 class FrameEncoder:
@@ -120,7 +123,8 @@ class FrameEncoder:
             num_planes=self.num_planes,
             reduced_tx_set=self.cfg.tweaks.reduced_tx_set,
         )
-        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
+        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[],
+                       end=(min(mi_r1, self.mi_rows), min(mi_c1, self.mi_cols)))
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(ctx, None, r, c, 4)
@@ -135,6 +139,7 @@ class FrameEncoder:
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
+                tw.write_sb_start(r, c)
                 self._encode_partition(ctx, tw, r, c, 4)
         ops, _ = tw.pack()
         return tp, ops
@@ -171,7 +176,8 @@ class FrameEncoder:
             num_planes=self.num_planes,
             reduced_tx_set=self.cfg.tweaks.reduced_tx_set,
         )
-        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[])
+        ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[],
+                       end=(min(mi_r1, self.mi_rows), min(mi_c1, self.mi_cols)))
         # pass 1: geometry collection + partition RDO + batched mode search
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
@@ -187,6 +193,7 @@ class FrameEncoder:
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
+                self._reset_mask(ctx, r, c)
                 self._encode_partition(ctx, tw, r, c, 4)
         return tw
 
@@ -200,8 +207,14 @@ class FrameEncoder:
 
         Returns {(r, c, w4, h4): (y_mode, uv_mode, rd_cost)} where rd_cost
         sums luma + both-chroma proxies (V approximated by U's cost)."""
-        from .predict import NONDIRECTIONAL_MODES, predict_all_batch
+        from .predict import (
+            NONDIRECTIONAL_MODES,
+            predict_all_batch,
+            predict_dir_batch,
+        )
 
+        DIAG_MODES = [3, 4, 5, 6, 7, 8]  # D45..D67 at delta 0
+        CAND_MODES = NONDIRECTIONAL_MODES + DIAG_MODES
         r0, c0 = origin
         lam = self._lambda()
         groups: dict = {}  # (bw, bh) -> list of (block_idx, plane)
@@ -223,6 +236,10 @@ class FrameEncoder:
                 al = np.zeros(B, dtype=np.int64)
                 have_a = np.zeros(B, dtype=bool)
                 have_l = np.zeros(B, dtype=bool)
+                ext = bw + bh
+                above_ext = np.empty((B, ext), dtype=np.int64)
+                left_ext = np.empty((B, ext), dtype=np.int64)
+                base_px = 1 << (self.bit_depth - 1)
                 for i, (idx, pl) in enumerate(items):
                     r, c, _, _ = blocks[idx]
                     py, px = r * 4, c * 4
@@ -232,14 +249,36 @@ class FrameEncoder:
                     if rr4 > 0:
                         above[i] = sp[py - 1, px : px + bw]
                         have_a[i] = True
+                        ae = sp[py - 1, px : px + ext]
+                        above_ext[i, : len(ae)] = ae
+                        above_ext[i, len(ae) :] = ae[-1]
                     if cc4 > 0:
                         left[i] = sp[py : py + bh, px - 1]
                         have_l[i] = True
+                        le = sp[py : py + ext, px - 1]
+                        left_ext[i, : len(le)] = le
+                        left_ext[i, len(le) :] = le[-1]
                     if rr4 > 0 and cc4 > 0:
                         al[i] = sp[py - 1, px - 1]
-                preds = predict_all_batch(
+                    # synthesis for the directional extension (mirrors
+                    # predict_directional availability rules)
+                    if not (rr4 > 0) and not (cc4 > 0):
+                        above_ext[i] = base_px - 1
+                        left_ext[i] = base_px + 1
+                        al[i] = base_px
+                    elif not (rr4 > 0):
+                        above_ext[i] = left_ext[i, 0]
+                        al[i] = left_ext[i, 0]
+                    elif not (cc4 > 0):
+                        left_ext[i] = above_ext[i, 0]
+                        al[i] = above_ext[i, 0]
+                preds7 = predict_all_batch(
                     above, left, al, have_a, have_l, bw, bh, self.bit_depth
                 )  # (B, 7, bh, bw)
+                preds6 = predict_dir_batch(
+                    DIAG_MODES, above_ext, left_ext, al, bw, bh
+                )
+                preds = np.concatenate([preds7, preds6], axis=1)
                 res = (src[:, None] - preds).astype(np.float32)
                 if force_skip:
                     cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
@@ -261,22 +300,27 @@ class FrameEncoder:
                         levels, axis=(2, 3)
                     )
                     cost = (err * err).sum(axis=(2, 3), dtype=np.float64) + lam * rate
+                cost[:, 7:] += lam * 2.0  # angle-delta symbol rate proxy
                 best = np.argmin(cost, axis=1)
                 uv_dc_only = max(min(bw, 32), min(bh, 32)) <= 16
                 for i, (idx, pl) in enumerate(items):
                     key = blocks[idx]
-                    ym, uvm, tot = modes.get(key, (DC_PRED, DC_PRED, 0.0))
+                    ym, yd, uvm, uvd, tot = modes.get(
+                        key, (DC_PRED, 0, DC_PRED, 0, 0.0)
+                    )
                     bi = int(best[i])
                     if pl == 0:
                         modes[key] = (
-                            NONDIRECTIONAL_MODES[bi], uvm,
+                            CAND_MODES[bi], 0, uvm, uvd,
                             tot + float(cost[i, bi]),
                         )
                     elif uv_dc_only:
-                        modes[key] = (ym, DC_PRED, tot + 2.0 * float(cost[i, 0]))
+                        modes[key] = (
+                            ym, yd, DC_PRED, 0, tot + 2.0 * float(cost[i, 0])
+                        )
                     else:
                         modes[key] = (
-                            ym, NONDIRECTIONAL_MODES[bi],
+                            ym, yd, CAND_MODES[bi], 0,
                             tot + 2.0 * float(cost[i, bi]),
                         )
         return modes
@@ -325,7 +369,7 @@ class FrameEncoder:
                     if c + s4 > self.mi_cols:
                         continue
                     none_c = (
-                        modes[(r, c, s4, s4)][2] + lam * self.OVH_BLOCK
+                        modes[(r, c, s4, s4)][4] + lam * self.OVH_BLOCK
                     )
                     if s4 == self.min_leaf_mi:
                         best_cost[(r, c, s4)] = none_c
@@ -341,6 +385,19 @@ class FrameEncoder:
                         part[(r, c, s4)] = PARTITION_SPLIT
                         best_cost[(r, c, s4)] = split_c
         return part, modes
+
+    @staticmethod
+    def _reset_mask(ctx, r, c) -> None:
+        """spec clear_block_decoded_flags: top row and left column of the
+        superblock read as decoded (from earlier SBs), interior not; the
+        below-left corner entry stays 0."""
+        ctx.sb = (r, c)
+        if ctx.mask is None:
+            ctx.mask = np.zeros((18, 18), dtype=np.uint8)
+        m = ctx.mask
+        m[:] = 0
+        m[0, :] = 1   # whole previous SB row is decoded (incl. above-right
+        m[1:17, 0] = 1  # of the last block column); left col from prev SB
 
     def _encode_partition(self, ctx, tw, r: int, c: int, bsl: int) -> None:
         """r, c absolute mi coords; bsl = log2(block mi width): 4 -> 64x64."""
@@ -411,8 +468,14 @@ class FrameEncoder:
             ctx.collect.append((r, c, w4, h4))
             return
         if ctx.skeleton:
-            ym, uvm, _cost = ctx.modes[(r, c, w4, h4)]
-            tw.write_block_compute(r, c, w4, h4, ym, uvm)
+            ym, yd, uvm, uvd, _cost = ctx.modes[(r, c, w4, h4)]
+            if (
+                self.num_planes > 1
+                and max(min(w4 * 4, 32), min(h4 * 4, 32)) <= 16
+            ):
+                uvm, uvd = DC_PRED, 0  # chroma tx <= 16: ADST-implying modes barred
+            tw.write_block_compute(r, c, w4, h4, ym, uvm, y_delta=yd,
+                                   uv_delta=uvd)
             return
         r0, c0 = ctx.origin
         rr, cc = r - r0, c - c0
@@ -423,11 +486,11 @@ class FrameEncoder:
         # signaled for sqr_up <= 16)
         force_skip = max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
-        y_mode, uv_mode, _cost = ctx.modes[(r, c, w4, h4)]
+        y_mode, y_delta, uv_mode, uv_delta, _cost = ctx.modes[(r, c, w4, h4)]
         if self.num_planes > 1 and max(min(bw, 32), min(bh, 32)) <= 16:
             # chroma tx <= 16x16: non-DC uv modes imply ADST transforms
             # (Mode_To_Txfm_Type); until ADST lands, uv stays DC_PRED
-            uv_mode = DC_PRED
+            uv_mode, uv_delta = DC_PRED, 0
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -449,15 +512,20 @@ class FrameEncoder:
                     px, py = x0 + tx, y0 + ty
                     if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
                         continue
+                    delta = y_delta if pl == 0 else uv_delta
                     levels, rec = self._compute_txb(
-                        pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4,
-                        force_skip, mode,
+                        ctx, pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4,
+                        force_skip, mode, delta,
                     )
                     self.planes[pl].recon[py : py + txh, px : px + txw] = rec
                     results.append((pl, px, py, txw, txh, levels))
         skip = 1 if all(not lv.any() for *_x, lv in results) else 0
+        # mark the block decoded in the superblock mask (+1 offsets)
+        sy, sx = r - ctx.sb[0], c - ctx.sb[1]
+        ctx.mask[sy + 1 : sy + 1 + h4, sx + 1 : sx + 1 + w4] = 1
 
-        tw.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed)
+        tw.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
+                       y_delta=y_delta, uv_delta=uv_delta)
         if skip:
             return
 
@@ -485,16 +553,74 @@ class FrameEncoder:
         al = int(recon[py - 1, px - 1]) if (rr4 > 0 and cc4 > 0) else None
         return above, left, al
 
-    def _compute_txb(self, pl, px, py, txw, txh, rr4, cc4, force_skip, mode):
+    def _neighbors_ext(self, ctx, pl, px, py, txw, txh, rr4, cc4):
+        """Extended neighbor arrays for directional prediction (spec
+        7.11.2): AboveRow/LeftCol of length w+h, real pixels up to the
+        availability bound (above-right / below-left from the BlockDecoded
+        mirror), clamped reads at the frame edge, replication beyond."""
+        recon = self.planes[pl].recon
+        have_a = rr4 > 0
+        have_l = cc4 > 0
+        w4, h4 = txw >> 2, txh >> 2
+        sy = (py >> 2) - ctx.sb[0]
+        sx = (px >> 2) - ctx.sb[1]
+        m = ctx.mask
+        have_ar = have_a and bool(m[sy, sx + w4 + 1])
+        have_bl = have_l and bool(m[sy + h4 + 1, sx])
+        ext = txw + txh
+        base = 1 << (self.bit_depth - 1)
+        # prediction reads clamp at the TILE edge (tiles are independent;
+        # the spec's maxX/maxY use MiColEnd/MiRowEnd of the tile)
+        max_y = ctx.end[0] * 4 - 1
+        max_x = ctx.end[1] * 4 - 1
+        if not have_a and not have_l:
+            above_ext = np.full(ext, base - 1, dtype=np.int64)
+            left_ext = np.full(ext, base + 1, dtype=np.int64)
+            al = base
+        elif not have_a:
+            n_lv = txh + (txw if have_bl else 0)
+            ys = np.minimum(py + np.minimum(np.arange(ext), n_lv - 1), max_y)
+            left_ext = recon[ys, px - 1].astype(np.int64)
+            above_ext = np.full(ext, left_ext[0], dtype=np.int64)
+            al = int(left_ext[0])
+        elif not have_l:
+            n_av = txw + (txh if have_ar else 0)
+            xs = np.minimum(px + np.minimum(np.arange(ext), n_av - 1), max_x)
+            above_ext = recon[py - 1, xs].astype(np.int64)
+            left_ext = np.full(ext, above_ext[0], dtype=np.int64)
+            al = int(above_ext[0])
+        else:
+            n_av = txw + (txh if have_ar else 0)
+            xs = np.minimum(px + np.minimum(np.arange(ext), n_av - 1), max_x)
+            above_ext = recon[py - 1, xs].astype(np.int64)
+            n_lv = txh + (txw if have_bl else 0)
+            ys = np.minimum(py + np.minimum(np.arange(ext), n_lv - 1), max_y)
+            left_ext = recon[ys, px - 1].astype(np.int64)
+            al = int(recon[py - 1, px - 1])
+        return above_ext, left_ext, al, have_a, have_l
+
+    def _compute_txb(
+        self, ctx, pl, px, py, txw, txh, rr4, cc4, force_skip, mode, delta=0
+    ):
         """Quantize + reconstruct one txb with a fixed mode; returns
         (levels, recon). Prediction reads live recon — the decoder's view."""
-        from .predict import predict
+        from .predict import DIRECTIONAL_MODES, predict, predict_directional
 
         maxv = (1 << self.bit_depth) - 1
-        above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
         src = self.planes[pl].src[py : py + txh, px : px + txw]
         cw, ch = min(txw, 32), min(txh, 32)
-        pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
+        if mode in DIRECTIONAL_MODES and not (
+            delta == 0 and mode in (1, 2)
+        ):
+            above_ext, left_ext, al, _ha, _hl = self._neighbors_ext(
+                ctx, pl, px, py, txw, txh, rr4, cc4
+            )
+            pred = predict_directional(
+                mode, delta, above_ext, left_ext, al, txw, txh
+            )
+        else:
+            above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
+            pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
         if force_skip:
             return np.zeros((ch, cw), dtype=np.int32), pred
         res = (src - pred).astype(np.float64)
@@ -503,12 +629,12 @@ class FrameEncoder:
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
         if levels.any():
-            resid = transforms.dequant_reconstruct(
-                _embed(levels, txh, txw), self.dc_q, self.ac_q
+            from ..native import inv_txfm_exact
+
+            resid = inv_txfm_exact(
+                levels, txw, txh, self.dc_q, self.ac_q, self.bit_depth
             )
-            rec = np.clip(
-                pred + np.rint(resid).astype(np.int64), 0, maxv
-            ).astype(np.int32)
+            rec = np.clip(pred + resid, 0, maxv).astype(np.int32)
         else:
             rec = pred
         return levels, rec

@@ -1,0 +1,279 @@
+"""AV1 integer inverse-DCT basis matrices (exact 12-bit constants).
+
+The decoder's inverse DCT uses cos constants quantized to 12 bits
+(cospi[i] = round(cos(i*pi/64) * 4096)); the resulting linear map deviates
+from the ideal orthonormal DCT by up to ~1e-3 relative. For big coefficients
+(sharp edges) that deviation is several pixels — enough to drift the
+encoder's reconstruction model away from the decoder and snowball through
+intra prediction chains.
+
+This module runs the AV1 idct butterflies (av1_inv_txfm1d.c structure) over
+unit vectors *without* intermediate rounding, producing the exact linear
+basis the decoder applies (intra-stage rounding then contributes only a
+bounded +-1..2 LSB, magnitude-independent). Each matrix is validated against
+the ideal DCT at build time (a structural error in a butterfly would show up
+as a large deviation), and end-to-end against dav1d in tests.
+
+Matrices are normalized to ~orthonormal scale so transforms.py can keep its
+calibrated end-to-end gain model unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from . import tables
+
+
+@lru_cache(maxsize=1)
+def _cospi() -> np.ndarray:
+    # cospi table rows are cos bits 10..16; AV1 uses cos_bit 12 for inverse
+    arr = tables.get("cospi")
+    row = arr[2].astype(np.float64)  # bit 12
+    assert int(row[32]) == 2896, row[:4]
+    return row / 4096.0
+
+
+def _hb(w0, x0, w1, x1):
+    return w0 * x0 + w1 * x1
+
+
+def _idct4(s, c):
+    b0 = _hb(c[32], s[0], c[32], s[1])
+    b1 = _hb(c[32], s[0], -c[32], s[1])
+    b2 = _hb(c[48], s[2], -c[16], s[3])
+    b3 = _hb(c[16], s[2], c[48], s[3])
+    return [b0 + b3, b1 + b2, b1 - b2, b0 - b3]
+
+
+def _idct8(s, c):
+    # s: reordered inputs [in0, in4, in2, in6, in1, in5, in3, in7]
+    b4 = _hb(c[56], s[4], -c[8], s[7])
+    b5 = _hb(c[24], s[5], -c[40], s[6])
+    b6 = _hb(c[40], s[5], c[24], s[6])
+    b7 = _hb(c[8], s[4], c[56], s[7])
+    t = _idct4(s[:4], c)
+    c4 = b4 + b5
+    c5 = b4 - b5
+    c6 = -b6 + b7
+    c7 = b6 + b7
+    d5 = _hb(-c[32], c5, c[32], c6)
+    d6 = _hb(c[32], c5, c[32], c6)
+    return [
+        t[0] + c7, t[1] + d6, t[2] + d5, t[3] + c4,
+        t[3] - c4, t[2] - d5, t[1] - d6, t[0] - c7,
+    ]
+
+
+def _idct16(s, c):
+    # s: [in0,in8,in4,in12,in2,in10,in6,in14,in1,in9,in5,in13,in3,in11,in7,in15]
+    b8 = _hb(c[60], s[8], -c[4], s[15])
+    b9 = _hb(c[28], s[9], -c[36], s[14])
+    b10 = _hb(c[44], s[10], -c[20], s[13])
+    b11 = _hb(c[12], s[11], -c[52], s[12])
+    b12 = _hb(c[52], s[11], c[12], s[12])
+    b13 = _hb(c[20], s[10], c[44], s[13])
+    b14 = _hb(c[36], s[9], c[28], s[14])
+    b15 = _hb(c[4], s[8], c[60], s[15])
+    t = _idct8(s[:8], c)
+    c8 = b8 + b9
+    c9 = b8 - b9
+    c10 = -b10 + b11
+    c11 = b10 + b11
+    c12 = b12 + b13
+    c13 = b12 - b13
+    c14 = -b14 + b15
+    c15 = b14 + b15
+    d9 = _hb(-c[16], c9, c[48], c14)
+    d14 = _hb(c[48], c9, c[16], c14)
+    d10 = _hb(-c[48], c10, -c[16], c13)
+    d13 = _hb(-c[16], c10, c[48], c13)
+    e8 = c8 + c11
+    e9 = d9 + d10
+    e10 = d9 - d10
+    e11 = c8 - c11
+    e12 = c15 - c12
+    e13 = d14 - d13
+    e14 = d14 + d13
+    e15 = c15 + c12
+    f10 = _hb(-c[32], e10, c[32], e13)
+    f13 = _hb(c[32], e10, c[32], e13)
+    f11 = _hb(-c[32], e11, c[32], e12)
+    f12 = _hb(c[32], e11, c[32], e12)
+    g = [e8, e9, f10, f11, f12, f13, e14, e15]
+    return [
+        t[0] + g[7], t[1] + g[6], t[2] + g[5], t[3] + g[4],
+        t[4] + g[3], t[5] + g[2], t[6] + g[1], t[7] + g[0],
+        t[7] - g[0], t[6] - g[1], t[5] - g[2], t[4] - g[3],
+        t[3] - g[4], t[2] - g[5], t[1] - g[6], t[0] - g[7],
+    ]
+
+
+def _idct32(s, c):
+    # s: bit-reversed-ish reorder (see _reorder32)
+    b16 = _hb(c[62], s[16], -c[2], s[31])
+    b17 = _hb(c[30], s[17], -c[34], s[30])
+    b18 = _hb(c[46], s[18], -c[18], s[29])
+    b19 = _hb(c[14], s[19], -c[50], s[28])
+    b20 = _hb(c[54], s[20], -c[10], s[27])
+    b21 = _hb(c[22], s[21], -c[42], s[26])
+    b22 = _hb(c[38], s[22], -c[26], s[25])
+    b23 = _hb(c[6], s[23], -c[58], s[24])
+    b24 = _hb(c[58], s[23], c[6], s[24])
+    b25 = _hb(c[26], s[22], c[38], s[25])
+    b26 = _hb(c[42], s[21], c[22], s[26])
+    b27 = _hb(c[10], s[20], c[54], s[27])
+    b28 = _hb(c[50], s[19], c[14], s[28])
+    b29 = _hb(c[18], s[18], c[46], s[29])
+    b30 = _hb(c[34], s[17], c[30], s[30])
+    b31 = _hb(c[2], s[16], c[62], s[31])
+    t = _idct16(s[:16], c)
+    c16 = b16 + b17
+    c17 = b16 - b17
+    c18 = -b18 + b19
+    c19 = b18 + b19
+    c20 = b20 + b21
+    c21 = b20 - b21
+    c22 = -b22 + b23
+    c23 = b22 + b23
+    c24 = b24 + b25
+    c25 = b24 - b25
+    c26 = -b26 + b27
+    c27 = b26 + b27
+    c28 = b28 + b29
+    c29 = b28 - b29
+    c30 = -b30 + b31
+    c31 = b30 + b31
+    d17 = _hb(-c[8], c17, c[56], c30)
+    d30 = _hb(c[56], c17, c[8], c30)
+    d18 = _hb(-c[56], c18, -c[8], c29)
+    d29 = _hb(-c[8], c18, c[56], c29)
+    d21 = _hb(-c[40], c21, c[24], c26)
+    d26 = _hb(c[24], c21, c[40], c26)
+    d22 = _hb(-c[24], c22, -c[40], c25)
+    d25 = _hb(-c[40], c22, c[24], c25)
+    e16 = c16 + c19
+    e17 = d17 + d18
+    e18 = d17 - d18
+    e19 = c16 - c19
+    e20 = c23 - c20
+    e21 = d22 - d21
+    e22 = d22 + d21
+    e23 = c23 + c20
+    e24 = c24 + c27
+    e25 = d25 + d26
+    e26 = d25 - d26
+    e27 = c24 - c27
+    e28 = c31 - c28
+    e29 = d30 - d29
+    e30 = d30 + d29
+    e31 = c31 + c28
+    f18 = _hb(-c[16], e18, c[48], e29)
+    f29 = _hb(c[48], e18, c[16], e29)
+    f19 = _hb(-c[16], e19, c[48], e28)
+    f28 = _hb(c[48], e19, c[16], e28)
+    f20 = _hb(-c[48], e20, -c[16], e27)
+    f27 = _hb(-c[16], e20, c[48], e27)
+    f21 = _hb(-c[48], e21, -c[16], e26)
+    f26 = _hb(-c[16], e21, c[48], e26)
+    g16 = e16 + e23
+    g17 = e17 + e22
+    g18 = f18 + f21
+    g19 = f19 + f20
+    g20 = f19 - f20
+    g21 = f18 - f21
+    g22 = e17 - e22
+    g23 = e16 - e23
+    g24 = e31 - e24
+    g25 = e30 - e25
+    g26 = f29 - f26
+    g27 = f28 - f27
+    g28 = f28 + f27
+    g29 = f29 + f26
+    g30 = e30 + e25
+    g31 = e31 + e24
+    h20 = _hb(-c[32], g20, c[32], g27)
+    h27 = _hb(c[32], g20, c[32], g27)
+    h21 = _hb(-c[32], g21, c[32], g26)
+    h26 = _hb(c[32], g21, c[32], g26)
+    h22 = _hb(-c[32], g22, c[32], g25)
+    h25 = _hb(c[32], g22, c[32], g25)
+    h23 = _hb(-c[32], g23, c[32], g24)
+    h24 = _hb(c[32], g23, c[32], g24)
+    g = [g16, g17, g18, g19, h20, h21, h22, h23,
+         h24, h25, h26, h27, g28, g29, g30, g31]
+    out = []
+    for i in range(16):
+        out.append(t[i] + g[31 - 16 - (15 - i)] if False else None)
+    # final butterfly: out[i] = t[i] + g[15-i]... using symmetric pattern
+    res = [0.0] * 32
+    for i in range(16):
+        res[i] = t[i] + g[15 - i]
+        res[31 - i] = t[i] - g[15 - i]
+    return res
+
+
+def _reorder(n):
+    """Input reorder for idctN stage 1: even/odd split applied recursively."""
+    if n == 1:
+        return [0]
+    evens = [2 * i for i in _reorder(n // 2)]
+    odds = list(range(1, n, 2))
+    # odd part order for AV1 idct: bit-reversed within odds
+    if n == 4:
+        odd_order = [1, 3]
+    elif n == 8:
+        odd_order = [1, 5, 3, 7]
+    elif n == 16:
+        odd_order = [1, 9, 5, 13, 3, 11, 7, 15]
+    elif n == 32:
+        odd_order = [1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31]
+    else:
+        odd_order = odds
+    return evens + odd_order
+
+
+def _idct_1d(x, n):
+    c = _cospi()
+    s = [x[i] for i in _reorder(n)]
+    if n == 4:
+        return _idct4(s, c)
+    if n == 8:
+        return _idct8(s, c)
+    if n == 16:
+        return _idct16(s, c)
+    if n == 32:
+        return _idct32(s, c)
+    raise ValueError(n)
+
+
+@lru_cache(maxsize=None)
+def idct_basis(n: int) -> np.ndarray:
+    """(n, n) float64: column j = AV1 idct of unit coefficient j, normalized
+    to ~orthonormal scale (matches ideal DCT-III to the 12-bit constant
+    quantization). Validated against the ideal DCT at build time."""
+    cols = []
+    for j in range(n):
+        e = [0.0] * n
+        e[j] = 1.0
+        cols.append(_idct_1d(e, n))
+    m = np.array(cols, dtype=np.float64).T  # (out, coef)
+    # AV1 idct output scale: the DC column is constant cospi32^k ...;
+    # normalize so that column norms ~ 1 (ideal DCT-III basis)
+    scale = 1.0 / np.linalg.norm(m[:, 0]) * 1.0
+    m = m * scale
+    ideal = _ideal_idct(n)
+    err = np.abs(m - ideal).max()
+    assert err < 5e-3, (n, err)
+    return m
+
+
+@lru_cache(maxsize=None)
+def _ideal_idct(n: int) -> np.ndarray:
+    k = np.arange(n)
+    d = np.cos(np.pi * (2 * k[:, None] + 1) * k[None, :] / (2 * n))
+    d *= np.sqrt(2.0 / n)
+    d[:, 0] /= np.sqrt(2.0)
+    return d

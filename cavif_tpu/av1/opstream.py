@@ -31,7 +31,8 @@ OP_PARTITION = 1
 OP_SPLIT_BIN = 2
 OP_BLOCK = 3
 OP_COEFFS = 4
-OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, y_mode, uv_mode), abs mi
+OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, ym, yd, uvm, uvd), abs mi
+OP_SB_START = 6  # superblock boundary (r, c abs mi): resets decoded-flag mask
 
 
 class OpTileWriter:
@@ -55,19 +56,26 @@ class OpTileWriter:
 
     def write_block(
         self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
-        skip: int, cfl_allowed: bool,
+        skip: int, cfl_allowed: bool, y_delta: int = 0, uv_delta: int = 0,
     ) -> None:
         """skip + intra modes + context bookkeeping for one leaf block."""
         self.ops.extend(
-            (OP_BLOCK, r, c, w4, h4, y_mode, uv_mode, skip, int(cfl_allowed))
+            (OP_BLOCK, r, c, w4, h4, y_mode, uv_mode, skip, int(cfl_allowed),
+             y_delta, uv_delta)
         )
 
     def write_block_compute(
-        self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int
+        self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
+        y_delta: int = 0, uv_delta: int = 0,
     ) -> None:
         """Skeleton op for the native pass-2 pipeline: the C++ side computes
         levels/skip/recon itself. r, c are absolute mi coords."""
-        self.ops.extend((OP_BLOCK_COMPUTE, r, c, w4, h4, y_mode, uv_mode))
+        self.ops.extend(
+            (OP_BLOCK_COMPUTE, r, c, w4, h4, y_mode, y_delta, uv_mode, uv_delta)
+        )
+
+    def write_sb_start(self, r: int, c: int) -> None:
+        self.ops.extend((OP_SB_START, r, c))
 
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,
@@ -131,16 +139,18 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             tw.write_split_binary(r, c, bsl, bool(horz), bool(split))
             i += 6
         elif op == OP_BLOCK:
-            _, r, c, w4, h4, ym, uvm, skip, cfl = (
-                int(x) for x in ops[i : i + 9]
+            _, r, c, w4, h4, ym, uvm, skip, cfl, yd, uvd = (
+                int(x) for x in ops[i : i + 11]
             )
             tw.write_skip(r, c, skip)
-            tw.write_intra_modes(r, c, w4, h4, ym, uvm, bool(cfl))
+            tw.write_intra_modes(
+                r, c, w4, h4, ym, uvm, bool(cfl), y_delta=yd, uv_delta=uvd
+            )
             tw.record_block(r, c, w4, h4, ym, skip)
             tw.update_partition_ctx(r, c, w4, h4)
             if skip:
                 tw.reset_block_ctx(r, c, w4, h4)
-            i += 9
+            i += 11
         elif op == OP_COEFFS:
             _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym = (
                 int(x) for x in ops[i : i + 11]

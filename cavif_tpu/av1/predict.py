@@ -20,6 +20,12 @@ import numpy as np
 
 from . import tables
 from .symbols import (
+    D45,
+    D67,
+    D113,
+    D135,
+    D157,
+    D203,
     DC_PRED,
     H_PRED,
     PAETH_PRED,
@@ -32,6 +38,79 @@ from .symbols import (
 
 def _sm_weights(n: int) -> np.ndarray:
     return tables.get(f"sm_weights_{n}").astype(np.int64)
+
+
+# base prediction angles (spec Mode_Angle), indexed by mode - V_PRED
+MODE_ANGLE = [90, 180, 45, 135, 113, 157, 203, 67]
+
+DIRECTIONAL_MODES = [V_PRED, H_PRED, D45, D135, D113, D157, D203, D67]
+
+
+def _dr(angle: int) -> int:
+    return int(tables.get("dr_intra_derivative")[angle])
+
+
+def predict_directional(
+    mode: int,
+    angle_delta: int,
+    above_ext: np.ndarray,  # (w + h,) int64, AboveRow[0..w+h-1]
+    left_ext: np.ndarray,  # (w + h,) int64, LeftCol[0..w+h-1]
+    above_left: int,  # AboveRow[-1] == LeftCol[-1]
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Spec 7.11.2.4 directional predictor, no edge filter/upsample (both
+    disabled in the sequence header). Returns (h, w) int32."""
+    p_angle = MODE_ANGLE[mode - V_PRED] + angle_delta * 3
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    if p_angle == 90:
+        return np.broadcast_to(above_ext[:w][None, :], (h, w)).astype(np.int32)
+    if p_angle == 180:
+        return np.broadcast_to(left_ext[:h][:, None], (h, w)).astype(np.int32)
+    if p_angle < 90:
+        dx = _dr(p_angle)
+        idx = (i + 1) * dx
+        base = (idx >> 6) + j
+        shift = (idx >> 1) & 0x1F
+        max_base = w + h - 1
+        b = np.minimum(base, max_base)
+        b1 = np.minimum(base + 1, max_base)
+        val = (above_ext[b] * (32 - shift) + above_ext[b1] * shift + 16) >> 5
+        return np.where(base < max_base, val, above_ext[max_base]).astype(
+            np.int32
+        )
+    if p_angle < 180:
+        dx = _dr(180 - p_angle)
+        dy = _dr(p_angle - 90)
+        idx = (j << 6) - (i + 1) * dx
+        base = idx >> 6
+        shift = (idx >> 1) & 0x1F
+        # AboveRow[-1] is the corner; clamp the gather then patch
+        ab = np.concatenate(([above_left], above_ext))  # index shifted by +1
+        bidx = np.clip(base, -1, w + h - 2)
+        above_val = (
+            ab[bidx + 1] * (32 - shift) + ab[bidx + 2] * shift + 16
+        ) >> 5
+        idx2 = (i << 6) - (j + 1) * dy
+        base2 = idx2 >> 6
+        shift2 = (idx2 >> 1) & 0x1F
+        lc = np.concatenate(([above_left], left_ext))
+        b2 = np.clip(base2, -1, w + h - 2)
+        left_val = (
+            lc[b2 + 1] * (32 - shift2) + lc[b2 + 2] * shift2 + 16
+        ) >> 5
+        return np.where(base >= -1, above_val, left_val).astype(np.int32)
+    # p_angle > 180
+    dy = _dr(270 - p_angle)
+    idx = (j + 1) * dy
+    base = (idx >> 6) + i
+    shift = (idx >> 1) & 0x1F
+    max_base = w + h - 1
+    b = np.minimum(base, max_base)
+    b1 = np.minimum(base + 1, max_base)
+    val = (left_ext[b] * (32 - shift) + left_ext[b1] * shift + 16) >> 5
+    return np.where(base < max_base, val, left_ext[max_base]).astype(np.int32)
 
 
 def predict(
@@ -136,6 +215,88 @@ NONDIRECTIONAL_MODES = [
     SMOOTH_H,
     PAETH_PRED,
 ]
+
+
+def predict_dir_batch(
+    modes: list,
+    above_ext: np.ndarray,  # (B, w + h) int64, spec-extended AboveRow
+    left_ext: np.ndarray,  # (B, w + h)
+    al: np.ndarray,  # (B,)
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Batched directional predictors at delta 0 over B blocks: returns
+    (B, len(modes), h, w) int32. Same arithmetic as predict_directional."""
+    B = above_ext.shape[0]
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    max_base = w + h - 1
+    out = np.empty((B, len(modes), h, w), dtype=np.int32)
+    for mi_, mode in enumerate(modes):
+        p_angle = MODE_ANGLE[mode - V_PRED]
+        if p_angle == 90:
+            out[:, mi_] = np.broadcast_to(
+                above_ext[:, None, :w], (B, h, w)
+            )
+        elif p_angle == 180:
+            out[:, mi_] = np.broadcast_to(
+                left_ext[:, :h, None], (B, h, w)
+            )
+        elif p_angle < 90:
+            dx = _dr(p_angle)
+            idx = (i + 1) * dx
+            base = (idx >> 6) + j
+            shift = (idx >> 1) & 0x1F
+            b = np.minimum(base, max_base)
+            b1 = np.minimum(base + 1, max_base)
+            val = (
+                above_ext[:, b] * (32 - shift)
+                + above_ext[:, b1] * shift
+                + 16
+            ) >> 5
+            out[:, mi_] = np.where(
+                base < max_base, val, above_ext[:, max_base][:, None, None]
+            )
+        elif p_angle < 180:
+            dx = _dr(180 - p_angle)
+            dy = _dr(p_angle - 90)
+            idx = (j << 6) - (i + 1) * dx
+            base = idx >> 6
+            shift = (idx >> 1) & 0x1F
+            ab = np.concatenate([al[:, None], above_ext], axis=1)
+            bidx = np.clip(base, -1, w + h - 2)
+            above_val = (
+                ab[:, bidx + 1] * (32 - shift)
+                + ab[:, bidx + 2] * shift
+                + 16
+            ) >> 5
+            idx2 = (i << 6) - (j + 1) * dy
+            base2 = idx2 >> 6
+            shift2 = (idx2 >> 1) & 0x1F
+            lc = np.concatenate([al[:, None], left_ext], axis=1)
+            b2 = np.clip(base2, -1, w + h - 2)
+            left_val = (
+                lc[:, b2 + 1] * (32 - shift2)
+                + lc[:, b2 + 2] * shift2
+                + 16
+            ) >> 5
+            out[:, mi_] = np.where(base >= -1, above_val, left_val)
+        else:
+            dy = _dr(270 - p_angle)
+            idx = (j + 1) * dy
+            base = (idx >> 6) + i
+            shift = (idx >> 1) & 0x1F
+            b = np.minimum(base, max_base)
+            b1 = np.minimum(base + 1, max_base)
+            val = (
+                left_ext[:, b] * (32 - shift)
+                + left_ext[:, b1] * shift
+                + 16
+            ) >> 5
+            out[:, mi_] = np.where(
+                base < max_base, val, left_ext[:, max_base][:, None, None]
+            )
+    return out
 
 
 def predict_all_batch(

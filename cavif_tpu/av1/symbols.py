@@ -207,7 +207,7 @@ class TileWriter:
 
     def write_intra_modes(
         self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
-        cfl_allowed: bool,
+        cfl_allowed: bool, y_delta: int = 0, uv_delta: int = 0,
     ) -> None:
         above_mode = int(self.y_modes[r - 1, c]) if r > 0 else DC_PRED
         left_mode = int(self.y_modes[r, c - 1]) if c > 0 else DC_PRED
@@ -218,9 +218,10 @@ class TileWriter:
         actx = INTRA_MODE_CONTEXT[above_mode]
         lctx = INTRA_MODE_CONTEXT[left_mode]
         self.code(y_mode, ("kf_y", actx, lctx), tables.kf_y_mode_cdf(actx, lctx))
-        # V_PRED..D67 are all directional (angle_delta coded); delta 0 -> sym 3
+        # V_PRED..D67 are directional: angle_delta coded as delta + 3
         if V_PRED <= y_mode <= D67 and min(w4, h4) >= 2:
-            self.code(3, ("angle", y_mode - V_PRED), tables.angle_delta_cdf(y_mode - V_PRED))
+            self.code(y_delta + 3, ("angle", y_mode - V_PRED),
+                      tables.angle_delta_cdf(y_mode - V_PRED))
         if self.p.num_planes > 1:
             self.code(
                 uv_mode,
@@ -228,7 +229,8 @@ class TileWriter:
                 tables.uv_mode_cdf(cfl_allowed, y_mode),
             )
             if V_PRED <= uv_mode <= D67 and min(w4, h4) >= 2:
-                self.code(3, ("angle", uv_mode - V_PRED), tables.angle_delta_cdf(uv_mode - V_PRED))
+                self.code(uv_delta + 3, ("angle", uv_mode - V_PRED),
+                          tables.angle_delta_cdf(uv_mode - V_PRED))
 
     def record_block(self, r: int, c: int, w4: int, h4: int, y_mode: int, skip: int) -> None:
         self.y_modes[r : r + h4, c : c + w4] = y_mode

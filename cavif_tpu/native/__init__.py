@@ -91,6 +91,16 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.tc_set_sm_weights.restype = ctypes.c_int
+        lib.tc_set_dr.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        lib.tc_set_dr.restype = ctypes.c_int
+        lib.tc_set_cospi.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        lib.tc_set_cospi.restype = ctypes.c_int
+        lib.tc_inv_txfm.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.tc_inv_txfm.restype = ctypes.c_int
         lib.bp_encode_tile.argtypes = [
             ctypes.POINTER(ctypes.c_int32),  # src planes
             ctypes.c_int, ctypes.c_int,      # Hp, Wp
@@ -135,6 +145,12 @@ def _install_tables(lib) -> None:
         )
         if rc != 0:
             raise RuntimeError(f"tc_set_sm_weights({n}) failed")
+    dr = np.ascontiguousarray(tables.get("dr_intra_derivative"), dtype=np.int32)
+    if lib.tc_set_dr(dr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+        raise RuntimeError("tc_set_dr failed")
+    cp = np.ascontiguousarray(tables.get("cospi")[2], dtype=np.int32)  # bit 12
+    if lib.tc_set_cospi(cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+        raise RuntimeError("tc_set_cospi failed")
 
 
 def encode_tile_bp(
@@ -196,3 +212,21 @@ def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:
         if cap > (1 << 28):
             raise RuntimeError("tile encode failed")
         cap *= 4
+
+
+def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,
+                   ac_q: int, bit_depth: int) -> np.ndarray:
+    """Decoder-bit-exact inverse transform (dequant + integer inverse DCT).
+    levels: (ch, cw) coded area; returns (txh, txw) int32 residual."""
+    lib = _load()
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    ch, cw = levels.shape
+    out = np.empty((txh, txw), dtype=np.int32)
+    rc = lib.tc_inv_txfm(
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ch, cw,
+        txw, txh, dc_q, ac_q, bit_depth,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError("tc_inv_txfm failed")
+    return out

@@ -53,6 +53,10 @@ struct SpecTables {
   std::vector<uint8_t> nzoff[16];
   // smooth-predictor weights per size 4..64 (index log2(n)-2)
   std::vector<uint8_t> sm_weights[5];
+  // directional slope table dr_intra_derivative[90]
+  std::vector<int32_t> dr;
+  // 12-bit cos table for the integer inverse transform (64 entries)
+  std::vector<int32_t> cospi;
 };
 
 SpecTables g_tables;
@@ -219,7 +223,8 @@ constexpr int OP_PARTITION = 1;
 constexpr int OP_SPLIT_BIN = 2;
 constexpr int OP_BLOCK = 3;
 constexpr int OP_COEFFS = 4;
-constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, y_mode, uv_mode)
+constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, ym, yd, uvm, uvd)
+constexpr int OP_SB_START = 6;       // (r, c): superblock boundary
 
 constexpr int DC_PRED = 0, V_PRED = 1, D67 = 8;
 
@@ -402,7 +407,7 @@ struct TileCoder {
   }
 
   void write_block(int r, int c, int bw4, int bh4, int y_mode, int uv_mode,
-                   int skip, int cfl_allowed) {
+                   int skip, int cfl_allowed, int y_delta, int uv_delta) {
     // skip
     {
       int above = r > 0 ? skips[(size_t)(r - 1) * w4 + c] : 0;
@@ -420,11 +425,11 @@ struct TileCoder {
       code(cdf_kf_y[actx * 5 + lctx], y_mode, 13);
       int mind = bw4 < bh4 ? bw4 : bh4;
       if (y_mode >= V_PRED && y_mode <= D67 && mind >= 2)
-        code(cdf_angle[y_mode - V_PRED], 3, 7);
+        code(cdf_angle[y_mode - V_PRED], y_delta + 3, 7);
       if (num_planes > 1) {
         code(cdf_uv[cfl_allowed][y_mode], uv_mode, cfl_allowed ? 14 : 13);
         if (uv_mode >= V_PRED && uv_mode <= D67 && mind >= 2)
-          code(cdf_angle[uv_mode - V_PRED], 3, 7);
+          code(cdf_angle[uv_mode - V_PRED], uv_delta + 3, 7);
       }
     }
     // record + partition ctx + (skip) entropy ctx reset
@@ -625,6 +630,222 @@ struct TileCoder {
   }
 };
 
+
+// ---------------------------------------------------------------------------
+// Exact integer inverse DCT (av1_inv_txfm1d structure, cos_bit 12).
+// Encoder reconstruction must be BIT-EXACT with the decoder: any model error
+// drifts through intra prediction chains. Butterfly structure is validated
+// against the ideal DCT in av1/itx.py; rounding semantics here mirror
+// libaom round_shift/half_btf; end-to-end exactness is tested against dav1d.
+// ---------------------------------------------------------------------------
+
+static inline int64_t rsh(int64_t v, int bit) {
+  return (v + (1ll << (bit - 1))) >> bit;
+}
+
+static inline int64_t hbf(int64_t w0, int64_t x0, int64_t w1, int64_t x1) {
+  return rsh(w0 * x0 + w1 * x1, 12);
+}
+
+static void iidct4(const int64_t* s, int64_t* out, const int32_t* c) {
+  int64_t b0 = hbf(c[32], s[0], c[32], s[1]);
+  int64_t b1 = hbf(c[32], s[0], -c[32], s[1]);
+  int64_t b2 = hbf(c[48], s[2], -c[16], s[3]);
+  int64_t b3 = hbf(c[16], s[2], c[48], s[3]);
+  out[0] = b0 + b3; out[1] = b1 + b2; out[2] = b1 - b2; out[3] = b0 - b3;
+}
+
+static void iidct8(const int64_t* s, int64_t* out, const int32_t* c) {
+  int64_t b4 = hbf(c[56], s[4], -c[8], s[7]);
+  int64_t b5 = hbf(c[24], s[5], -c[40], s[6]);
+  int64_t b6 = hbf(c[40], s[5], c[24], s[6]);
+  int64_t b7 = hbf(c[8], s[4], c[56], s[7]);
+  int64_t t[4];
+  iidct4(s, t, c);
+  int64_t c4 = b4 + b5, c5 = b4 - b5, c6 = -b6 + b7, c7 = b6 + b7;
+  int64_t d5 = hbf(-c[32], c5, c[32], c6);
+  int64_t d6 = hbf(c[32], c5, c[32], c6);
+  out[0] = t[0] + c7; out[1] = t[1] + d6; out[2] = t[2] + d5; out[3] = t[3] + c4;
+  out[4] = t[3] - c4; out[5] = t[2] - d5; out[6] = t[1] - d6; out[7] = t[0] - c7;
+}
+
+static void iidct16(const int64_t* s, int64_t* out, const int32_t* c) {
+  int64_t b8 = hbf(c[60], s[8], -c[4], s[15]);
+  int64_t b9 = hbf(c[28], s[9], -c[36], s[14]);
+  int64_t b10 = hbf(c[44], s[10], -c[20], s[13]);
+  int64_t b11 = hbf(c[12], s[11], -c[52], s[12]);
+  int64_t b12 = hbf(c[52], s[11], c[12], s[12]);
+  int64_t b13 = hbf(c[20], s[10], c[44], s[13]);
+  int64_t b14 = hbf(c[36], s[9], c[28], s[14]);
+  int64_t b15 = hbf(c[4], s[8], c[60], s[15]);
+  int64_t t[8];
+  iidct8(s, t, c);
+  int64_t c8 = b8 + b9, c9 = b8 - b9, c10 = -b10 + b11, c11 = b10 + b11;
+  int64_t c12 = b12 + b13, c13 = b12 - b13, c14 = -b14 + b15, c15 = b14 + b15;
+  int64_t d9 = hbf(-c[16], c9, c[48], c14);
+  int64_t d14 = hbf(c[48], c9, c[16], c14);
+  int64_t d10 = hbf(-c[48], c10, -c[16], c13);
+  int64_t d13 = hbf(-c[16], c10, c[48], c13);
+  int64_t e8 = c8 + c11, e9 = d9 + d10, e10 = d9 - d10, e11 = c8 - c11;
+  int64_t e12 = c15 - c12, e13 = d14 - d13, e14 = d14 + d13, e15 = c15 + c12;
+  int64_t f10 = hbf(-c[32], e10, c[32], e13);
+  int64_t f13 = hbf(c[32], e10, c[32], e13);
+  int64_t f11 = hbf(-c[32], e11, c[32], e12);
+  int64_t f12 = hbf(c[32], e11, c[32], e12);
+  int64_t g[8] = {e8, e9, f10, f11, f12, f13, e14, e15};
+  for (int i = 0; i < 8; i++) {
+    out[i] = t[i] + g[7 - i];
+    out[15 - i] = t[i] - g[7 - i];
+  }
+}
+
+static void iidct32(const int64_t* s, int64_t* out, const int32_t* c) {
+  int64_t b[16];
+  b[0] = hbf(c[62], s[16], -c[2], s[31]);
+  b[1] = hbf(c[30], s[17], -c[34], s[30]);
+  b[2] = hbf(c[46], s[18], -c[18], s[29]);
+  b[3] = hbf(c[14], s[19], -c[50], s[28]);
+  b[4] = hbf(c[54], s[20], -c[10], s[27]);
+  b[5] = hbf(c[22], s[21], -c[42], s[26]);
+  b[6] = hbf(c[38], s[22], -c[26], s[25]);
+  b[7] = hbf(c[6], s[23], -c[58], s[24]);
+  b[8] = hbf(c[58], s[23], c[6], s[24]);
+  b[9] = hbf(c[26], s[22], c[38], s[25]);
+  b[10] = hbf(c[42], s[21], c[22], s[26]);
+  b[11] = hbf(c[10], s[20], c[54], s[27]);
+  b[12] = hbf(c[50], s[19], c[14], s[28]);
+  b[13] = hbf(c[18], s[18], c[46], s[29]);
+  b[14] = hbf(c[34], s[17], c[30], s[30]);
+  b[15] = hbf(c[2], s[16], c[62], s[31]);
+  int64_t t[16];
+  iidct16(s, t, c);
+  int64_t c16 = b[0] + b[1], c17 = b[0] - b[1];
+  int64_t c18 = -b[2] + b[3], c19 = b[2] + b[3];
+  int64_t c20 = b[4] + b[5], c21 = b[4] - b[5];
+  int64_t c22 = -b[6] + b[7], c23 = b[6] + b[7];
+  int64_t c24 = b[8] + b[9], c25 = b[8] - b[9];
+  int64_t c26 = -b[10] + b[11], c27 = b[10] + b[11];
+  int64_t c28 = b[12] + b[13], c29 = b[12] - b[13];
+  int64_t c30 = -b[14] + b[15], c31 = b[14] + b[15];
+  int64_t d17 = hbf(-c[8], c17, c[56], c30);
+  int64_t d30 = hbf(c[56], c17, c[8], c30);
+  int64_t d18 = hbf(-c[56], c18, -c[8], c29);
+  int64_t d29 = hbf(-c[8], c18, c[56], c29);
+  int64_t d21 = hbf(-c[40], c21, c[24], c26);
+  int64_t d26 = hbf(c[24], c21, c[40], c26);
+  int64_t d22 = hbf(-c[24], c22, -c[40], c25);
+  int64_t d25 = hbf(-c[40], c22, c[24], c25);
+  int64_t e16 = c16 + c19, e17 = d17 + d18, e18 = d17 - d18, e19 = c16 - c19;
+  int64_t e20 = c23 - c20, e21 = d22 - d21, e22 = d22 + d21, e23 = c23 + c20;
+  int64_t e24 = c24 + c27, e25 = d25 + d26, e26 = d25 - d26, e27 = c24 - c27;
+  int64_t e28 = c31 - c28, e29 = d30 - d29, e30 = d30 + d29, e31 = c31 + c28;
+  int64_t f18 = hbf(-c[16], e18, c[48], e29);
+  int64_t f29 = hbf(c[48], e18, c[16], e29);
+  int64_t f19 = hbf(-c[16], e19, c[48], e28);
+  int64_t f28 = hbf(c[48], e19, c[16], e28);
+  int64_t f20 = hbf(-c[48], e20, -c[16], e27);
+  int64_t f27 = hbf(-c[16], e20, c[48], e27);
+  int64_t f21 = hbf(-c[48], e21, -c[16], e26);
+  int64_t f26 = hbf(-c[16], e21, c[48], e26);
+  int64_t g16 = e16 + e23, g17 = e17 + e22, g18 = f18 + f21, g19 = f19 + f20;
+  int64_t g20 = f19 - f20, g21 = f18 - f21, g22 = e17 - e22, g23 = e16 - e23;
+  int64_t g24 = e31 - e24, g25 = e30 - e25, g26 = f29 - f26, g27 = f28 - f27;
+  int64_t g28 = f28 + f27, g29 = f29 + f26, g30 = e30 + e25, g31 = e31 + e24;
+  int64_t h20 = hbf(-c[32], g20, c[32], g27);
+  int64_t h27 = hbf(c[32], g20, c[32], g27);
+  int64_t h21 = hbf(-c[32], g21, c[32], g26);
+  int64_t h26 = hbf(c[32], g21, c[32], g26);
+  int64_t h22 = hbf(-c[32], g22, c[32], g25);
+  int64_t h25 = hbf(c[32], g22, c[32], g25);
+  int64_t h23 = hbf(-c[32], g23, c[32], g24);
+  int64_t h24 = hbf(c[32], g23, c[32], g24);
+  int64_t g[16] = {g16, g17, g18, g19, h20, h21, h22, h23,
+                   h24, h25, h26, h27, g28, g29, g30, g31};
+  for (int i = 0; i < 16; i++) {
+    out[i] = t[i] + g[15 - i];
+    out[31 - i] = t[i] - g[15 - i];
+  }
+}
+
+// input reorder (even/odd recursive split; odd part in AV1 order)
+static void reorder_for_idct(const int64_t* in, int64_t* out, int n) {
+  static const int ro4[4] = {0, 2, 1, 3};
+  static const int ro8[8] = {0, 4, 2, 6, 1, 5, 3, 7};
+  static const int ro16[16] = {0, 8, 4, 12, 2, 10, 6, 14,
+                               1, 9, 5, 13, 3, 11, 7, 15};
+  static const int ro32[32] = {0, 16, 8, 24, 4, 20, 12, 28,
+                               2, 18, 10, 26, 6, 22, 14, 30,
+                               1, 17, 9, 25, 5, 21, 13, 29,
+                               3, 19, 11, 27, 7, 23, 15, 31};
+  const int* ro = n == 4 ? ro4 : n == 8 ? ro8 : n == 16 ? ro16 : ro32;
+  for (int i = 0; i < n; i++) out[i] = in[ro[i]];
+}
+
+static void idct_1d(const int64_t* in, int64_t* out, int n, const int32_t* c) {
+  int64_t s[32];
+  reorder_for_idct(in, s, n);
+  if (n == 4) iidct4(s, out, c);
+  else if (n == 8) iidct8(s, out, c);
+  else if (n == 16) iidct16(s, out, c);
+  else iidct32(s, out, c);
+}
+
+// Full exact inverse: dequant + rect scale + row pass + col pass.
+// levels: (ch x cw) coded area of a (txh x txw) transform; out: (txh x txw)
+// residual values to add to prediction.
+static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
+                           int txh, int dc_q, int ac_q, int bit_depth,
+                           int32_t* out) {
+  const int32_t* c = g_tables.cospi.data();
+  int lw = bitlength((uint32_t)txw) - 1, lh = bitlength((uint32_t)txh) - 1;
+  int tx_scale = ((txw > txh ? txw : txh) >= 32) ? 1 : 0;  // 64 handled as skip
+  int cf_max = (1 << (bit_depth + 7)) - 1;
+  // shift pairs (after row pass, after col pass)
+  int s0, s1 = 4;
+  int mx = txw > txh ? txw : txh;
+  if (mx <= 4) s0 = 0;
+  else if (mx == 8) s0 = 1;
+  else if (txw == txh && txw >= 16) s0 = 2;
+  else if ((txw == 32 && txh == 16) || (txw == 16 && txh == 32) ||
+           (txw == 16 && txh == 8) || (txw == 8 && txh == 16)) s0 = 1;
+  else if ((txw == 32 && txh == 8) || (txw == 8 && txh == 32)) s0 = 2;
+  else s0 = 1;
+  bool rect = (lw - lh == 1) || (lh - lw == 1);
+
+  static thread_local std::vector<int64_t> buf;
+  buf.resize((size_t)txw * txh);
+  // dequant into row-major (txh x txw)
+  for (int y = 0; y < txh; y++)
+    for (int x = 0; x < txw; x++) {
+      int64_t v = 0;
+      if (y < ch && x < cw) {
+        int32_t lv = levels[y * cw + x];
+        int q = (y == 0 && x == 0) ? dc_q : ac_q;
+        int64_t a = (int64_t)(lv < 0 ? -lv : lv) * q;
+        a >>= tx_scale;
+        if (a > cf_max) a = cf_max;
+        v = lv < 0 ? -a : a;
+      }
+      if (rect && v) v = rsh(v * 2896, 12);
+      else if (rect) v = 0;
+      buf[(size_t)y * txw + x] = v;
+    }
+  // row pass
+  int64_t tmp[32], o[32];
+  for (int y = 0; y < txh; y++) {
+    idct_1d(&buf[(size_t)y * txw], o, txw, c);
+    for (int x = 0; x < txw; x++)
+      buf[(size_t)y * txw + x] = s0 ? rsh(o[x], s0) : o[x];
+  }
+  // col pass
+  for (int x = 0; x < txw; x++) {
+    for (int y = 0; y < txh; y++) tmp[y] = buf[(size_t)y * txw + x];
+    idct_1d(tmp, o, txh, c);
+    for (int y = 0; y < txh; y++)
+      out[y * txw + x] = (int32_t)rsh(o[y], s1);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Block pipeline: intra predict + forward DCT + quantize + reconstruct.
 // Mirrors av1/predict.py (bit-exact integer predictors) and av1/transforms.py
@@ -689,6 +910,7 @@ struct BlockPipe {
   int P, Hp, Wp;
   int mi_rows, mi_cols;
   int mi_r0, mi_c0;  // tile origin (mi units)
+  int mi_r1, mi_c1;  // tile end (mi units, clamped to frame)
   int bit_depth;
   int dc_q, ac_q;
   double gain;
@@ -696,11 +918,25 @@ struct BlockPipe {
   std::vector<double> fbuf, tbuf, cbuf, rbuf;
   std::vector<int32_t> lvbuf;
   std::vector<int32_t> pred;
+  // BlockDecoded mirror for the current superblock, +1 offsets (18x18)
+  uint8_t mask[18][18];
+  int sb_r = 0, sb_c = 0;
+
+  void reset_mask(int r, int c) {
+    sb_r = r; sb_c = c;
+    std::memset(mask, 0, sizeof(mask));
+    // whole previous SB row is decoded (incl. above-right of the last
+    // block column); left column from the previous SB
+    for (int x = 0; x < 18; x++) mask[0][x] = 1;
+    for (int y = 1; y < 17; y++) mask[y][0] = 1;
+  }
 
   void init(const int32_t* s, int p, int hp, int wp, int mir, int mic,
-            int r0, int c0, int bd, int dq, int aq, double g) {
+            int r0, int c0, int r1, int c1, int bd, int dq, int aq,
+            double g) {
     src = s; P = p; Hp = hp; Wp = wp;
     mi_rows = mir; mi_cols = mic; mi_r0 = r0; mi_c0 = c0;
+    mi_r1 = r1 < mir ? r1 : mir; mi_c1 = c1 < mic ? c1 : mic;
     bit_depth = bd; dc_q = dq; ac_q = aq; gain = g;
     recon_store.assign((size_t)P * Hp * Wp, 0);
     recon = recon_store.data();
@@ -710,13 +946,17 @@ struct BlockPipe {
   }
 
   // intra predict into pred[] (txh x txw), reading recon neighbors
-  void predict(int pl, int px, int py, int txw, int txh, int mode) {
+  void predict(int pl, int px, int py, int txw, int txh, int mode, int delta) {
     const int32_t* rp = &recon[(size_t)pl * Hp * Wp];
     int rr4 = (py >> 2) - mi_r0;
     int cc4 = (px >> 2) - mi_c0;
     bool have_a = rr4 > 0;
     bool have_l = cc4 > 0;
     int base = 1 << (bit_depth - 1);
+    if (mode >= 1 && mode <= 8 && !(delta == 0 && (mode == 1 || mode == 2))) {
+      predict_directional(pl, px, py, txw, txh, mode, delta, have_a, have_l);
+      return;
+    }
     int64_t above[64], left[64], al;
     if (!have_a && !have_l) {
       for (int i = 0; i < txw; i++) above[i] = base - 1;
@@ -818,12 +1058,137 @@ struct BlockPipe {
     }
   }
 
+  // Directional predictor (spec 7.11.2.4, no edge filter/upsample),
+  // with spec neighbor extension: AboveRow/LeftCol length w+h, real pixels
+  // up to the availability bound (above-right / below-left from the
+  // BlockDecoded mirror), frame-edge-clamped reads, replication beyond.
+  void predict_directional(int pl, int px, int py, int txw, int txh, int mode,
+                           int delta, bool have_a, bool have_l) {
+    static const int MODE_ANGLE[8] = {90, 180, 45, 135, 113, 157, 203, 67};
+    const int32_t* rp = &recon[(size_t)pl * Hp * Wp];
+    int w = txw, h = txh, ext = w + h;
+    int base = 1 << (bit_depth - 1);
+    // tile-edge clamp (tiles are independent; spec maxX/maxY use the tile)
+    int max_x = mi_c1 * 4 - 1;
+    int max_y = mi_r1 * 4 - 1;
+    int w4 = w >> 2, h4 = h >> 2;
+    int sy = (py >> 2) - sb_r, sx = (px >> 2) - sb_c;
+    bool have_ar = have_a && mask[sy][sx + w4 + 1];
+    bool have_bl = have_l && mask[sy + h4 + 1][sx];
+    int64_t above_ext[128], left_ext[128], al;
+    if (!have_a && !have_l) {
+      for (int i = 0; i < ext; i++) above_ext[i] = base - 1;
+      for (int i = 0; i < ext; i++) left_ext[i] = base + 1;
+      al = base;
+    } else if (!have_a) {
+      int n_lv = h + (have_bl ? w : 0);
+      for (int i = 0; i < ext; i++) {
+        int k = i < n_lv - 1 ? i : n_lv - 1;
+        int yy = py + k; if (yy > max_y) yy = max_y;
+        left_ext[i] = rp[(size_t)yy * Wp + px - 1];
+      }
+      for (int i = 0; i < ext; i++) above_ext[i] = left_ext[0];
+      al = left_ext[0];
+    } else if (!have_l) {
+      int n_av = w + (have_ar ? h : 0);
+      for (int i = 0; i < ext; i++) {
+        int k = i < n_av - 1 ? i : n_av - 1;
+        int xx = px + k; if (xx > max_x) xx = max_x;
+        above_ext[i] = rp[(size_t)(py - 1) * Wp + xx];
+      }
+      for (int i = 0; i < ext; i++) left_ext[i] = above_ext[0];
+      al = above_ext[0];
+    } else {
+      int n_av = w + (have_ar ? h : 0);
+      for (int i = 0; i < ext; i++) {
+        int k = i < n_av - 1 ? i : n_av - 1;
+        int xx = px + k; if (xx > max_x) xx = max_x;
+        above_ext[i] = rp[(size_t)(py - 1) * Wp + xx];
+      }
+      int n_lv = h + (have_bl ? w : 0);
+      for (int i = 0; i < ext; i++) {
+        int k = i < n_lv - 1 ? i : n_lv - 1;
+        int yy = py + k; if (yy > max_y) yy = max_y;
+        left_ext[i] = rp[(size_t)yy * Wp + px - 1];
+      }
+      al = rp[(size_t)(py - 1) * Wp + px - 1];
+    }
+    int p_angle = MODE_ANGLE[mode - 1] + delta * 3;
+    int32_t* out = pred.data();
+    const int32_t* dr = g_tables.dr.data();
+    if (p_angle == 90) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) out[i * w + j] = (int32_t)above_ext[j];
+      return;
+    }
+    if (p_angle == 180) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) out[i * w + j] = (int32_t)left_ext[i];
+      return;
+    }
+    int max_base = w + h - 1;
+    if (p_angle < 90) {
+      int dx = dr[p_angle];
+      for (int i = 0; i < h; i++) {
+        int64_t idx = (int64_t)(i + 1) * dx;
+        for (int j = 0; j < w; j++) {
+          int64_t b = (idx >> 6) + j;
+          int shift = (int)((idx >> 1) & 0x1F);
+          int64_t v;
+          if (b < max_base)
+            v = (above_ext[b] * (32 - shift) + above_ext[b + 1] * shift + 16) >> 5;
+          else
+            v = above_ext[max_base];
+          out[i * w + j] = (int32_t)v;
+        }
+      }
+    } else if (p_angle < 180) {
+      int dx = dr[180 - p_angle];
+      int dy = dr[p_angle - 90];
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t idx = ((int64_t)j << 6) - (int64_t)(i + 1) * dx;
+          int64_t b = idx >> 6;
+          int64_t v;
+          if (b >= -1) {
+            int shift = (int)((idx >> 1) & 0x1F);
+            int64_t a0 = b < 0 ? al : above_ext[b];
+            int64_t a1 = above_ext[b + 1];
+            v = (a0 * (32 - shift) + a1 * shift + 16) >> 5;
+          } else {
+            int64_t idx2 = ((int64_t)i << 6) - (int64_t)(j + 1) * dy;
+            int64_t b2 = idx2 >> 6;
+            int shift2 = (int)((idx2 >> 1) & 0x1F);
+            int64_t l0 = b2 < 0 ? al : left_ext[b2];
+            int64_t l1 = b2 + 1 < 0 ? al : left_ext[b2 + 1];
+            v = (l0 * (32 - shift2) + l1 * shift2 + 16) >> 5;
+          }
+          out[i * w + j] = (int32_t)v;
+        }
+    } else {
+      int dy = dr[270 - p_angle];
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t idx = (int64_t)(j + 1) * dy;
+          int64_t b = (idx >> 6) + i;
+          int shift = (int)((idx >> 1) & 0x1F);
+          int64_t v;
+          if (b < max_base)
+            v = (left_ext[b] * (32 - shift) + left_ext[b + 1] * shift + 16) >> 5;
+          else
+            v = left_ext[max_base];
+          out[i * w + j] = (int32_t)v;
+        }
+    }
+  }
+
   // Compute one txb with fixed mode: quantize + reconstruct.
   // Returns levels in lvbuf (ch x cw); recon plane updated. force_skip
   // zeroes levels and reconstructs as pure prediction.
   void compute_txb(int pl, int px, int py, int txw, int txh, int mode,
-                   bool force_skip, int* out_ch, int* out_cw, bool* any_nz) {
-    predict(pl, px, py, txw, txh, mode);
+                   int delta, bool force_skip, int* out_ch, int* out_cw,
+                   bool* any_nz) {
+    predict(pl, px, py, txw, txh, mode, delta);
     int cw = txw < 32 ? txw : 32;
     int ch = txh < 32 ? txh : 32;
     *out_ch = ch; *out_cw = cw;
@@ -876,44 +1241,14 @@ struct BlockPipe {
           rp[(size_t)(py + y) * Wp + px + x] = pred[y * txw + x];
       return;
     }
-    // dequant + inverse (float model, gain folded in), embedded in txh x txw
-    for (int i = 0; i < txh * txw; i++) cbuf[i] = 0.0;
-    double s_ac = (double)ac_q * gain;
-    double s_dc = (double)dc_q * gain;
-    for (int y = 0; y < ch; y++)
-      for (int x = 0; x < cw; x++)
-        cbuf[y * txw + x] =
-            lvbuf[y * cw + x] * (y == 0 && x == 0 ? s_dc : s_ac);
-    // inverse: D^T * C * D  == mat_sandwich with transposed matrices.
-    // Build transposes on the fly via a transposed multiply:
-    // out = A^T C B with A=dh, B=dw: out[i][j] = sum_k sum_l dh[k][i] C[k][l] dw[l][j]
-    // tmp = dh^T * C
-    for (int i = 0; i < txh; i++) {
-      for (int j = 0; j < txw; j++) tbuf[(size_t)i * txw + j] = 0.0;
-    }
-    for (int k = 0; k < txh; k++) {
-      const double* crow = &cbuf[(size_t)k * txw];
-      for (int i = 0; i < txh; i++) {
-        double a = dh.d[(size_t)k * txh + i];
-        double* tr = &tbuf[(size_t)i * txw];
-        for (int j = 0; j < txw; j++) tr[j] += a * crow[j];
-      }
-    }
-    // rbuf = tmp * dw  (rbuf[i][j] = sum_l tmp[i][l] * dw[l][j])
-    for (int i = 0; i < txh; i++) {
-      double* orow = &rbuf[(size_t)i * txw];
-      for (int j = 0; j < txw; j++) orow[j] = 0.0;
-      const double* tr = &tbuf[(size_t)i * txw];
-      for (int l = 0; l < txw; l++) {
-        double t = tr[l];
-        const double* dr = &dw.d[(size_t)l * txw];
-        for (int j = 0; j < txw; j++) orow[j] += t * dr[j];
-      }
-    }
+    // exact integer inverse (decoder-bit-exact) -> zero model drift
+    static thread_local std::vector<int32_t> resid;
+    resid.resize((size_t)txw * txh);
+    inv_txfm_exact(lvbuf.data(), ch, cw, txw, txh, dc_q, ac_q, bit_depth,
+                   resid.data());
     for (int y = 0; y < txh; y++)
       for (int x = 0; x < txw; x++) {
-        long long v = (long long)pred[y * txw + x] +
-                      (long long)std::llround(rbuf[y * txw + x]);
+        long long v = (long long)pred[y * txw + x] + resid[y * txw + x];
         if (v < 0) v = 0;
         if (v > maxv) v = maxv;
         rp[(size_t)(py + y) * Wp + px + x] = (int32_t)v;
@@ -922,7 +1257,7 @@ struct BlockPipe {
 
   // Full leaf block: compute all txbs, then emit skip/modes/coeffs.
   void encode_block(TileCoder& tc, int r, int c, int w4, int h4, int y_mode,
-                    int uv_mode, int num_planes) {
+                    int y_delta, int uv_mode, int uv_delta, int num_planes) {
     int rr = r - mi_r0, cc = c - mi_c0;
     int bw = w4 * 4, bh = h4 * 4;
     int x0 = c * 4, y0 = r * 4;
@@ -940,12 +1275,14 @@ struct BlockPipe {
       int txw = pl == 0 ? (bw < 64 ? bw : 64) : (bw < 32 ? bw : 32);
       int txh = pl == 0 ? (bh < 64 ? bh : 64) : (bh < 32 ? bh : 32);
       int mode = pl == 0 ? y_mode : uv_mode;
+      int delta = pl == 0 ? y_delta : uv_delta;
       for (int ty = 0; ty < bh; ty += txh)
         for (int tx = 0; tx < bw; tx += txw) {
           int px = x0 + tx, py = y0 + ty;
           if (px >= mi_cols * 4 || py >= mi_rows * 4) continue;
           int ch, cw; bool nz;
-          compute_txb(pl, px, py, txw, txh, mode, force_skip, &ch, &cw, &nz);
+          compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch, &cw,
+                      &nz);
           any_nz |= nz;
           int off = (int)all_levels.size();
           all_levels.insert(all_levels.end(), lvbuf.begin(),
@@ -954,7 +1291,14 @@ struct BlockPipe {
         }
     }
     int skip = any_nz ? 0 : 1;
-    tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed);
+    // mark decoded in the superblock mask (+1 offsets)
+    {
+      int sy = r - sb_r, sx = c - sb_c;
+      for (int yy = 0; yy < h4; yy++)
+        for (int xx = 0; xx < w4; xx++) mask[sy + 1 + yy][sx + 1 + xx] = 1;
+    }
+    tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
+                   y_delta, uv_delta);
     if (skip) return;
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
@@ -1016,6 +1360,16 @@ int tc_set_sm_weights(int n, const uint8_t* w) {
   return 0;
 }
 
+int tc_set_dr(const int32_t* dr) {
+  g_tables.dr.assign(dr, dr + 90);
+  return 0;
+}
+
+int tc_set_cospi(const int32_t* c) {
+  g_tables.cospi.assign(c, c + 64);
+  return 0;
+}
+
 // Full pass-2 tile encode: skeleton ops (partition walk + per-block modes),
 // native predict/transform/quantize/reconstruct, entropy coding.
 // src: (num_planes, Hp, Wp) plane-major padded int32 source.
@@ -1029,8 +1383,8 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
   tc.reduced_tx_set = reduced_tx_set != 0;
   BlockPipe bp;
-  bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, bit_depth,
-          dc_q, ac_q, gain);
+  bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
+          mi_c1, bit_depth, dc_q, ac_q, gain);
   int i = 0;
   while (i < n_ops) {
     switch (ops[i]) {
@@ -1049,14 +1403,27 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
         break;
       case OP_BLOCK_COMPUTE:
         bp.encode_block(tc, ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
-                        ops[i + 5], ops[i + 6], num_planes);
-        i += 7;
+                        ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
+                        num_planes);
+        i += 9;
+        break;
+      case OP_SB_START:
+        bp.reset_mask(ops[i + 1], ops[i + 2]);
+        i += 3;
         break;
       default:
         return -2;
     }
   }
   return tc.enc.done(out, cap);
+}
+
+// Exact inverse transform hook for the python reconstruction path.
+int tc_inv_txfm(const int32_t* levels, int ch, int cw, int txw, int txh,
+                int dc_q, int ac_q, int bit_depth, int32_t* out) {
+  if (g_tables.cospi.empty()) return -1;
+  inv_txfm_exact(levels, ch, cw, txw, txh, dc_q, ac_q, bit_depth, out);
+  return 0;
 }
 
 // Returns bytes written, or -1 on error / insufficient cap.
@@ -1087,8 +1454,12 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
         break;
       case OP_BLOCK:
         tc.write_block(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
-                       ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8]);
-        i += 9;
+                       ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
+                       ops[i + 9], ops[i + 10]);
+        i += 11;
+        break;
+      case OP_SB_START:
+        i += 3;
         break;
       case OP_COEFFS:
         tc.write_coeffs(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],

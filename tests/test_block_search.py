@@ -35,11 +35,12 @@ def test_plane_search_matches_host():
     )  # (1, 4, 4)
 
     agree = total = 0
-    for (r, c, _w4, _h4), (ym, _uv, _cost) in host_modes.items():
+    for (r, c, _w4, _h4), (ym, _yd, _uv, _uvd, _cost) in host_modes.items():
+        if ym not in NONDIRECTIONAL_MODES:
+            continue  # host searched directional candidates the kernel lacks
         by, bx = r // 8, c // 8
         total += 1
         if NONDIRECTIONAL_MODES[int(dev[0, by, bx])] == ym:
             agree += 1
-    assert total == 16
     # identical formulas in f32; tie-breaks may differ on a block or two
-    assert agree >= total - 2, (agree, total)
+    assert total >= 8 and agree >= total - 2, (agree, total)

@@ -1,0 +1,74 @@
+"""Encoder reconstruction must be BIT-EXACT with the decoder (dav1d).
+
+Any model error drifts through intra prediction chains and snowballs on
+edge-heavy content; regression for three found bugs: float inverse-transform
+model (replaced by the exact integer idct), BlockDecoded top-row reset
+(whole previous SB row is decoded), and extension reads clamping at the tile
+edge rather than the frame edge."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from cavif_tpu.av1.config import AV1Config
+from cavif_tpu.av1.encoder import FrameEncoder
+from cavif_tpu.av1.speed import SpeedTweaks
+from cavif_tpu.av1 import frame as frame_mod
+
+
+def _drift(plane, q, threads=1, tiles=False):
+    import dav1d_probe
+
+    h, w = plane.shape
+    cfg = AV1Config(
+        width=w, height=h, bit_depth=10, quantizer=q,
+        tweaks=SpeedTweaks.from_preset(4, q), chroma_sampling="400",
+        full_range=True, matrix_coefficients=None, threads=threads,
+        ec_backend="python",
+    )
+    fe = FrameEncoder(plane, cfg)
+    if tiles:
+        fe._tile_split = lambda: (1, 1)
+    orig = frame_mod.FrameParams.__init__
+
+    def patched(self, *a, **k):
+        orig(self, *a, **k)
+        self.filter_level = (0, 0, 0, 0)  # deblock is output-only noise here
+
+    frame_mod.FrameParams.__init__ = patched
+    try:
+        b = fe.encode()
+    finally:
+        frame_mod.FrameParams.__init__ = orig
+    ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
+    assert ok, logs
+    dec = desc[3][0].astype(np.int64)
+    rec = fe.planes[0].recon[:h, :w].astype(np.int64)
+    return int(np.abs(dec - rec).max())
+
+
+def _stripes(n=256):
+    y, x = np.mgrid[0:n, 0:n]
+    v = ((((x + y) // 24) % 2) * 560 + 240 + ((x - 2 * y) // 40 % 3) * 80)
+    return (v % 1024).astype(np.int32)
+
+
+def test_recon_exact_single_tile():
+    assert _drift(_stripes(), q=121) == 0
+
+
+def test_recon_exact_multi_tile():
+    assert _drift(_stripes(), q=121, tiles=True) == 0
+
+
+def test_recon_exact_noisy():
+    rng = np.random.default_rng(4)
+    y, x = np.mgrid[0:192, 0:192]
+    plane = np.clip(
+        ((x * 5 + y * 3) % 1024) + rng.integers(-60, 60, (192, 192)), 0, 1023
+    ).astype(np.int32)
+    assert _drift(plane, q=60) == 0
