@@ -230,15 +230,15 @@ class FrameEncoder:
             for c0i in range(0, len(all_items), CHUNK):
                 items = all_items[c0i : c0i + CHUNK]
                 B = len(items)
-                src = np.empty((B, bh, bw), dtype=np.int64)
-                above = np.zeros((B, bw), dtype=np.int64)
-                left = np.zeros((B, bh), dtype=np.int64)
-                al = np.zeros(B, dtype=np.int64)
+                src = np.empty((B, bh, bw), dtype=np.int32)
+                above = np.zeros((B, bw), dtype=np.int32)
+                left = np.zeros((B, bh), dtype=np.int32)
+                al = np.zeros(B, dtype=np.int32)
                 have_a = np.zeros(B, dtype=bool)
                 have_l = np.zeros(B, dtype=bool)
                 ext = bw + bh
-                above_ext = np.empty((B, ext), dtype=np.int64)
-                left_ext = np.empty((B, ext), dtype=np.int64)
+                above_ext = np.empty((B, ext), dtype=np.int32)
+                left_ext = np.empty((B, ext), dtype=np.int32)
                 base_px = 1 << (self.bit_depth - 1)
                 for i, (idx, pl) in enumerate(items):
                     r, c, _, _ = blocks[idx]
@@ -283,23 +283,41 @@ class FrameEncoder:
                 if force_skip:
                     cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
                 else:
-                    coef = transforms.forward_dct2d(res)
+                    # stage 1: SAD prefilter keeps the best K candidates;
+                    # DC always survives (low rate often beats low SAD)
+                    K = 4
+                    sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
+                    sad[:, 7:] += lam * 0.5  # nudge ties toward cheap modes
+                    sad[:, 0] = -1.0
+                    keep = np.argsort(sad, axis=1)[:, :K]  # (B, K)
+                    res_k = np.take_along_axis(
+                        res, keep[:, :, None, None], axis=1
+                    )
+                    # stage 2: transform-domain RD on the survivors
+                    # (Parseval: pixel SSE of the quant error == coef SSE)
+                    coef = transforms.forward_dct2d(res_k)
                     levels = transforms.quantize_block(
                         coef, self.dc_q, self.ac_q, bw, bh,
                         bit_depth=self.bit_depth,
                     )
-                    resid = transforms.dequant_reconstruct(
-                        levels, self.dc_q, self.ac_q, dtype=np.float32
+                    g = transforms.get_gain(bw, bh)
+                    deq = levels.astype(np.float32) * np.float32(
+                        float(self.ac_q) * g
                     )
-                    maxv = (1 << self.bit_depth) - 1
-                    rec = np.clip(
-                        preds + np.rint(resid).astype(np.int64), 0, maxv
+                    deq[..., 0, 0] = levels[..., 0, 0] * np.float32(
+                        float(self.dc_q) * g
                     )
-                    err = (src[:, None] - rec).astype(np.float32)
+                    errc = coef - deq
                     rate = np.abs(levels).sum(axis=(2, 3)) + 2 * np.count_nonzero(
                         levels, axis=(2, 3)
                     )
-                    cost = (err * err).sum(axis=(2, 3), dtype=np.float64) + lam * rate
+                    cost_k = (errc * errc).sum(
+                        axis=(2, 3), dtype=np.float64
+                    ) + lam * rate
+                    cost = np.full(
+                        (B, preds.shape[1]), np.inf, dtype=np.float64
+                    )
+                    np.put_along_axis(cost, keep, cost_k, axis=1)
                 cost[:, 7:] += lam * 2.0  # angle-delta symbol rate proxy
                 best = np.argmin(cost, axis=1)
                 uv_dc_only = max(min(bw, 32), min(bh, 32)) <= 16

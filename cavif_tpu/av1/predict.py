@@ -217,9 +217,61 @@ NONDIRECTIONAL_MODES = [
 ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _dir_grids(mode: int, w: int, h: int):
+    """Precomputed gather grids for one directional mode at delta 0:
+    (kind, idx0, w0, idx1, w1, mask) with int32 grids; kind selects the
+    gather source arrangement."""
+    p_angle = MODE_ANGLE[mode - V_PRED]
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    max_base = w + h - 1
+    if p_angle == 90 or p_angle == 180:
+        return ("vh", p_angle, None, None, None, None)
+    if p_angle < 90:
+        dx = _dr(p_angle)
+        idx = (i + 1) * dx
+        base = (idx >> 6) + j
+        shift = ((idx >> 1) & 0x1F).astype(np.int32)
+        shift = np.broadcast_to(shift, (h, w)).copy()
+        b = np.minimum(base, max_base).astype(np.int32)
+        b1 = np.minimum(base + 1, max_base).astype(np.int32)
+        return ("above", b, 32 - shift, b1, shift, base < max_base)
+    if p_angle < 180:
+        dx = _dr(180 - p_angle)
+        dy = _dr(p_angle - 90)
+        idx = (j << 6) - (i + 1) * dx
+        base = idx >> 6
+        shift = ((idx >> 1) & 0x1F).astype(np.int32)
+        bidx = np.clip(base, -1, w + h - 2).astype(np.int32)
+        idx2 = (i << 6) - (j + 1) * dy
+        base2 = idx2 >> 6
+        shift2 = ((idx2 >> 1) & 0x1F).astype(np.int32)
+        b2 = np.clip(base2, -1, w + h - 2).astype(np.int32)
+        return (
+            "zone2",
+            (bidx + 1, np.broadcast_to(32 - shift, (h, w)).copy(),
+             np.broadcast_to(shift, (h, w)).copy()),
+            (b2 + 1, np.broadcast_to(32 - shift2, (h, w)).copy(),
+             np.broadcast_to(shift2, (h, w)).copy()),
+            None, None, base >= -1,
+        )
+    dy = _dr(270 - p_angle)
+    idx = (j + 1) * dy
+    base = (idx >> 6) + i
+    shift = ((idx >> 1) & 0x1F).astype(np.int32)
+    b = np.minimum(base, max_base).astype(np.int32)
+    b1 = np.minimum(base + 1, max_base).astype(np.int32)
+    return ("left", b, np.broadcast_to(32 - shift, (h, w)).copy(),
+            b1, np.broadcast_to(shift, (h, w)).copy(), base < max_base)
+
+
 def predict_dir_batch(
     modes: list,
-    above_ext: np.ndarray,  # (B, w + h) int64, spec-extended AboveRow
+    above_ext: np.ndarray,  # (B, w + h) int, spec-extended AboveRow
     left_ext: np.ndarray,  # (B, w + h)
     al: np.ndarray,  # (B,)
     w: int,
@@ -228,74 +280,39 @@ def predict_dir_batch(
     """Batched directional predictors at delta 0 over B blocks: returns
     (B, len(modes), h, w) int32. Same arithmetic as predict_directional."""
     B = above_ext.shape[0]
-    i = np.arange(h, dtype=np.int64)[:, None]
-    j = np.arange(w, dtype=np.int64)[None, :]
-    max_base = w + h - 1
+    above_ext = above_ext.astype(np.int32, copy=False)
+    left_ext = left_ext.astype(np.int32, copy=False)
+    al32 = al.astype(np.int32, copy=False)
     out = np.empty((B, len(modes), h, w), dtype=np.int32)
     for mi_, mode in enumerate(modes):
-        p_angle = MODE_ANGLE[mode - V_PRED]
-        if p_angle == 90:
-            out[:, mi_] = np.broadcast_to(
-                above_ext[:, None, :w], (B, h, w)
-            )
-        elif p_angle == 180:
-            out[:, mi_] = np.broadcast_to(
-                left_ext[:, :h, None], (B, h, w)
-            )
-        elif p_angle < 90:
-            dx = _dr(p_angle)
-            idx = (i + 1) * dx
-            base = (idx >> 6) + j
-            shift = (idx >> 1) & 0x1F
-            b = np.minimum(base, max_base)
-            b1 = np.minimum(base + 1, max_base)
-            val = (
-                above_ext[:, b] * (32 - shift)
-                + above_ext[:, b1] * shift
-                + 16
-            ) >> 5
+        kind, a1, a2, a3, a4, mask = _dir_grids(mode, w, h)
+        if kind == "vh":
+            if a1 == 90:
+                out[:, mi_] = np.broadcast_to(
+                    above_ext[:, None, :w], (B, h, w)
+                )
+            else:
+                out[:, mi_] = np.broadcast_to(
+                    left_ext[:, :h, None], (B, h, w)
+                )
+        elif kind == "above":
+            val = (above_ext[:, a1] * a2 + above_ext[:, a3] * a4 + 16) >> 5
             out[:, mi_] = np.where(
-                base < max_base, val, above_ext[:, max_base][:, None, None]
+                mask, val, above_ext[:, w + h - 1][:, None, None]
             )
-        elif p_angle < 180:
-            dx = _dr(180 - p_angle)
-            dy = _dr(p_angle - 90)
-            idx = (j << 6) - (i + 1) * dx
-            base = idx >> 6
-            shift = (idx >> 1) & 0x1F
-            ab = np.concatenate([al[:, None], above_ext], axis=1)
-            bidx = np.clip(base, -1, w + h - 2)
-            above_val = (
-                ab[:, bidx + 1] * (32 - shift)
-                + ab[:, bidx + 2] * shift
-                + 16
-            ) >> 5
-            idx2 = (i << 6) - (j + 1) * dy
-            base2 = idx2 >> 6
-            shift2 = (idx2 >> 1) & 0x1F
-            lc = np.concatenate([al[:, None], left_ext], axis=1)
-            b2 = np.clip(base2, -1, w + h - 2)
-            left_val = (
-                lc[:, b2 + 1] * (32 - shift2)
-                + lc[:, b2 + 2] * shift2
-                + 16
-            ) >> 5
-            out[:, mi_] = np.where(base >= -1, above_val, left_val)
-        else:
-            dy = _dr(270 - p_angle)
-            idx = (j + 1) * dy
-            base = (idx >> 6) + i
-            shift = (idx >> 1) & 0x1F
-            b = np.minimum(base, max_base)
-            b1 = np.minimum(base + 1, max_base)
-            val = (
-                left_ext[:, b] * (32 - shift)
-                + left_ext[:, b1] * shift
-                + 16
-            ) >> 5
+        elif kind == "left":
+            val = (left_ext[:, a1] * a2 + left_ext[:, a3] * a4 + 16) >> 5
             out[:, mi_] = np.where(
-                base < max_base, val, left_ext[:, max_base][:, None, None]
+                mask, val, left_ext[:, w + h - 1][:, None, None]
             )
+        else:  # zone2
+            bidx1, wa0, wa1 = a1
+            b21, wl0, wl1 = a2
+            ab = np.concatenate([al32[:, None], above_ext], axis=1)
+            above_val = (ab[:, bidx1] * wa0 + ab[:, bidx1 + 1] * wa1 + 16) >> 5
+            lc = np.concatenate([al32[:, None], left_ext], axis=1)
+            left_val = (lc[:, b21] * wl0 + lc[:, b21 + 1] * wl1 + 16) >> 5
+            out[:, mi_] = np.where(mask, above_val, left_val)
     return out
 
 
@@ -317,9 +334,9 @@ def predict_all_batch(
     where the corresponding have_* flag is False)."""
     B = above.shape[0]
     base = 1 << (bit_depth - 1)
-    above = above.astype(np.int64)
-    left = left.astype(np.int64)
-    al = al.astype(np.int64)
+    above = above.astype(np.int32, copy=False)
+    left = left.astype(np.int32, copy=False)
+    al = al.astype(np.int32, copy=False)
     ha = have_a[:, None]
     hl = have_l[:, None]
     a0 = above[:, 0:1]
@@ -336,8 +353,8 @@ def predict_all_batch(
     out = np.empty((B, 7, h, w), dtype=np.int32)
 
     # DC: per-availability averaging over the *real* sides
-    sum_a = above.sum(axis=1)
-    sum_l = left.sum(axis=1)
+    sum_a = above.sum(axis=1, dtype=np.int64)
+    sum_l = left.sum(axis=1, dtype=np.int64)
     avg_both = (sum_a + sum_l + ((w + h) >> 1)) // (w + h)
     avg_a = (sum_a + (w >> 1)) >> (w.bit_length() - 1)
     avg_l = (sum_l + (h >> 1)) >> (h.bit_length() - 1)

@@ -37,7 +37,9 @@ def _as_lists(key: str, nsym: int):
     return out
 
 
+@lru_cache(maxsize=None)
 def get(key: str) -> np.ndarray:
+    """Cached: npz member access decompresses on every read otherwise."""
     return _npz()[key]
 
 

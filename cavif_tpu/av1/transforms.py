@@ -104,10 +104,11 @@ def quantize_block(
     Levels are clamped to the spec's dequant conformance bound.
     """
     g = get_gain(w, h)
-    t = coef * (1.0 / (float(ac_q) * g))
-    t[..., 0, 0] = coef[..., 0, 0] * (1.0 / (float(dc_q) * g))
-    ac_bias = AC_BIAS if bias is None else bias
-    dc_bias = DC_BIAS if bias is None else bias
+    ft = coef.dtype.type if coef.dtype in (np.float32, np.float64) else np.float64
+    t = coef * ft(1.0 / (float(ac_q) * g))
+    t[..., 0, 0] = coef[..., 0, 0] * ft(1.0 / (float(dc_q) * g))
+    ac_bias = ft(AC_BIAS if bias is None else bias)
+    dc_bias = ft(DC_BIAS if bias is None else bias)
     lv = (np.sign(t) * np.floor(np.abs(t) + ac_bias)).astype(np.int32)
     tdc = t[..., 0, 0]
     lv[..., 0, 0] = (np.sign(tdc) * np.floor(np.abs(tdc) + dc_bias)).astype(

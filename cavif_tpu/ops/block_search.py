@@ -28,6 +28,8 @@ import numpy as np
 from ..av1.transforms import dct2_matrix, get_gain
 
 NONDIRECTIONAL = (0, 1, 2, 9, 10, 11, 12)  # DC,V,H,SMOOTH,SM_V,SM_H,PAETH
+DIAG_MODES = (3, 4, 5, 6, 7, 8)  # D45,D135,D113,D157,D203,D67 at delta 0
+CAND_MODES = NONDIRECTIONAL + DIAG_MODES
 
 
 @lru_cache(maxsize=None)
@@ -96,8 +98,60 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
             [dc, v, h, smooth, smooth_v, smooth_h, paeth], axis=-3
         )  # (..., 7, n, n)
 
+    from ..av1.predict import _dir_grids
+
+    # directional gather grids as device constants (delta 0)
+    dir_grids = []
+    for mode in DIAG_MODES:
+        kind, a1, a2, a3, a4, mask = _dir_grids(mode, n, n)
+        if kind == "zone2":
+            b1, wa0, wa1 = a1
+            b2, wl0, wl1 = a2
+            dir_grids.append(
+                ("zone2", jnp.asarray(b1), jnp.asarray(wa0), jnp.asarray(wa1),
+                 jnp.asarray(b2), jnp.asarray(wl0), jnp.asarray(wl1),
+                 jnp.asarray(mask))
+            )
+        else:
+            dir_grids.append(
+                (kind, jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3),
+                 jnp.asarray(a4), jnp.asarray(mask))
+            )
+
+    def predict_dir(above_ext, left_ext, al):
+        # above_ext/left_ext: (..., 2n); al: (...)
+        outs = []
+        ali = al[..., None]
+        for g in dir_grids:
+            if g[0] == "above":
+                _, b, w0, b1, w1, mask = g
+                val = (
+                    above_ext[..., b] * w0 + above_ext[..., b1] * w1 + 16
+                ) >> 5
+                outs.append(
+                    jnp.where(mask, val, above_ext[..., 2 * n - 1][..., None, None])
+                )
+            elif g[0] == "left":
+                _, b, w0, b1, w1, mask = g
+                val = (
+                    left_ext[..., b] * w0 + left_ext[..., b1] * w1 + 16
+                ) >> 5
+                outs.append(
+                    jnp.where(mask, val, left_ext[..., 2 * n - 1][..., None, None])
+                )
+            else:
+                _, b1, wa0, wa1, b2, wl0, wl1, mask = g
+                ab = jnp.concatenate([ali, above_ext], axis=-1)
+                av = (ab[..., b1] * wa0 + ab[..., b1 + 1] * wa1 + 16) >> 5
+                lc = jnp.concatenate([ali, left_ext], axis=-1)
+                lv_ = (lc[..., b2] * wl0 + lc[..., b2 + 1] * wl1 + 16) >> 5
+                outs.append(jnp.where(mask, av, lv_))
+        return jnp.stack(outs, axis=-3)  # (..., 6, n, n)
+
     def search(planes, dc_q, ac_q, lam):
-        """planes: (N, H, W) int32; returns best-mode index (N, H/n, W/n)."""
+        """planes: (N, H, W) int32; returns best-mode index (N, H/n, W/n)
+        into CAND_MODES. Mirrors the host search (13 candidates,
+        transform-domain RD; no SAD pruning — the MXU eats all 13)."""
         N, H, W = planes.shape
         nby, nbx = H // n, W // n
         blocks = planes.reshape(N, nby, n, nbx, n).transpose(0, 1, 3, 2, 4)
@@ -123,28 +177,65 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
         have_a = jnp.broadcast_to(by > 0, (N, nby, nbx))
         have_l = jnp.broadcast_to(bx > 0, (N, nby, nbx))
 
-        preds = predict7(above, left, al, have_a, have_l)
+        # extended neighbors for the diagonal modes (host-search
+        # approximation: no above-right/below-left, replicate the edge)
+        rows2 = jnp.pad(
+            planes[:, n - 1 :: n, :], ((0, 0), (0, 0), (0, n)), mode="edge"
+        )
+        ae = jnp.stack(
+            [rows2[:, :, j * n : j * n + 2 * n] for j in range(nbx)], axis=2
+        )  # (N, nby, nbx, 2n)
+        above_ext = jnp.concatenate(
+            [jnp.zeros_like(ae[:, :1]), ae[:, :-1]], axis=1
+        )
+        cols2 = jnp.pad(
+            planes[:, :, n - 1 :: n], ((0, 0), (0, n), (0, 0)), mode="edge"
+        )
+        le = jnp.stack(
+            [cols2[:, i * n : i * n + 2 * n, :] for i in range(nby)], axis=1
+        ).transpose(0, 1, 3, 2)  # (N, nby, nbx, 2n)
+        left_ext = jnp.concatenate(
+            [jnp.zeros_like(le[:, :, :1]), le[:, :, :-1]], axis=2
+        )
+        base = 1 << (bit_depth - 1)
+        both_missing = ~have_a & ~have_l
+        only_a = have_a & ~have_l
+        only_l = ~have_a & have_l
+        above_ext = jnp.where(
+            both_missing[..., None], base - 1,
+            jnp.where(only_l[..., None], left_ext[..., 0:1], above_ext),
+        )
+        left_ext = jnp.where(
+            both_missing[..., None], base + 1,
+            jnp.where(only_a[..., None], above_ext[..., 0:1], left_ext),
+        )
+        al = jnp.where(
+            both_missing, base,
+            jnp.where(only_a, above_ext[..., 0],
+                      jnp.where(only_l, left_ext[..., 0], al)),
+        )
+
+        preds7 = predict7(above, left, al, have_a, have_l)
+        preds6 = predict_dir(above_ext, left_ext, al)
+        preds = jnp.concatenate([preds7, preds6], axis=-3)  # (..., 13, n, n)
         res = (blocks[..., None, :, :] - preds).astype(jnp.float32)
         coef = dct @ res @ dct.T
-        inv_ac = 1.0 / (ac_q.astype(jnp.float32) * gain)
-        inv_dc = 1.0 / (dc_q.astype(jnp.float32) * gain)
-        t = coef * inv_ac
-        t = t.at[..., 0, 0].set(coef[..., 0, 0] * inv_dc)
+        acf = ac_q.astype(jnp.float32) * gain
+        dcf = dc_q.astype(jnp.float32) * gain
+        t = coef * (1.0 / acf)
+        t = t.at[..., 0, 0].set(coef[..., 0, 0] * (1.0 / dcf))
         lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + 0.35)  # AC deadzone
         lv = lv.at[..., 0, 0].set(
             jnp.sign(t[..., 0, 0]) * jnp.floor(jnp.abs(t[..., 0, 0]) + 0.5)
         )
-        x = lv * (ac_q.astype(jnp.float32) * gain)
-        x = x.at[..., 0, 0].set(lv[..., 0, 0] * dc_q.astype(jnp.float32) * gain)
-        resid = dct.T @ x @ dct
-        rec = jnp.clip(
-            preds + jnp.round(resid).astype(jnp.int32), 0, maxv
-        )
-        err = (blocks[..., None, :, :] - rec).astype(jnp.float32)
+        deq = lv * acf
+        deq = deq.at[..., 0, 0].set(lv[..., 0, 0] * dcf)
+        errc = coef - deq
         rate = jnp.abs(lv).sum(axis=(-2, -1)) + 2.0 * (lv != 0).sum(
             axis=(-2, -1)
         )
-        cost = (err * err).sum(axis=(-2, -1)) + lam * rate
+        cost = (errc * errc).sum(axis=(-2, -1)) + lam * rate
+        cost = cost.at[..., 7:].add(lam * 2.0)  # angle-delta rate proxy
         return jnp.argmin(cost, axis=-1).astype(jnp.int8)
 
     return jax.jit(search)
@@ -158,9 +249,9 @@ def plane_mode_search(
     bit_depth: int,
     n: int = 32,
 ):
-    """Search best non-directional mode for every aligned n x n block of a
-    batch of planes. planes: (N, H, W) with H, W multiples of n. Returns
-    (N, H/n, W/n) int8 indices into NONDIRECTIONAL."""
+    """Search the best intra mode (13 candidates) for every aligned n x n
+    block of a batch of planes. planes: (N, H, W) with H, W multiples of n.
+    Returns (N, H/n, W/n) int8 indices into CAND_MODES."""
     import jax.numpy as jnp
 
     f = _kernel(n, bit_depth)
