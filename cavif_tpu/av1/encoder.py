@@ -1,13 +1,18 @@
 """AV1 intra encoder: plane(s) -> temporal unit (seq header + frame OBU).
 
-Round-1 slice: fixed-grid partitioning (32x32 / 64x64 leaves, HORZ/VERT or
-SPLIT at frame edges), DC intra prediction, DCT-only transforms, fixed
-quantizer, adaptive CDFs, single or multiple tiles. The mode search widens
-into full RDO (partition tree + mode set per SURVEY.md §2.2 speed matrix) as
-the device kernels land; this module keeps the normative walk + syntax.
+Pipeline per tile (encode_tile docstring has the detail):
+pass 1 collects the partition geometry, batch-searches all 13 intra modes
+for every candidate block size (SAD prefilter + transform-domain RD), and
+merges the partition tree bottom-up (PARTITION_NONE vs SPLIT by RD);
+pass 2 walks blocks in coding order with the chosen modes, reconstructing
+bit-exactly with the decoder (exact integer inverse transform, spec
+neighbor extension and BlockDecoded availability), and either emits the
+op stream for the native serializer or drives the whole computation in C++
+(native backend). Tiles encode in parallel.
 
 Reference parity: encode_to_av1 + rav1e's intra pipeline
-(/root/reference/ravif/src/av1encoder.rs:649-771).
+(/root/reference/ravif/src/av1encoder.rs:649-771); speed knobs per
+SURVEY.md section 2.2.
 """
 
 from __future__ import annotations

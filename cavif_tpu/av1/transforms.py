@@ -3,12 +3,12 @@
 Split of responsibilities:
 - The *bitstream* carries quantized levels; legality never depends on the
   encoder's transform arithmetic.
-- The *decoder* reconstructs with the normative integer butterflies. This
-  module models that path as an orthonormal float DCT-III with a per-size
-  linear gain, calibrated end-to-end against dav1d (tools/calibrate_gain.py
-  measures pixel response of single-coefficient streams). The model is
-  within +-1 LSB of the normative transform for typical data; an exact
-  integer mirror (C++/Pallas) replaces it on the perf path later.
+- The *decoder* reconstructs with the normative integer butterflies. The
+  encoder's reconstruction path uses the exact integer mirror
+  (native/tilecoder.cpp inv_txfm_exact, exposed to Python via
+  native.inv_txfm_exact) — bit-exact with dav1d. This module's float
+  orthonormal model with a calibrated per-size gain serves the *search*
+  (cost estimation), where +-1 LSB does not matter.
 - The forward transform is encoder-private: orthonormal DCT-II, quantizer
   folded in via the same calibrated gain so level*ac_q maps back to the
   intended residual amplitude.

@@ -1,0 +1,96 @@
+"""Batch (data-parallel) encoding: many images at once.
+
+The reference gets file-level parallelism from rayon's global pool
+(/root/reference/src/main.rs:223: files.into_par_iter()) with per-file
+failure isolation. Here:
+
+- encode_batch(): thread-pool fan-out over images. The encode pipeline
+  releases the GIL in its native stages (tile serialization, block
+  pipeline), so threads scale like the reference's rayon pool; failures are
+  isolated per image and returned, not raised — the caller decides (the CLI
+  prints them all and exits 1, like the reference).
+- plane_mode_search_batch(): the device-side half for same-shaped batches —
+  one pjit'd whole-plane mode search over a (data, tile) mesh; see
+  ops/block_search.py and __graft_entry__.dryrun_multichip for the sharding
+  wiring. Host tiles then serialize per image in the same pool.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+
+
+@dataclass
+class BatchResult:
+    """Per-image outcome: exactly one of `encoded` / `error` is set."""
+
+    index: int
+    encoded: Optional[object] = None  # EncodedImage
+    error: Optional[BaseException] = None
+
+
+def encode_batch(
+    images: Sequence[np.ndarray],
+    encoder=None,
+    max_workers: Optional[int] = None,
+) -> List[BatchResult]:
+    """Encode a batch of (H, W, 3|4) uint8 images in parallel.
+
+    Mirrors the reference's rayon fan-out semantics: every image is
+    attempted, failures are collected per image (BatchResult.error), and
+    results come back in input order."""
+    from .. import Encoder
+
+    enc = encoder if encoder is not None else Encoder.new()
+    workers = max_workers or (os.cpu_count() or 1)
+
+    def job(i: int) -> BatchResult:
+        img = np.asarray(images[i])
+        try:
+            if img.ndim == 3 and img.shape[2] == 4:
+                out = enc.encode_rgba(img)
+            else:
+                out = enc.encode_rgb(img)
+            return BatchResult(index=i, encoded=out)
+        except BaseException as e:  # per-image isolation
+            return BatchResult(index=i, error=e)
+
+    if len(images) <= 1:
+        return [job(i) for i in range(len(images))]
+    with ThreadPoolExecutor(max_workers=min(workers, len(images))) as ex:
+        return list(ex.map(job, range(len(images))))
+
+
+def plane_mode_search_batch(
+    planes: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    lam: float,
+    bit_depth: int,
+    mesh=None,
+):
+    """Device-side batched mode search over a batch of same-shaped planes,
+    optionally sharded over a mesh (data axis = images, tile axis = block
+    rows). planes: (N, H, W) int32 with H, W multiples of 32."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.block_search import _kernel
+
+    f = _kernel(32, bit_depth)
+    args = (
+        np.ascontiguousarray(planes, np.int32),
+        np.float32(dc_q),
+        np.float32(ac_q),
+        np.float32(lam),
+    )
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data", "tile", None))
+        arr = jax.device_put(args[0], sh)
+        return np.asarray(f(arr, *args[1:]))
+    return np.asarray(f(*args))
