@@ -133,7 +133,7 @@ class FrameEncoder:
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(ctx, None, r, c, 4)
-        partials = [b for b in ctx.collect if b[2] != b[3] or b[2] != self.min_leaf_mi]
+        partials = self._split_partials(ctx.collect)
         ctx.collect = None
         ctx.part, ctx.modes = self._rdo_partition(
             partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
@@ -187,7 +187,7 @@ class FrameEncoder:
         for r in range(mi_r0, mi_r1, 16):
             for c in range(mi_c0, mi_c1, 16):
                 self._encode_partition(ctx, None, r, c, 4)
-        partials = [b for b in ctx.collect if b[2] != b[3] or b[2] != self.min_leaf_mi]
+        partials = self._split_partials(ctx.collect)
         ctx.collect = None
         ctx.part, ctx.modes = self._rdo_partition(
             partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
@@ -356,6 +356,22 @@ class FrameEncoder:
     OVH_BLOCK = 12.0
     OVH_SPLIT = 2.0
 
+    def _split_partials(self, collect):
+        """Blocks the geometry walk found that the size-tier enumeration
+        will NOT cover: edge slivers, 4x4 corner leaves, and bottom-tier
+        squares whose parent square is not fully inside the grid (those can
+        never be pruned away by the parent-cost test)."""
+        out = []
+        s = self.min_leaf_mi
+        for (r, c, w4b, h4b) in collect:
+            if w4b != h4b or w4b != s:
+                out.append((r, c, w4b, h4b))
+                continue
+            pr, pc = r - r % (2 * s), c - c % (2 * s)
+            if pr + 2 * s > self.mi_rows or pc + 2 * s > self.mi_cols:
+                out.append((r, c, w4b, h4b))
+        return out
+
     def _rdo_partition(self, partials, origin, mi_r0, mi_r1, mi_c0, mi_c1):
         """Bottom-up NONE/SPLIT decision per full block.
 
@@ -365,48 +381,77 @@ class FrameEncoder:
         total (plus a partition-rate proxy) beats coding the block whole.
         `partials` (edge slivers from the geometry walk) are searched too.
         Returns (part_decisions, modes)."""
-        cands = list(partials)
         sizes = []
         n4 = self.min_leaf_mi
         while n4 <= self.max_leaf_mi:
             sizes.append(n4)
             n4 *= 2
-        for s4 in sizes:
+        lam = self._lambda()
+
+        def full_blocks(s4):
             for r in range(mi_r0, mi_r1, s4):
                 if r + s4 > self.mi_rows:
                     continue
                 for c in range(mi_c0, mi_c1, s4):
                     if c + s4 > self.mi_cols:
                         continue
-                    cands.append((r, c, s4, s4))
+                    yield (r, c)
+
+        # upper tiers (+ edge partials) always searched; the bottom tier is
+        # searched only under parents whose cost exceeds the quantization
+        # noise floor — smooth regions never pay for the small-block batch
+        cands = list(partials)
+        upper = sizes[1:] if len(sizes) > 1 else sizes
+        for s4 in upper:
+            for (r, c) in full_blocks(s4):
+                cands.append((r, c, s4, s4))
         modes = self._batch_search(cands, origin)
-        lam = self._lambda()
+
+        prune_bottom = len(sizes) > 1
+        if prune_bottom:
+            s4 = sizes[1]  # parent of the bottom tier
+            qstep = self.ac_q * transforms.get_gain(s4 * 4, s4 * 4)
+            npx = (s4 * 4) * (s4 * 4)
+            planes_mult = 3 if self.num_planes > 1 else 1
+            floor = 2.0 * planes_mult * npx * qstep * qstep / 12.0
+            small = []
+            for (r, c) in full_blocks(s4):
+                if modes[(r, c, s4, s4)][4] > floor:
+                    half = s4 // 2
+                    for dr in (0, half):
+                        for dc_ in (0, half):
+                            small.append((r + dr, c + dc_, half, half))
+            if small:
+                modes.update(self._batch_search(small, origin))
+
         part: dict = {}
         best_cost: dict = {}  # (r, c, s4) -> subtree cost
         for s4 in sizes:
             half = s4 // 2
-            for r in range(mi_r0, mi_r1, s4):
-                if r + s4 > self.mi_rows:
+            for (r, c) in full_blocks(s4):
+                key = (r, c, s4, s4)
+                if key not in modes:
+                    continue  # pruned bottom-tier block
+                none_c = modes[key][4] + lam * self.OVH_BLOCK
+                if s4 == self.min_leaf_mi:
+                    best_cost[(r, c, s4)] = none_c
                     continue
-                for c in range(mi_c0, mi_c1, s4):
-                    if c + s4 > self.mi_cols:
-                        continue
-                    none_c = (
-                        modes[(r, c, s4, s4)][4] + lam * self.OVH_BLOCK
-                    )
-                    if s4 == self.min_leaf_mi:
-                        best_cost[(r, c, s4)] = none_c
-                        continue
-                    split_c = lam * self.OVH_SPLIT
-                    for dr in (0, half):
-                        for dc_ in (0, half):
-                            split_c += best_cost[(r + dr, c + dc_, half)]
-                    if none_c <= split_c:
-                        part[(r, c, s4)] = PARTITION_NONE
-                        best_cost[(r, c, s4)] = none_c
-                    else:
-                        part[(r, c, s4)] = PARTITION_SPLIT
-                        best_cost[(r, c, s4)] = split_c
+                children = [
+                    best_cost.get((r + dr, c + dc_, half))
+                    for dr in (0, half)
+                    for dc_ in (0, half)
+                ]
+                if any(ch is None for ch in children):
+                    part[(r, c, s4)] = PARTITION_NONE  # children pruned
+                    best_cost[(r, c, s4)] = none_c
+                    continue
+                split_c = lam * self.OVH_SPLIT + sum(children)
+                if none_c <= split_c:
+                    part[(r, c, s4)] = PARTITION_NONE
+                    best_cost[(r, c, s4)] = none_c
+                else:
+                    part[(r, c, s4)] = PARTITION_SPLIT
+                    best_cost[(r, c, s4)] = split_c
         return part, modes
 
     @staticmethod
