@@ -159,7 +159,7 @@ class FrameEncoder:
         src = self._src_stack()
         return encode_tile_bp(
             tp, src, self.mi_rows, self.mi_cols, self.dc_q, self.ac_q,
-            transforms.get_gain(32, 32), ops,
+            transforms.get_gain(32, 32), ops, lam=self._lambda(),
         )
 
     def _src_stack(self) -> np.ndarray:
@@ -410,10 +410,9 @@ class FrameEncoder:
         prune_bottom = len(sizes) > 1
         if prune_bottom:
             s4 = sizes[1]  # parent of the bottom tier
-            qstep = self.ac_q * transforms.get_gain(s4 * 4, s4 * 4)
-            npx = (s4 * 4) * (s4 * 4)
-            planes_mult = 3 if self.num_planes > 1 else 1
-            floor = 2.0 * planes_mult * npx * qstep * qstep / 12.0
+            # lossless prune: SPLIT can only win when the parent's cost
+            # exceeds the pure signaling overhead of four children
+            floor = lam * (self.OVH_SPLIT + 3.0 * self.OVH_BLOCK)
             small = []
             for (r, c) in full_blocks(s4):
                 if modes[(r, c, s4, s4)][4] > floor:
@@ -696,6 +695,9 @@ class FrameEncoder:
         levels = transforms.quantize_block(
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
+        _eob_optimize(
+            levels, coef, self.dc_q, self.ac_q, cw, ch, self._lambda()
+        )
         if levels.any():
             from ..native import inv_txfm_exact
 
@@ -818,3 +820,34 @@ def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:
 
 def encode_planes(planes: np.ndarray, cfg: AV1Config) -> bytes:
     return FrameEncoder(planes, cfg).encode()
+
+
+def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:
+    """Drop the coefficient tail when rate saved beats distortion added
+    (same rule as the native pipeline; mutates levels in place)."""
+    if not levels.any() or lam <= 0.0:
+        return
+    scan = tables.scan(cw, ch)
+    flat = levels.reshape(-1)
+    sc = flat[scan]
+    nz = np.nonzero(sc)[0]
+    eob = int(nz[-1]) + 1
+    g = transforms.get_gain(cw, ch)
+    s_ac, s_dc = float(ac_q) * g, float(dc_q) * g
+    cflat = coef.reshape(-1)[scan]
+    dd = dr = 0.0
+    best = 0.0
+    best_cut = eob
+    for si in range(eob - 1, 0, -1):
+        lv = int(sc[si])
+        if lv != 0:
+            cf = float(cflat[si])
+            dq = lv * (s_dc if scan[si] == 0 else s_ac)
+            dd += cf * cf - (cf - dq) * (cf - dq)
+            dr += abs(lv) + 2.0
+        delta = lam * dr - dd
+        if delta > best:
+            best = delta
+            best_cut = si
+    if best_cut < eob:
+        flat[scan[best_cut:eob]] = 0

@@ -108,7 +108,8 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tile
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # q/bd/planes/dcu
             ctypes.c_int,                    # reduced_tx_set
-            ctypes.c_int, ctypes.c_int, ctypes.c_double,  # dc_q, ac_q, gain
+            ctypes.c_int, ctypes.c_int,      # dc_q, ac_q
+            ctypes.c_double, ctypes.c_double,  # gain, lam
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
@@ -162,6 +163,7 @@ def encode_tile_bp(
     ac_q: int,
     gain: float,
     ops: np.ndarray,
+    lam: float = 0.0,
 ) -> bytes:
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -179,7 +181,7 @@ def encode_tile_bp(
             Hp, Wp, mi_rows, mi_cols,
             p.mi_row_start, p.mi_row_end, p.mi_col_start, p.mi_col_end,
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
-            int(p.reduced_tx_set), dc_q, ac_q, gain,
+            int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         )

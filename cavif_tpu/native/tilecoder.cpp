@@ -914,6 +914,7 @@ struct BlockPipe {
   int bit_depth;
   int dc_q, ac_q;
   double gain;
+  double lam = 0.0;  // RD weight for coefficient-tail optimization
 
   std::vector<double> fbuf, tbuf, cbuf, rbuf;
   std::vector<int32_t> lvbuf;
@@ -933,11 +934,11 @@ struct BlockPipe {
 
   void init(const int32_t* s, int p, int hp, int wp, int mir, int mic,
             int r0, int c0, int r1, int c1, int bd, int dq, int aq,
-            double g) {
+            double g, double lam_) {
     src = s; P = p; Hp = hp; Wp = wp;
     mi_rows = mir; mi_cols = mic; mi_r0 = r0; mi_c0 = c0;
     mi_r1 = r1 < mir ? r1 : mir; mi_c1 = c1 < mic ? c1 : mic;
-    bit_depth = bd; dc_q = dq; ac_q = aq; gain = g;
+    bit_depth = bd; dc_q = dq; ac_q = aq; gain = g; lam = lam_;
     recon_store.assign((size_t)P * Hp * Wp, 0);
     recon = recon_store.data();
     fbuf.resize(64 * 64); tbuf.resize(64 * 64);
@@ -1234,6 +1235,41 @@ struct BlockPipe {
         lvbuf[y * cw + x] = lv;
         nz |= lv != 0;
       }
+    // EOB optimization: drop the coefficient tail when the rate saved
+    // (|level| + 2 per coefficient, in the search's rate-proxy units)
+    // outweighs the added distortion (Parseval: coefficient-domain SSE).
+    if (nz && lam > 0.0) {
+      int sidx = size_idx(cw, ch);
+      const int32_t* scan = g_tables.scan[sidx].data();
+      int area = cw * ch;
+      int eob = 0;
+      for (int i = area - 1; i >= 0; i--)
+        if (lvbuf[scan[i]] != 0) { eob = i + 1; break; }
+      double s_ac = (double)ac_q * gain, s_dc = (double)dc_q * gain;
+      double dd = 0.0, dr = 0.0, best = 0.0;
+      int best_cut = eob;
+      for (int si = eob - 1; si >= 1; si--) {
+        int pos = scan[si];
+        int lvv = lvbuf[pos];
+        if (lvv != 0) {
+          int row = pos / cw, col = pos % cw;
+          double cf = cbuf[row * txw + col];
+          double dq = lvv * (pos == 0 ? s_dc : s_ac);
+          double e_keep = (cf - dq) * (cf - dq);
+          double e_drop = cf * cf;
+          dd += e_drop - e_keep;
+          dr += (double)(lvv < 0 ? -lvv : lvv) + 2.0;
+        }
+        double delta = lam * dr - dd;  // net gain of cutting at si
+        if (delta > best) { best = delta; best_cut = si; }
+      }
+      if (best_cut < eob) {
+        for (int si = best_cut; si < eob; si++) lvbuf[scan[si]] = 0;
+        nz = false;
+        for (int i = 0; i < ch * cw; i++)
+          if (lvbuf[i]) { nz = true; break; }
+      }
+    }
     *any_nz = nz;
     if (!nz) {
       for (int y = 0; y < txh; y++)
@@ -1377,14 +1413,14 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int mi_cols, int mi_r0, int mi_r1, int mi_c0, int mi_c1,
                    int base_q, int bit_depth, int num_planes,
                    int disable_cdf_update, int reduced_tx_set,
-                   int dc_q, int ac_q, double gain,
+                   int dc_q, int ac_q, double gain, double lam,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap) {
   TileCoder tc;
   tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
   tc.reduced_tx_set = reduced_tx_set != 0;
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
-          mi_c1, bit_depth, dc_q, ac_q, gain);
+          mi_c1, bit_depth, dc_q, ac_q, gain, lam);
   int i = 0;
   while (i < n_ops) {
     switch (ops[i]) {
