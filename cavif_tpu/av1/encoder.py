@@ -325,7 +325,6 @@ class FrameEncoder:
                     np.put_along_axis(cost, keep, cost_k, axis=1)
                 cost[:, 7:] += lam * 2.0  # angle-delta symbol rate proxy
                 best = np.argmin(cost, axis=1)
-                uv_dc_only = max(min(bw, 32), min(bh, 32)) <= 16
                 for i, (idx, pl) in enumerate(items):
                     key = blocks[idx]
                     ym, yd, uvm, uvd, tot = modes.get(
@@ -336,10 +335,6 @@ class FrameEncoder:
                         modes[key] = (
                             CAND_MODES[bi], 0, uvm, uvd,
                             tot + float(cost[i, bi]),
-                        )
-                    elif uv_dc_only:
-                        modes[key] = (
-                            ym, yd, DC_PRED, 0, tot + 2.0 * float(cost[i, 0])
                         )
                     else:
                         modes[key] = (
@@ -536,11 +531,6 @@ class FrameEncoder:
             return
         if ctx.skeleton:
             ym, yd, uvm, uvd, _cost = ctx.modes[(r, c, w4, h4)]
-            if (
-                self.num_planes > 1
-                and max(min(w4 * 4, 32), min(h4 * 4, 32)) <= 16
-            ):
-                uvm, uvd = DC_PRED, 0  # chroma tx <= 16: ADST-implying modes barred
             tw.write_block_compute(r, c, w4, h4, ym, uvm, y_delta=yd,
                                    uv_delta=uvd)
             return
@@ -554,10 +544,6 @@ class FrameEncoder:
         force_skip = max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
         y_mode, y_delta, uv_mode, uv_delta, _cost = ctx.modes[(r, c, w4, h4)]
-        if self.num_planes > 1 and max(min(bw, 32), min(bh, 32)) <= 16:
-            # chroma tx <= 16x16: non-DC uv modes imply ADST transforms
-            # (Mode_To_Txfm_Type); until ADST lands, uv stays DC_PRED
-            uv_mode, uv_delta = DC_PRED, 0
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -676,6 +662,11 @@ class FrameEncoder:
         maxv = (1 << self.bit_depth) - 1
         src = self.planes[pl].src[py : py + txh, px : px + txw]
         cw, ch = min(txw, 32), min(txh, 32)
+        # chroma with tx <= 16x16 derives its transform from the uv mode
+        v_adst = h_adst = 0
+        if pl > 0 and max(txw, txh) <= 16:
+            v_adst = transforms.MODE_V_ADST[mode]
+            h_adst = transforms.MODE_H_ADST[mode]
         if mode in DIRECTIONAL_MODES and not (
             delta == 0 and mode in (1, 2)
         ):
@@ -691,7 +682,7 @@ class FrameEncoder:
         if force_skip:
             return np.zeros((ch, cw), dtype=np.int32), pred
         res = (src - pred).astype(np.float64)
-        coef = transforms.forward_dct2d(res)[:ch, :cw]
+        coef = transforms.forward_tx2d(res, v_adst, h_adst)[:ch, :cw]
         levels = transforms.quantize_block(
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
@@ -702,7 +693,8 @@ class FrameEncoder:
             from ..native import inv_txfm_exact
 
             resid = inv_txfm_exact(
-                levels, txw, txh, self.dc_q, self.ac_q, self.bit_depth
+                levels, txw, txh, self.dc_q, self.ac_q, self.bit_depth,
+                v_adst, h_adst,
             )
             rec = np.clip(pred + resid, 0, maxv).astype(np.int32)
         else:

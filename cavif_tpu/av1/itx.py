@@ -270,6 +270,169 @@ def idct_basis(n: int) -> np.ndarray:
     return m
 
 
+@lru_cache(maxsize=1)
+def _sinpi() -> np.ndarray:
+    arr = tables.get("sinpi")
+    row = arr[2].astype(np.float64)  # bit 12
+    return row / 4096.0
+
+
+def _iadst4(x, sp):
+    s0 = sp[1] * x[0]
+    s1 = sp[2] * x[0]
+    s2 = sp[3] * x[1]
+    s3 = sp[4] * x[2]
+    s4 = sp[1] * x[2]
+    s5 = sp[2] * x[3]
+    s6 = sp[4] * x[3]
+    s7 = (x[0] - x[2]) + x[3]
+    s0 = s0 + s3
+    s1 = s1 - s4
+    s3 = s2
+    s2 = sp[3] * s7
+    s0 = s0 + s5
+    s1 = s1 - s6
+    o0 = s0 + s3
+    o1 = s1 + s3
+    o2 = s2
+    o3 = (s0 + s1) - s3
+    return [o0, o1, o2, o3]
+
+
+def _iadst8(x, c):
+    # stage 1 reorder (with implicit signs applied at the end)
+    b = [x[7], x[0], x[5], x[2], x[3], x[4], x[1], x[6]]
+    # stage 2
+    s = [
+        _hb(c[4], b[0], c[60], b[1]),
+        _hb(c[60], b[0], -c[4], b[1]),
+        _hb(c[20], b[2], c[44], b[3]),
+        _hb(c[44], b[2], -c[20], b[3]),
+        _hb(c[36], b[4], c[28], b[5]),
+        _hb(c[28], b[4], -c[36], b[5]),
+        _hb(c[52], b[6], c[12], b[7]),
+        _hb(c[12], b[6], -c[52], b[7]),
+    ]
+    # stage 3
+    t = [
+        s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
+        s[0] - s[4], s[1] - s[5], s[2] - s[6], s[3] - s[7],
+    ]
+    # stage 4
+    u = list(t)
+    u[4] = _hb(c[16], t[4], c[48], t[5])
+    u[5] = _hb(c[48], t[4], -c[16], t[5])
+    u[6] = _hb(-c[48], t[6], c[16], t[7])
+    u[7] = _hb(c[16], t[6], c[48], t[7])
+    # stage 5
+    v = [
+        u[0] + u[2], u[1] + u[3], u[0] - u[2], u[1] - u[3],
+        u[4] + u[6], u[5] + u[7], u[4] - u[6], u[5] - u[7],
+    ]
+    # stage 6
+    w = list(v)
+    w[2] = _hb(c[32], v[2], c[32], v[3])
+    w[3] = _hb(c[32], v[2], -c[32], v[3])
+    w[6] = _hb(c[32], v[6], c[32], v[7])
+    w[7] = _hb(c[32], v[6], -c[32], v[7])
+    # stage 7
+    return [w[0], -w[4], w[6], -w[2], w[3], -w[7], w[5], -w[1]]
+
+
+def _iadst16(x, c):
+    b = [x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
+         x[7], x[8], x[5], x[10], x[3], x[12], x[1], x[14]]
+    s = [
+        _hb(c[2], b[0], c[62], b[1]),
+        _hb(c[62], b[0], -c[2], b[1]),
+        _hb(c[10], b[2], c[54], b[3]),
+        _hb(c[54], b[2], -c[10], b[3]),
+        _hb(c[18], b[4], c[46], b[5]),
+        _hb(c[46], b[4], -c[18], b[5]),
+        _hb(c[26], b[6], c[38], b[7]),
+        _hb(c[38], b[6], -c[26], b[7]),
+        _hb(c[34], b[8], c[30], b[9]),
+        _hb(c[30], b[8], -c[34], b[9]),
+        _hb(c[42], b[10], c[22], b[11]),
+        _hb(c[22], b[10], -c[42], b[11]),
+        _hb(c[50], b[12], c[14], b[13]),
+        _hb(c[14], b[12], -c[50], b[13]),
+        _hb(c[58], b[14], c[6], b[15]),
+        _hb(c[6], b[14], -c[58], b[15]),
+    ]
+    t = [s[i] + s[i + 8] for i in range(8)] + [
+        s[i] - s[i + 8] for i in range(8)
+    ]
+    u = list(t)
+    u[8] = _hb(c[8], t[8], c[56], t[9])
+    u[9] = _hb(c[56], t[8], -c[8], t[9])
+    u[10] = _hb(c[40], t[10], c[24], t[11])
+    u[11] = _hb(c[24], t[10], -c[40], t[11])
+    u[12] = _hb(-c[56], t[12], c[8], t[13])
+    u[13] = _hb(c[8], t[12], c[56], t[13])
+    u[14] = _hb(-c[24], t[14], c[40], t[15])
+    u[15] = _hb(c[40], t[14], c[24], t[15])
+    v = [u[i] + u[i + 4] for i in range(4)] + [
+        u[i] - u[i + 4] for i in range(4)
+    ] + [u[8 + i] + u[12 + i] for i in range(4)] + [
+        u[8 + i] - u[12 + i] for i in range(4)
+    ]
+    w = list(v)
+    w[4] = _hb(c[16], v[4], c[48], v[5])
+    w[5] = _hb(c[48], v[4], -c[16], v[5])
+    w[6] = _hb(-c[48], v[6], c[16], v[7])
+    w[7] = _hb(c[16], v[6], c[48], v[7])
+    w[12] = _hb(c[16], v[12], c[48], v[13])
+    w[13] = _hb(c[48], v[12], -c[16], v[13])
+    w[14] = _hb(-c[48], v[14], c[16], v[15])
+    w[15] = _hb(c[16], v[14], c[48], v[15])
+    y = [w[i] + w[i + 2] for i in (0, 1)] + [
+        w[i] - w[i + 2] for i in (0, 1)
+    ] + [w[4 + i] + w[6 + i] for i in (0, 1)] + [
+        w[4 + i] - w[6 + i] for i in (0, 1)
+    ] + [w[8 + i] + w[10 + i] for i in (0, 1)] + [
+        w[8 + i] - w[10 + i] for i in (0, 1)
+    ] + [w[12 + i] + w[14 + i] for i in (0, 1)] + [
+        w[12 + i] - w[14 + i] for i in (0, 1)
+    ]
+    z = list(y)
+    for k in (2, 6, 10, 14):
+        z[k] = _hb(c[32], y[k], c[32], y[k + 1])
+        z[k + 1] = _hb(c[32], y[k], -c[32], y[k + 1])
+    return [z[0], -z[8], z[12], -z[4], z[6], -z[14], z[10], -z[2],
+            z[3], -z[11], z[15], -z[7], z[5], -z[13], z[9], -z[1]]
+
+
+def _iadst_1d(x, n):
+    if n == 4:
+        return _iadst4(x, _sinpi())
+    c = _cospi()
+    if n == 8:
+        return _iadst8(x, c)
+    if n == 16:
+        return _iadst16(x, c)
+    raise ValueError(n)
+
+
+@lru_cache(maxsize=None)
+def iadst_basis(n: int) -> np.ndarray:
+    """(n, n) float64 linear basis of the AV1 inverse ADST (column j = the
+    response to unit coefficient j), normalized like idct_basis. Structural
+    self-check: the basis must be near-orthonormal."""
+    cols = []
+    for j in range(n):
+        e = [0.0] * n
+        e[j] = 1.0
+        cols.append(_iadst_1d(e, n))
+    m = np.array(cols, dtype=np.float64).T
+    scale = 1.0 / np.linalg.norm(m[:, 0])
+    m = m * scale
+    gram = m.T @ m
+    err = np.abs(gram - np.eye(n)).max()
+    assert err < 2e-2, (n, err)
+    return m
+
+
 @lru_cache(maxsize=None)
 def _ideal_idct(n: int) -> np.ndarray:
     k = np.arange(n)

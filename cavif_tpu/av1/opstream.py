@@ -80,12 +80,12 @@ class OpTileWriter:
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,
         levels: np.ndarray, tx_block_eq_block: bool = True,
-        y_mode: int = 0,
+        y_mode: int = 0, v_adst: int = 0, h_adst: int = 0,
     ) -> None:
         ch, cw = levels.shape
         self.ops.extend(
             (OP_COEFFS, plane, r4, c4, txw, txh, int(tx_block_eq_block),
-             ch, cw, self._lvl_len, y_mode)
+             ch, cw, self._lvl_len, y_mode, v_adst, h_adst)
         )
         flat = np.ascontiguousarray(levels, dtype=np.int32).reshape(-1)
         self.levels.append(flat)
@@ -152,14 +152,15 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
                 tw.reset_block_ctx(r, c, w4, h4)
             i += 11
         elif op == OP_COEFFS:
-            _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym = (
-                int(x) for x in ops[i : i + 11]
+            _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym, va, ha = (
+                int(x) for x in ops[i : i + 13]
             )
             lv = levels[off : off + ch * cw].reshape(ch, cw)
             tw.write_coeffs(
-                pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq), y_mode=ym
+                pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq),
+                y_mode=ym, v_adst=va, h_adst=ha,
             )
-            i += 11
+            i += 13
         else:
             raise ValueError(f"bad op {op} at {i}")
     return tw.finish()

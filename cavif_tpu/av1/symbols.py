@@ -254,6 +254,8 @@ class TileWriter:
         levels: np.ndarray,
         tx_block_eq_block: bool = True,
         y_mode: int = 0,
+        v_adst: int = 0,
+        h_adst: int = 0,
     ) -> int:
         """levels: (coded_h, coded_w) signed int array in raster order
         (already restricted to the coded area: min(32, tx dims)).
@@ -304,8 +306,10 @@ class TileWriter:
             return 0
 
         # transform_type(): luma only, when the tx set is non-trivial
-        # (sqr_up <= 16; 32/64 use EXT_TX_SET_DCTONLY). We code DCT_DCT —
-        # symbol 1 in both intra sets (spec Tx_Type_Intra_Inv_Set1/2).
+        # (sqr_up <= 16; 32/64 use EXT_TX_SET_DCTONLY). Symbol orders per
+        # spec Tx_Type_Intra_Inv_Set1/2:
+        #  set1: {IDTX, DCT_DCT, V_DCT, H_DCT, ADST_ADST, ADST_DCT, DCT_ADST}
+        #  set2: {IDTX, DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST}
         if plane == 0 and max(txw, txh) <= 16:
             sqr = min(txw, txh)
             tx_sqr = sqr.bit_length() - 3  # 4->0 .. 32->3
@@ -313,8 +317,16 @@ class TileWriter:
                 set_idx = 2
             else:
                 set_idx = 1
+            if not v_adst and not h_adst:
+                sym = 1
+            elif v_adst and h_adst:
+                sym = 2 if set_idx == 2 else 4
+            elif v_adst:
+                sym = 3 if set_idx == 2 else 5
+            else:
+                sym = 4 if set_idx == 2 else 6
             self.code(
-                1,
+                sym,
                 ("ext_tx", set_idx, tx_sqr, y_mode),
                 tables.intra_ext_tx_cdf(set_idx, tx_sqr, y_mode),
             )

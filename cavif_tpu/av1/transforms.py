@@ -130,3 +130,23 @@ def dequant_reconstruct(
     x = levels.astype(dtype) * dtype(float(ac_q) * g)
     x[..., 0, 0] = levels[..., 0, 0] * dtype(float(dc_q) * g)
     return inverse_dct2d(x)
+
+
+# Mode -> (vertical_adst, horizontal_adst) for the derived chroma transform
+# (Mode_To_Txfm_Type; IDTX/flip types never arise here)
+MODE_V_ADST = [0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1]
+MODE_H_ADST = [0, 0, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1]
+
+
+def forward_tx2d(res: np.ndarray, v_adst: int = 0, h_adst: int = 0) -> np.ndarray:
+    """Forward transform with per-axis DCT/ADST basis (float, encoder-side;
+    the ADST basis is the normalized exact linear inverse from itx.py)."""
+    if not v_adst and not h_adst:
+        return forward_dct2d(res)
+    from .itx import iadst_basis
+
+    h, w = res.shape[-2], res.shape[-1]
+    dt = res.dtype if res.dtype in (np.float32, np.float64) else np.float64
+    dv = iadst_basis(h).T.astype(dt) if v_adst else dct2_matrix(h, dt)
+    dh_ = iadst_basis(w).T.astype(dt) if h_adst else dct2_matrix(w, dt)
+    return dv @ res @ dh_.T

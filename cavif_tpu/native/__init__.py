@@ -95,10 +95,17 @@ def _load():
         lib.tc_set_dr.restype = ctypes.c_int
         lib.tc_set_cospi.argtypes = [ctypes.POINTER(ctypes.c_int32)]
         lib.tc_set_cospi.restype = ctypes.c_int
+        lib.tc_set_sinpi.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        lib.tc_set_sinpi.restype = ctypes.c_int
+        lib.tc_set_fwd_adst.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.tc_set_fwd_adst.restype = ctypes.c_int
         lib.tc_inv_txfm.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.tc_inv_txfm.restype = ctypes.c_int
         lib.bp_encode_tile.argtypes = [
@@ -152,6 +159,17 @@ def _install_tables(lib) -> None:
     cp = np.ascontiguousarray(tables.get("cospi")[2], dtype=np.int32)  # bit 12
     if lib.tc_set_cospi(cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
         raise RuntimeError("tc_set_cospi failed")
+    sp = np.ascontiguousarray(tables.get("sinpi")[2], dtype=np.int32)  # bit 12
+    if lib.tc_set_sinpi(sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+        raise RuntimeError("tc_set_sinpi failed")
+    from ..av1.itx import iadst_basis
+
+    for n in (4, 8, 16):
+        fwd = np.ascontiguousarray(iadst_basis(n).T, dtype=np.float64)
+        if lib.tc_set_fwd_adst(
+            n, fwd.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        ) != 0:
+            raise RuntimeError("tc_set_fwd_adst failed")
 
 
 def encode_tile_bp(
@@ -217,16 +235,17 @@ def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:
 
 
 def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,
-                   ac_q: int, bit_depth: int) -> np.ndarray:
-    """Decoder-bit-exact inverse transform (dequant + integer inverse DCT).
-    levels: (ch, cw) coded area; returns (txh, txw) int32 residual."""
+                   ac_q: int, bit_depth: int, v_adst: int = 0,
+                   h_adst: int = 0) -> np.ndarray:
+    """Decoder-bit-exact inverse transform (dequant + integer inverse
+    DCT/ADST). levels: (ch, cw) coded area; returns (txh, txw) residual."""
     lib = _load()
     levels = np.ascontiguousarray(levels, dtype=np.int32)
     ch, cw = levels.shape
     out = np.empty((txh, txw), dtype=np.int32)
     rc = lib.tc_inv_txfm(
         levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ch, cw,
-        txw, txh, dc_q, ac_q, bit_depth,
+        txw, txh, dc_q, ac_q, bit_depth, v_adst, h_adst,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:

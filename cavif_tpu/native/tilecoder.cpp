@@ -462,7 +462,7 @@ struct TileCoder {
 
   void write_coeffs(int plane, int r4, int c4, int txw, int txh,
                     int eq_block, int ch, int cw, const int32_t* lv,
-                    int y_mode) {
+                    int y_mode, int v_adst, int h_adst) {
     int ptype = plane > 0 ? 1 : 0;
     int bw4 = txw >> 2;
     int bh4 = txh >> 2;
@@ -515,12 +515,18 @@ struct TileCoder {
       return;
     }
 
-    // transform_type(): luma, tx sets 1/2 (sqr_up <= 16); DCT_DCT = sym 1
+    // transform_type(): luma, tx sets 1/2 (sqr_up <= 16); symbol orders
+    // per spec Tx_Type_Intra_Inv_Set1/2
     if (plane == 0 && (txw > txh ? txw : txh) <= 16) {
       int sqr = txw < txh ? txw : txh;
       int tx_sqr = bitlength((uint32_t)sqr) - 3;
       int set_idx = (reduced_tx_set || sqr == 16) ? 2 : 1;
-      code(cdf_ext_tx[set_idx - 1][tx_sqr][y_mode], 1, set_idx == 1 ? 7 : 5);
+      int sym;
+      if (!v_adst && !h_adst) sym = 1;
+      else if (v_adst && h_adst) sym = set_idx == 2 ? 2 : 4;
+      else if (v_adst) sym = set_idx == 2 ? 3 : 5;
+      else sym = set_idx == 2 ? 4 : 6;
+      code(cdf_ext_tx[set_idx - 1][tx_sqr][y_mode], sym, set_idx == 1 ? 7 : 5);
     }
 
     // eob position class
@@ -790,12 +796,134 @@ static void idct_1d(const int64_t* in, int64_t* out, int n, const int32_t* c) {
   else iidct32(s, out, c);
 }
 
+
+// ---- exact integer inverse ADST (av1_iadst4/8/16_c structure) ----
+
+static void iiadst4(const int64_t* x, int64_t* out, const int32_t* sp) {
+  int64_t s0 = (int64_t)sp[1] * x[0];
+  int64_t s1 = (int64_t)sp[2] * x[0];
+  int64_t s2 = (int64_t)sp[3] * x[1];
+  int64_t s3 = (int64_t)sp[4] * x[2];
+  int64_t s4 = (int64_t)sp[1] * x[2];
+  int64_t s5 = (int64_t)sp[2] * x[3];
+  int64_t s6 = (int64_t)sp[4] * x[3];
+  int64_t s7 = (x[0] - x[2]) + x[3];
+  s0 = s0 + s3;
+  s1 = s1 - s4;
+  s3 = s2;
+  s2 = (int64_t)sp[3] * s7;
+  s0 = s0 + s5;
+  s1 = s1 - s6;
+  out[0] = rsh(s0 + s3, 12);
+  out[1] = rsh(s1 + s3, 12);
+  out[2] = rsh(s2, 12);
+  out[3] = rsh((s0 + s1) - s3, 12);
+}
+
+static void iiadst8(const int64_t* x, int64_t* out, const int32_t* c) {
+  int64_t b[8] = {x[7], x[0], x[5], x[2], x[3], x[4], x[1], x[6]};
+  int64_t s[8] = {
+      hbf(c[4], b[0], c[60], b[1]),  hbf(c[60], b[0], -c[4], b[1]),
+      hbf(c[20], b[2], c[44], b[3]), hbf(c[44], b[2], -c[20], b[3]),
+      hbf(c[36], b[4], c[28], b[5]), hbf(c[28], b[4], -c[36], b[5]),
+      hbf(c[52], b[6], c[12], b[7]), hbf(c[12], b[6], -c[52], b[7]),
+  };
+  int64_t t[8] = {s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
+                  s[0] - s[4], s[1] - s[5], s[2] - s[6], s[3] - s[7]};
+  int64_t u[8] = {t[0], t[1], t[2], t[3],
+                  hbf(c[16], t[4], c[48], t[5]),
+                  hbf(c[48], t[4], -c[16], t[5]),
+                  hbf(-c[48], t[6], c[16], t[7]),
+                  hbf(c[16], t[6], c[48], t[7])};
+  int64_t v[8] = {u[0] + u[2], u[1] + u[3], u[0] - u[2], u[1] - u[3],
+                  u[4] + u[6], u[5] + u[7], u[4] - u[6], u[5] - u[7]};
+  int64_t w[8] = {v[0], v[1],
+                  hbf(c[32], v[2], c[32], v[3]),
+                  hbf(c[32], v[2], -c[32], v[3]),
+                  v[4], v[5],
+                  hbf(c[32], v[6], c[32], v[7]),
+                  hbf(c[32], v[6], -c[32], v[7])};
+  out[0] = w[0]; out[1] = -w[4]; out[2] = w[6]; out[3] = -w[2];
+  out[4] = w[3]; out[5] = -w[7]; out[6] = w[5]; out[7] = -w[1];
+}
+
+static void iiadst16(const int64_t* x, int64_t* out, const int32_t* c) {
+  int64_t b[16] = {x[15], x[0], x[13], x[2], x[11], x[4], x[9], x[6],
+                   x[7], x[8], x[5], x[10], x[3], x[12], x[1], x[14]};
+  int64_t s[16] = {
+      hbf(c[2], b[0], c[62], b[1]),   hbf(c[62], b[0], -c[2], b[1]),
+      hbf(c[10], b[2], c[54], b[3]),  hbf(c[54], b[2], -c[10], b[3]),
+      hbf(c[18], b[4], c[46], b[5]),  hbf(c[46], b[4], -c[18], b[5]),
+      hbf(c[26], b[6], c[38], b[7]),  hbf(c[38], b[6], -c[26], b[7]),
+      hbf(c[34], b[8], c[30], b[9]),  hbf(c[30], b[8], -c[34], b[9]),
+      hbf(c[42], b[10], c[22], b[11]), hbf(c[22], b[10], -c[42], b[11]),
+      hbf(c[50], b[12], c[14], b[13]), hbf(c[14], b[12], -c[50], b[13]),
+      hbf(c[58], b[14], c[6], b[15]),  hbf(c[6], b[14], -c[58], b[15]),
+  };
+  int64_t t[16];
+  for (int i = 0; i < 8; i++) { t[i] = s[i] + s[i + 8]; t[i + 8] = s[i] - s[i + 8]; }
+  int64_t u[16];
+  for (int i = 0; i < 8; i++) u[i] = t[i];
+  u[8] = hbf(c[8], t[8], c[56], t[9]);
+  u[9] = hbf(c[56], t[8], -c[8], t[9]);
+  u[10] = hbf(c[40], t[10], c[24], t[11]);
+  u[11] = hbf(c[24], t[10], -c[40], t[11]);
+  u[12] = hbf(-c[56], t[12], c[8], t[13]);
+  u[13] = hbf(c[8], t[12], c[56], t[13]);
+  u[14] = hbf(-c[24], t[14], c[40], t[15]);
+  u[15] = hbf(c[40], t[14], c[24], t[15]);
+  int64_t v[16];
+  for (int i = 0; i < 4; i++) { v[i] = u[i] + u[i + 4]; v[i + 4] = u[i] - u[i + 4]; }
+  for (int i = 0; i < 4; i++) { v[8 + i] = u[8 + i] + u[12 + i]; v[12 + i] = u[8 + i] - u[12 + i]; }
+  int64_t w[16];
+  for (int i = 0; i < 16; i++) w[i] = v[i];
+  w[4] = hbf(c[16], v[4], c[48], v[5]);
+  w[5] = hbf(c[48], v[4], -c[16], v[5]);
+  w[6] = hbf(-c[48], v[6], c[16], v[7]);
+  w[7] = hbf(c[16], v[6], c[48], v[7]);
+  w[12] = hbf(c[16], v[12], c[48], v[13]);
+  w[13] = hbf(c[48], v[12], -c[16], v[13]);
+  w[14] = hbf(-c[48], v[14], c[16], v[15]);
+  w[15] = hbf(c[16], v[14], c[48], v[15]);
+  int64_t y[16];
+  for (int g = 0; g < 4; g++) {
+    int o = g * 4;
+    y[o + 0] = w[o + 0] + w[o + 2];
+    y[o + 1] = w[o + 1] + w[o + 3];
+    y[o + 2] = w[o + 0] - w[o + 2];
+    y[o + 3] = w[o + 1] - w[o + 3];
+  }
+  int64_t z[16];
+  for (int i = 0; i < 16; i++) z[i] = y[i];
+  for (int k = 2; k < 16; k += 4) {
+    z[k] = hbf(c[32], y[k], c[32], y[k + 1]);
+    z[k + 1] = hbf(c[32], y[k], -c[32], y[k + 1]);
+  }
+  out[0] = z[0];  out[1] = -z[8];  out[2] = z[12]; out[3] = -z[4];
+  out[4] = z[6];  out[5] = -z[14]; out[6] = z[10]; out[7] = -z[2];
+  out[8] = z[3];  out[9] = -z[11]; out[10] = z[15]; out[11] = -z[7];
+  out[12] = z[5]; out[13] = -z[13]; out[14] = z[9]; out[15] = -z[1];
+}
+
+// sinpi table (bit 12) installed with cospi
+static std::vector<int32_t> g_sinpi;
+// forward ADST matrices per size (rows = basis functions), from itx.py
+static std::vector<double> g_fwd_adst[3];  // 4, 8, 16
+
+static void itx_1d(const int64_t* in, int64_t* out, int n, int is_adst,
+                   const int32_t* c) {
+  if (!is_adst) { idct_1d(in, out, n, c); return; }
+  if (n == 4) { iiadst4(in, out, g_sinpi.data()); return; }
+  if (n == 8) { iiadst8(in, out, c); return; }
+  iiadst16(in, out, c);
+}
+
 // Full exact inverse: dequant + rect scale + row pass + col pass.
 // levels: (ch x cw) coded area of a (txh x txw) transform; out: (txh x txw)
 // residual values to add to prediction.
 static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
                            int txh, int dc_q, int ac_q, int bit_depth,
-                           int32_t* out) {
+                           int v_adst, int h_adst, int32_t* out) {
   const int32_t* c = g_tables.cospi.data();
   int lw = bitlength((uint32_t)txw) - 1, lh = bitlength((uint32_t)txh) - 1;
   int tx_scale = ((txw > txh ? txw : txh) >= 32) ? 1 : 0;  // 64 handled as skip
@@ -830,17 +958,17 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
       else if (rect) v = 0;
       buf[(size_t)y * txw + x] = v;
     }
-  // row pass
+  // row pass (horizontal transform)
   int64_t tmp[32], o[32];
   for (int y = 0; y < txh; y++) {
-    idct_1d(&buf[(size_t)y * txw], o, txw, c);
+    itx_1d(&buf[(size_t)y * txw], o, txw, h_adst, c);
     for (int x = 0; x < txw; x++)
       buf[(size_t)y * txw + x] = s0 ? rsh(o[x], s0) : o[x];
   }
-  // col pass
+  // col pass (vertical transform)
   for (int x = 0; x < txw; x++) {
     for (int y = 0; y < txh; y++) tmp[y] = buf[(size_t)y * txw + x];
-    idct_1d(tmp, o, txh, c);
+    itx_1d(tmp, o, txh, v_adst, c);
     for (int y = 0; y < txh; y++)
       out[y * txw + x] = (int32_t)rsh(o[y], s1);
   }
@@ -902,6 +1030,11 @@ void mat_sandwich(const double* A, const double* X, const double* B, int h,
     }
   }
 }
+
+// Mode_To_Txfm_Type: per intra mode, (vertical_adst, horizontal_adst);
+// IDTX/flip types never arise for the derived chroma transform.
+static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
+static const int MODE_H_ADST[13] = {0, 0, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1};
 
 struct BlockPipe {
   const int32_t* src;  // (P, Hp, Wp) plane-major padded source
@@ -1192,6 +1325,13 @@ struct BlockPipe {
     predict(pl, px, py, txw, txh, mode, delta);
     int cw = txw < 32 ? txw : 32;
     int ch = txh < 32 ? txh : 32;
+    // chroma with tx <= 16x16 derives its transform from the uv mode
+    // (compute_tx_type); luma signals DCT_DCT for now
+    int v_adst = 0, h_adst = 0;
+    if (pl > 0 && (txw > txh ? txw : txh) <= 16) {
+      v_adst = MODE_V_ADST[mode];
+      h_adst = MODE_H_ADST[mode];
+    }
     *out_ch = ch; *out_cw = cw;
     int32_t* rp = &recon[(size_t)pl * Hp * Wp];
     const int32_t* sp = &src[(size_t)pl * Hp * Wp];
@@ -1211,8 +1351,11 @@ struct BlockPipe {
             (double)(sp[(size_t)(py + y) * Wp + px + x] - pred[y * txw + x]);
     const DctMatrix& dh = dct_matrix(txh);
     const DctMatrix& dw = dct_matrix(txw);
-    mat_sandwich(dh.d.data(), fbuf.data(), dw.d.data(), txh, txw, tbuf.data(),
-                 cbuf.data());
+    const double* mh = dh.d.data();
+    const double* mw = dw.d.data();
+    if (v_adst) mh = g_fwd_adst[txh == 4 ? 0 : txh == 8 ? 1 : 2].data();
+    if (h_adst) mw = g_fwd_adst[txw == 4 ? 0 : txw == 8 ? 1 : 2].data();
+    mat_sandwich(mh, fbuf.data(), mw, txh, txw, tbuf.data(), cbuf.data());
     // quantize coded area (top-left ch x cw of the txh x txw coef array);
     // clamp to the dequant conformance bound |level * q| < 1 << (7 + bd)
     // (spec 7.13.3 — transforms.level_limits mirrors this)
@@ -1281,7 +1424,7 @@ struct BlockPipe {
     static thread_local std::vector<int32_t> resid;
     resid.resize((size_t)txw * txh);
     inv_txfm_exact(lvbuf.data(), ch, cw, txw, txh, dc_q, ac_q, bit_depth,
-                   resid.data());
+                   v_adst, h_adst, resid.data());
     for (int y = 0; y < txh; y++)
       for (int x = 0; x < txw; x++) {
         long long v = (long long)pred[y * txw + x] + resid[y * txw + x];
@@ -1339,8 +1482,10 @@ struct BlockPipe {
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
       int eq = (t.pl == 0 && t.txw == bw && t.txh == bh) ? 1 : 0;
+      // luma signals DCT_DCT; chroma transform is mode-derived, unsignaled
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
-                      t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode);
+                      t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode,
+                      0, 0);
     }
   }
 };
@@ -1406,6 +1551,18 @@ int tc_set_cospi(const int32_t* c) {
   return 0;
 }
 
+int tc_set_sinpi(const int32_t* sp) {
+  g_sinpi.assign(sp, sp + 5);
+  return 0;
+}
+
+int tc_set_fwd_adst(int n, const double* m) {
+  int idx = n == 4 ? 0 : n == 8 ? 1 : n == 16 ? 2 : -1;
+  if (idx < 0) return -1;
+  g_fwd_adst[idx].assign(m, m + (size_t)n * n);
+  return 0;
+}
+
 // Full pass-2 tile encode: skeleton ops (partition walk + per-block modes),
 // native predict/transform/quantize/reconstruct, entropy coding.
 // src: (num_planes, Hp, Wp) plane-major padded int32 source.
@@ -1456,9 +1613,11 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
 
 // Exact inverse transform hook for the python reconstruction path.
 int tc_inv_txfm(const int32_t* levels, int ch, int cw, int txw, int txh,
-                int dc_q, int ac_q, int bit_depth, int32_t* out) {
+                int dc_q, int ac_q, int bit_depth, int v_adst, int h_adst,
+                int32_t* out) {
   if (g_tables.cospi.empty()) return -1;
-  inv_txfm_exact(levels, ch, cw, txw, txh, dc_q, ac_q, bit_depth, out);
+  inv_txfm_exact(levels, ch, cw, txw, txh, dc_q, ac_q, bit_depth,
+                 v_adst, h_adst, out);
   return 0;
 }
 
@@ -1500,8 +1659,9 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
       case OP_COEFFS:
         tc.write_coeffs(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                         ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
-                        levels + ops[i + 9], ops[i + 10]);
-        i += 11;
+                        levels + ops[i + 9], ops[i + 10], ops[i + 11],
+                        ops[i + 12]);
+        i += 13;
         break;
       default:
         return -1;

@@ -72,3 +72,42 @@ def test_recon_exact_noisy():
         ((x * 5 + y * 3) % 1024) + rng.integers(-60, 60, (192, 192)), 0, 1023
     ).astype(np.int32)
     assert _drift(plane, q=60) == 0
+
+
+def test_recon_exact_chroma_adst():
+    """Chroma blocks with tx <= 16 derive ADST transforms from the uv mode
+    (Mode_To_Txfm_Type); reconstruction must stay decoder-bit-exact."""
+    import dav1d_probe
+
+    y, x = np.mgrid[0:128, 0:128]
+    planes = np.stack(
+        [((x * 13 + y * 7 + 100) % 1024),
+         ((x * 5 + y * 11 + 300) % 1024),
+         ((x * 9 + y * 3 + 500) % 1024)], axis=-1
+    ).astype(np.int32)
+    cfg = AV1Config(
+        width=128, height=128, bit_depth=10, quantizer=60,
+        tweaks=SpeedTweaks.from_preset(4, 60), chroma_sampling="444",
+        full_range=True, matrix_coefficients=6, threads=1,
+        ec_backend="python",
+    )
+    fe = FrameEncoder(planes, cfg)
+    fe.min_leaf_mi = 4
+    fe.max_leaf_mi = 4  # force 16x16 -> chroma ADST zone
+    orig = frame_mod.FrameParams.__init__
+
+    def patched(self, *a, **k):
+        orig(self, *a, **k)
+        self.filter_level = (0, 0, 0, 0)
+
+    frame_mod.FrameParams.__init__ = patched
+    try:
+        b = fe.encode()
+    finally:
+        frame_mod.FrameParams.__init__ = orig
+    ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
+    assert ok, logs
+    for pl in range(3):
+        dec = desc[3][pl].astype(np.int64)
+        rec = fe.planes[pl].recon[:128, :128].astype(np.int64)
+        assert int(np.abs(dec - rec).max()) == 0, pl
