@@ -566,13 +566,32 @@ class FrameEncoder:
                     if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
                         continue
                     delta = y_delta if pl == 0 else uv_delta
-                    levels, rec = self._compute_txb(
-                        ctx, pl, px, py, txw, txh, rr + ty // 4, cc + tx // 4,
-                        force_skip, mode, delta,
+                    args = (ctx, pl, px, py, txw, txh, rr + ty // 4,
+                            cc + tx // 4, force_skip, mode, delta)
+                    small = max(txw, txh) <= 16 and not force_skip
+                    mode_adst = small and (
+                        transforms.MODE_V_ADST[mode]
+                        or transforms.MODE_H_ADST[mode]
                     )
+                    if pl == 0 and mode_adst:
+                        lv_d, rec_d, c_d = self._compute_txb(*args, try_adst=0)
+                        lv_a, rec_a, c_a = self._compute_txb(*args, try_adst=1)
+                        if c_d <= c_a + self._lambda() * 2.0:
+                            levels, rec, va, ha = lv_d, rec_d, 0, 0
+                        else:
+                            levels, rec = lv_a, rec_a
+                            va = transforms.MODE_V_ADST[mode]
+                            ha = transforms.MODE_H_ADST[mode]
+                    else:
+                        levels, rec, _c = self._compute_txb(*args)
+                        if pl == 0 and mode_adst:
+                            va = transforms.MODE_V_ADST[mode]
+                            ha = transforms.MODE_H_ADST[mode]
+                        else:
+                            va = ha = 0
                     self.planes[pl].recon[py : py + txh, px : px + txw] = rec
-                    results.append((pl, px, py, txw, txh, levels))
-        skip = 1 if all(not lv.any() for *_x, lv in results) else 0
+                    results.append((pl, px, py, txw, txh, levels, va, ha))
+        skip = 1 if all(not r_[5].any() for r_ in results) else 0
         # mark the block decoded in the superblock mask (+1 offsets)
         sy, sx = r - ctx.sb[0], c - ctx.sb[1]
         ctx.mask[sy + 1 : sy + 1 + h4, sx + 1 : sx + 1 + w4] = 1
@@ -582,7 +601,7 @@ class FrameEncoder:
         if skip:
             return
 
-        for pl, px, py, txw, txh, levels in results:
+        for pl, px, py, txw, txh, levels, va, ha in results:
             tw.write_coeffs(
                 pl,
                 (py // 4) - r0,
@@ -592,6 +611,8 @@ class FrameEncoder:
                 levels,
                 tx_block_eq_block=(pl == 0 and txw == bw and txh == bh),
                 y_mode=y_mode,
+                v_adst=va,
+                h_adst=ha,
             )
 
     def _lambda(self) -> float:
@@ -653,18 +674,21 @@ class FrameEncoder:
         return above_ext, left_ext, al, have_a, have_l
 
     def _compute_txb(
-        self, ctx, pl, px, py, txw, txh, rr4, cc4, force_skip, mode, delta=0
+        self, ctx, pl, px, py, txw, txh, rr4, cc4, force_skip, mode, delta=0,
+        try_adst=1,
     ):
         """Quantize + reconstruct one txb with a fixed mode; returns
-        (levels, recon). Prediction reads live recon — the decoder's view."""
+        (levels, recon, rd_cost). Prediction reads live recon — the
+        decoder's view."""
         from .predict import DIRECTIONAL_MODES, predict, predict_directional
 
         maxv = (1 << self.bit_depth) - 1
         src = self.planes[pl].src[py : py + txh, px : px + txw]
         cw, ch = min(txw, 32), min(txh, 32)
-        # chroma with tx <= 16x16 derives its transform from the uv mode
+        # tx <= 16x16: transform follows the prediction mode — derived
+        # (unsignaled) for chroma, RD-selected + signaled for luma
         v_adst = h_adst = 0
-        if pl > 0 and max(txw, txh) <= 16:
+        if max(txw, txh) <= 16 and (pl > 0 or try_adst):
             v_adst = transforms.MODE_V_ADST[mode]
             h_adst = transforms.MODE_H_ADST[mode]
         if mode in DIRECTIONAL_MODES and not (
@@ -680,15 +704,28 @@ class FrameEncoder:
             above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
             pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
         if force_skip:
-            return np.zeros((ch, cw), dtype=np.int32), pred
+            return np.zeros((ch, cw), dtype=np.int32), pred, 0.0
         res = (src - pred).astype(np.float64)
         coef = transforms.forward_tx2d(res, v_adst, h_adst)[:ch, :cw]
         levels = transforms.quantize_block(
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
-        _eob_optimize(
-            levels, coef, self.dc_q, self.ac_q, cw, ch, self._lambda()
-        )
+        lam = self._lambda()
+        _eob_optimize(levels, coef, self.dc_q, self.ac_q, cw, ch, lam)
+        # RD cost of this quantization (C++ BlockPipe computes identically)
+        g2 = transforms.get_gain(cw, ch)
+        cost = 0.0
+        s_ac2, s_dc2 = float(self.ac_q) * g2, float(self.dc_q) * g2
+        for yy in range(ch):
+            crow = coef[yy]
+            lrow = levels[yy]
+            for xx in range(cw):
+                lvv = int(lrow[xx])
+                dq = lvv * (s_dc2 if yy == 0 and xx == 0 else s_ac2)
+                e = float(crow[xx]) - dq
+                cost += e * e
+                if lvv:
+                    cost += lam * (abs(lvv) + 2.0)
         if levels.any():
             from ..native import inv_txfm_exact
 
@@ -699,7 +736,7 @@ class FrameEncoder:
             rec = np.clip(pred + resid, 0, maxv).astype(np.int32)
         else:
             rec = pred
-        return levels, rec
+        return levels, rec, cost
 
     # -- frame assembly -----------------------------------------------------
 

@@ -1319,18 +1319,24 @@ struct BlockPipe {
   // Compute one txb with fixed mode: quantize + reconstruct.
   // Returns levels in lvbuf (ch x cw); recon plane updated. force_skip
   // zeroes levels and reconstructs as pure prediction.
+  // cost of the last compute_txb quantization (coef SSE + lam*rate)
+  double last_cost = 0.0;
+
   void compute_txb(int pl, int px, int py, int txw, int txh, int mode,
                    int delta, bool force_skip, int* out_ch, int* out_cw,
-                   bool* any_nz) {
+                   bool* any_nz, int try_adst) {
     predict(pl, px, py, txw, txh, mode, delta);
     int cw = txw < 32 ? txw : 32;
     int ch = txh < 32 ? txh : 32;
-    // chroma with tx <= 16x16 derives its transform from the uv mode
-    // (compute_tx_type); luma signals DCT_DCT for now
+    // tx <= 16x16: transform follows the prediction mode — derived
+    // (unsignaled) for chroma; for luma the caller RD-selects between
+    // DCT_DCT and the mode transform via try_adst
     int v_adst = 0, h_adst = 0;
-    if (pl > 0 && (txw > txh ? txw : txh) <= 16) {
-      v_adst = MODE_V_ADST[mode];
-      h_adst = MODE_H_ADST[mode];
+    if ((txw > txh ? txw : txh) <= 16 && !force_skip) {
+      if (pl > 0 || try_adst) {
+        v_adst = MODE_V_ADST[mode];
+        h_adst = MODE_H_ADST[mode];
+      }
     }
     *out_ch = ch; *out_cw = cw;
     int32_t* rp = &recon[(size_t)pl * Hp * Wp];
@@ -1413,6 +1419,21 @@ struct BlockPipe {
           if (lvbuf[i]) { nz = true; break; }
       }
     }
+    // RD cost of this quantization (for the luma DCT-vs-ADST choice)
+    {
+      double cst = 0.0;
+      double s_ac2 = (double)ac_q * gain, s_dc2 = (double)dc_q * gain;
+      for (int yy = 0; yy < ch; yy++)
+        for (int xx = 0; xx < cw; xx++) {
+          double cf = cbuf[yy * txw + xx];
+          int lvv = lvbuf[yy * cw + xx];
+          double dq = lvv * (yy == 0 && xx == 0 ? s_dc2 : s_ac2);
+          double e = cf - dq;
+          cst += e * e;
+          if (lvv) cst += lam * ((lvv < 0 ? -lvv : lvv) + 2.0);
+        }
+      last_cost = cst;
+    }
     *any_nz = nz;
     if (!nz) {
       for (int y = 0; y < txh; y++)
@@ -1444,7 +1465,7 @@ struct BlockPipe {
     bool force_skip = mx == 64;
     int cfl_allowed = mx <= 32;
 
-    struct TxbRec { int pl, px, py, txw, txh, ch, cw, lvl_off; };
+    struct TxbRec { int pl, px, py, txw, txh, ch, cw, lvl_off, va, ha; };
     TxbRec recs[32];
     int nrec = 0;
     static thread_local std::vector<int32_t> all_levels;
@@ -1460,13 +1481,61 @@ struct BlockPipe {
           int px = x0 + tx, py = y0 + ty;
           if (px >= mi_cols * 4 || py >= mi_rows * 4) continue;
           int ch, cw; bool nz;
-          compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch, &cw,
-                      &nz);
+          int va = 0, ha = 0;
+          bool small = (txw > txh ? txw : txh) <= 16 && !force_skip;
+          bool mode_has_adst =
+              small && (MODE_V_ADST[mode] || MODE_H_ADST[mode]);
+          if (pl == 0 && mode_has_adst) {
+            // RD-select: DCT first, then the mode transform; keep the better
+            compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
+                        &cw, &nz, 0);
+            double c_dct = last_cost;
+            static thread_local std::vector<int32_t> lv_dct;
+            lv_dct.assign(lvbuf.begin(), lvbuf.begin() + ch * cw);
+            bool nz_dct = nz;
+            compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
+                        &cw, &nz, 1);
+            if (c_dct <= last_cost + lam * 2.0) {
+              // redo recon with the DCT choice (recon was overwritten)
+              std::copy(lv_dct.begin(), lv_dct.end(), lvbuf.begin());
+              nz = nz_dct;
+              // recompute recon from stored levels
+              predict(pl, px, py, txw, txh, mode, delta);
+              int32_t* rp2 = &recon[(size_t)pl * Hp * Wp];
+              int maxv2 = (1 << bit_depth) - 1;
+              if (!nz) {
+                for (int yy = 0; yy < txh; yy++)
+                  for (int xx = 0; xx < txw; xx++)
+                    rp2[(size_t)(py + yy) * Wp + px + xx] =
+                        pred[yy * txw + xx];
+              } else {
+                static thread_local std::vector<int32_t> rsd;
+                rsd.resize((size_t)txw * txh);
+                inv_txfm_exact(lvbuf.data(), ch, cw, txw, txh, dc_q, ac_q,
+                               bit_depth, 0, 0, rsd.data());
+                for (int yy = 0; yy < txh; yy++)
+                  for (int xx = 0; xx < txw; xx++) {
+                    long long v2 = (long long)pred[yy * txw + xx] +
+                                   rsd[yy * txw + xx];
+                    if (v2 < 0) v2 = 0;
+                    if (v2 > maxv2) v2 = maxv2;
+                    rp2[(size_t)(py + yy) * Wp + px + xx] = (int32_t)v2;
+                  }
+              }
+              va = ha = 0;
+            } else {
+              va = MODE_V_ADST[mode];
+              ha = MODE_H_ADST[mode];
+            }
+          } else {
+            compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
+                        &cw, &nz, 1);
+          }
           any_nz |= nz;
           int off = (int)all_levels.size();
           all_levels.insert(all_levels.end(), lvbuf.begin(),
                             lvbuf.begin() + ch * cw);
-          recs[nrec++] = {pl, px, py, txw, txh, ch, cw, off};
+          recs[nrec++] = {pl, px, py, txw, txh, ch, cw, off, va, ha};
         }
     }
     int skip = any_nz ? 0 : 1;
@@ -1482,10 +1551,9 @@ struct BlockPipe {
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
       int eq = (t.pl == 0 && t.txw == bw && t.txh == bh) ? 1 : 0;
-      // luma signals DCT_DCT; chroma transform is mode-derived, unsignaled
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
                       t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode,
-                      0, 0);
+                      t.va, t.ha);
     }
   }
 };
