@@ -325,23 +325,84 @@ class FrameEncoder:
                     np.put_along_axis(cost, keep, cost_k, axis=1)
                 cost[:, 7:] += lam * 2.0  # angle-delta symbol rate proxy
                 best = np.argmin(cost, axis=1)
+                deltas = np.zeros(B, dtype=np.int32)
+                if (
+                    self.cfg.tweaks.fine_directional_intra
+                    and not force_skip
+                    and min(bw, bh) >= 8
+                ):
+                    best, deltas, cost = self._refine_deltas(
+                        best, cost, src, above_ext, left_ext, al,
+                        bw, bh, lam,
+                    )
                 for i, (idx, pl) in enumerate(items):
                     key = blocks[idx]
                     ym, yd, uvm, uvd, tot = modes.get(
                         key, (DC_PRED, 0, DC_PRED, 0, 0.0)
                     )
                     bi = int(best[i])
+                    dlt = int(deltas[i])
                     if pl == 0:
                         modes[key] = (
-                            CAND_MODES[bi], 0, uvm, uvd,
+                            CAND_MODES[bi], dlt, uvm, uvd,
                             tot + float(cost[i, bi]),
                         )
                     else:
                         modes[key] = (
-                            ym, yd, CAND_MODES[bi], 0,
+                            ym, yd, CAND_MODES[bi], dlt,
                             tot + 2.0 * float(cost[i, bi]),
                         )
         return modes
+
+    def _refine_deltas(self, best, cost, src, above_ext, left_ext, al,
+                       bw, bh, lam):
+        """Stage 3 (fine_directional_intra): for blocks whose winner is
+        directional, evaluate the six nonzero angle deltas of that mode and
+        keep the best. Batched per winning mode."""
+        from .predict import predict_dir_batch
+
+        deltas = np.zeros(len(best), dtype=np.int32)
+        dir_idx = np.where((best == 1) | (best == 2) | (best >= 7))[0]
+        if len(dir_idx) == 0:
+            return best, deltas, cost
+        # map candidate index -> mode id
+        from .predict import NONDIRECTIONAL_MODES
+
+        DIAG = [3, 4, 5, 6, 7, 8]
+        CAND = NONDIRECTIONAL_MODES + DIAG
+
+        by_mode: dict = {}
+        for i in dir_idx:
+            by_mode.setdefault(CAND[int(best[i])], []).append(int(i))
+        for mode, idxs in by_mode.items():
+            sel = np.asarray(idxs)
+            cands = [(mode, d) for d in (-3, -2, -1, 1, 2, 3)]
+            preds = predict_dir_batch(
+                cands, above_ext[sel], left_ext[sel], al[sel], bw, bh
+            )
+            res = (src[sel][:, None] - preds).astype(np.float32)
+            coef = transforms.forward_dct2d(res)
+            levels = transforms.quantize_block(
+                coef, self.dc_q, self.ac_q, bw, bh, bit_depth=self.bit_depth
+            )
+            g = transforms.get_gain(bw, bh)
+            deq = levels.astype(np.float32) * np.float32(float(self.ac_q) * g)
+            deq[..., 0, 0] = levels[..., 0, 0] * np.float32(
+                float(self.dc_q) * g
+            )
+            errc = coef - deq
+            rate = np.abs(levels).sum(axis=(2, 3)) + 2 * np.count_nonzero(
+                levels, axis=(2, 3)
+            )
+            c = (errc * errc).sum(axis=(2, 3), dtype=np.float64) + lam * rate
+            dbest = np.argmin(c, axis=1)
+            cmin = np.take_along_axis(c, dbest[:, None], axis=1)[:, 0]
+            cur = cost[sel, best[sel]]
+            win = cmin < cur
+            dvals = np.asarray([-3, -2, -1, 1, 2, 3])[dbest]
+            deltas[sel[win]] = dvals[win]
+            cost[sel[win], best[sel[win]]] = cmin[win]
+        return best, deltas, cost
 
     # -- partition RDO ------------------------------------------------------
 

@@ -222,11 +222,11 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _dir_grids(mode: int, w: int, h: int):
-    """Precomputed gather grids for one directional mode at delta 0:
+def _dir_grids(mode: int, w: int, h: int, delta: int = 0):
+    """Precomputed gather grids for one directional mode/delta:
     (kind, idx0, w0, idx1, w1, mask) with int32 grids; kind selects the
     gather source arrangement."""
-    p_angle = MODE_ANGLE[mode - V_PRED]
+    p_angle = MODE_ANGLE[mode - V_PRED] + 3 * delta
     i = np.arange(h, dtype=np.int64)[:, None]
     j = np.arange(w, dtype=np.int64)[None, :]
     max_base = w + h - 1
@@ -278,15 +278,19 @@ def predict_dir_batch(
     w: int,
     h: int,
 ) -> np.ndarray:
-    """Batched directional predictors at delta 0 over B blocks: returns
-    (B, len(modes), h, w) int32. Same arithmetic as predict_directional."""
+    """Batched directional predictors over B blocks: returns
+    (B, len(modes), h, w) int32. `modes` entries are mode ids (delta 0) or
+    (mode, delta) pairs. Same arithmetic as predict_directional."""
     B = above_ext.shape[0]
     above_ext = above_ext.astype(np.int32, copy=False)
     left_ext = left_ext.astype(np.int32, copy=False)
     al32 = al.astype(np.int32, copy=False)
     out = np.empty((B, len(modes), h, w), dtype=np.int32)
     for mi_, mode in enumerate(modes):
-        kind, a1, a2, a3, a4, mask = _dir_grids(mode, w, h)
+        delta = 0
+        if isinstance(mode, tuple):
+            mode, delta = mode
+        kind, a1, a2, a3, a4, mask = _dir_grids(mode, w, h, delta)
         if kind == "vh":
             if a1 == 90:
                 out[:, mi_] = np.broadcast_to(
