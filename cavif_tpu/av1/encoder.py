@@ -803,6 +803,9 @@ class FrameEncoder:
 
     def encode(self) -> bytes:
         cfg = self.cfg
+        # CDEF is output-only for still pictures (prediction reads
+        # pre-filter recon), so the preset toggle costs nothing encoder-side
+        cdef_y, cdef_uv = self._cdef_strengths()
         seq = write_sequence_header(
             width=cfg.width,
             height=cfg.height,
@@ -810,6 +813,7 @@ class FrameEncoder:
             bit_depth=cfg.bit_depth,
             monochrome=cfg.monochrome,
             full_range=cfg.full_range,
+            enable_cdef=bool(cdef_y),
             color_primaries=1 if cfg.matrix_coefficients is not None else None,
             transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
             matrix_coefficients=cfg.matrix_coefficients,
@@ -830,10 +834,20 @@ class FrameEncoder:
             tile_rows_log2=trl,
             reduced_tx_set=cfg.tweaks.reduced_tx_set,
             filter_level=(lf, lf, lf, lf),
+            cdef_y_strengths=cdef_y,
+            cdef_uv_strengths=cdef_uv,
         )
         tiles = self._encode_tiles(tcl, trl)
         frame = assemble_frame_obu(fp, tiles)
         return assemble_temporal_unit(seq, frame)
+
+    def _cdef_strengths(self):
+        """CDEF strength heuristic (preset-gated). Secondary strength is
+        coded 0..3 with 3 meaning 4."""
+        if not self.cfg.tweaks.cdef:
+            return (), ()
+        pri = min(7, max(1, self.base_q // 48))
+        return ((pri, 1),), ((pri // 2, 1),)
 
     def _tile_split(self) -> tuple:
         """Uniform tile split sized by the reference heuristic

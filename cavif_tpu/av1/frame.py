@@ -40,6 +40,11 @@ class FrameParams:
     # loop filter levels [Y vert, Y horz, U, V]
     filter_level: tuple = (0, 0, 0, 0)
     filter_sharpness: int = 0
+    # CDEF (requires enable_cdef in the sequence header); strengths are
+    # (primary, secondary) pairs; one entry => cdef_bits = 0
+    cdef_damping: int = 3
+    cdef_y_strengths: tuple = ()
+    cdef_uv_strengths: tuple = ()
     # uniform tile spacing log2 counts
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -153,7 +158,20 @@ def write_frame_header_bits(p: FrameParams, w: BitWriter) -> None:
             w.f(lv[3], 6)
         w.f(p.filter_sharpness, 3)
         w.f(0, 1)  # loop_filter_delta_enabled
-    # cdef_params(): absent (enable_cdef=0)
+    # cdef_params() — present iff the sequence header set enable_cdef
+    if p.cdef_y_strengths:
+        n = len(p.cdef_y_strengths)
+        bits = max(0, (n - 1).bit_length())
+        w.f(p.cdef_damping - 3, 2)
+        w.f(bits, 2)
+        for i in range(1 << bits):
+            yp, ys = p.cdef_y_strengths[min(i, n - 1)]
+            w.f(yp, 4)
+            w.f(ys, 2)
+            if not p.monochrome:
+                up, us = p.cdef_uv_strengths[min(i, n - 1)]
+                w.f(up, 4)
+                w.f(us, 2)
     # lr_params(): absent (enable_restoration=0)
     # read_tx_mode()
     if not p.coded_lossless:

@@ -33,11 +33,14 @@ def _drift(plane, q, threads=1, tiles=False):
     fe = FrameEncoder(plane, cfg)
     if tiles:
         fe._tile_split = lambda: (1, 1)
+    # deblock + CDEF are output-only for still frames; disable both so
+    # decoder pixels equal pre-filter reconstruction
+    fe._cdef_strengths = lambda: ((), ())
     orig = frame_mod.FrameParams.__init__
 
     def patched(self, *a, **k):
         orig(self, *a, **k)
-        self.filter_level = (0, 0, 0, 0)  # deblock is output-only noise here
+        self.filter_level = (0, 0, 0, 0)
 
     frame_mod.FrameParams.__init__ = patched
     try:
@@ -94,6 +97,7 @@ def test_recon_exact_chroma_adst():
     fe = FrameEncoder(planes, cfg)
     fe.min_leaf_mi = 4
     fe.max_leaf_mi = 4  # force 16x16 -> chroma ADST zone
+    fe._cdef_strengths = lambda: ((), ())
     orig = frame_mod.FrameParams.__init__
 
     def patched(self, *a, **k):
