@@ -289,8 +289,16 @@ class FrameEncoder:
                     cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
                 else:
                     # stage 1: SAD prefilter keeps the best K candidates;
-                    # DC always survives (low rate often beats low SAD)
-                    K = 4
+                    # DC always survives (low rate often beats low SAD).
+                    # K follows the speed preset (complex_prediction_modes
+                    # at s<=1 evaluates everything; fast speeds keep 2)
+                    sp = self.cfg.tweaks.speed_preset
+                    if self.cfg.tweaks.complex_prediction_modes:
+                        K = preds.shape[1]
+                    elif sp <= 6:
+                        K = 4
+                    else:
+                        K = 2
                     sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
                     sad[:, 7:] += lam * 0.5  # nudge ties toward cheap modes
                     sad[:, 0] = -1.0
