@@ -86,6 +86,15 @@ class FrameEncoder:
         # libaom-decoder strictness (dav1d accepts), so 64 stays split.
         minp, maxp = cfg.tweaks.partition_range
         self.min_leaf_mi = max(minp // 4, 2)
+        # pass-1 search backend: the threaded C++ bs_search when the native
+        # library is up (same algorithm as the numpy reference below;
+        # CAVIF_TPU_PY_SEARCH=1 forces the numpy path for differential tests)
+        from .opstream import _native_available
+
+        self._native_search = _native_available() and not os.environ.get(
+            "CAVIF_TPU_PY_SEARCH"
+        )
+        self._search_threads = os.cpu_count() or 1
         # The preset's upper bound is rav1e's search policy; our RD search is
         # cheap enough to always consider up to 32x32 (the DP only picks a
         # larger leaf when it wins), which strictly improves RD here.
@@ -277,6 +286,42 @@ class FrameEncoder:
                     elif not (cc4 > 0):
                         left_ext[i] = above_ext[i, 0]
                         al[i] = above_ext[i, 0]
+                if self._native_search:
+                    from .. import native
+
+                    sp = self.cfg.tweaks.speed_preset
+                    if self.cfg.tweaks.complex_prediction_modes:
+                        K = 13
+                    elif sp <= 6:
+                        K = 4
+                    else:
+                        K = 2
+                    refine = (
+                        self.cfg.tweaks.fine_directional_intra
+                        and not force_skip
+                        and min(bw, bh) >= 8
+                    )
+                    bm, bd_, bc = native.mode_search(
+                        src, above_ext, left_ext, al, have_a, have_l,
+                        self.dc_q, self.ac_q, self.bit_depth, lam,
+                        float(transforms.get_gain(bw, bh)), K, refine,
+                        force_skip, getattr(self, "_search_threads", 1),
+                    )
+                    for i, (idx, pl) in enumerate(items):
+                        key = blocks[idx]
+                        ym, yd, uvm, uvd, tot = modes.get(
+                            key, (DC_PRED, 0, DC_PRED, 0, 0.0)
+                        )
+                        mi, dlt, cv = int(bm[i]), int(bd_[i]), float(bc[i])
+                        if pl == 0:
+                            modes[key] = (
+                                CAND_MODES[mi], dlt, uvm, uvd, tot + cv
+                            )
+                        else:
+                            modes[key] = (
+                                ym, yd, CAND_MODES[mi], dlt, tot + 2.0 * cv
+                            )
+                    continue
                 preds7 = predict_all_batch(
                     above, left, al, have_a, have_l, bw, bh, self.bit_depth
                 )  # (B, 7, bh, bw)
@@ -918,6 +963,9 @@ class FrameEncoder:
 
         self._src_stack()  # materialize once before the fan-out
         workers = min(len(tiles_rc), self.cfg.threads or (os.cpu_count() or 1))
+        # split the core budget: `workers` tiles in flight, each searching
+        # with its share of threads (avoids oversubscription)
+        self._search_threads = max(1, (os.cpu_count() or 1) // workers)
         with ThreadPoolExecutor(max_workers=workers) as ex:
             return list(
                 ex.map(lambda t: self._encode_tile_native(*t), tiles_rc)

@@ -55,7 +55,7 @@ def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops",
         "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO),
+        str(_SRC), "-o", str(_SO), "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -121,6 +121,23 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
         lib.bp_encode_tile.restype = ctypes.c_int
+        lib.bs_search.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # src
+            ctypes.POINTER(ctypes.c_int32),  # above_ext
+            ctypes.POINTER(ctypes.c_int32),  # left_ext
+            ctypes.POINTER(ctypes.c_int32),  # al
+            ctypes.POINTER(ctypes.c_uint8),  # have_a
+            ctypes.POINTER(ctypes.c_uint8),  # have_l
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B, bw, bh
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # dc_q, ac_q, bd
+            ctypes.c_double, ctypes.c_double,          # lam, gain
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # K, refine, force_skip
+            ctypes.c_int,                              # n_threads
+            ctypes.POINTER(ctypes.c_int32),            # out mode idx
+            ctypes.POINTER(ctypes.c_int32),            # out delta
+            ctypes.POINTER(ctypes.c_double),           # out cost
+        ]
+        lib.bs_search.restype = ctypes.c_int
         _install_tables(lib)
         _lib = lib
         return _lib
@@ -208,6 +225,59 @@ def encode_tile_bp(
         if n == -2 or cap > (1 << 28):
             raise RuntimeError("bp tile encode failed")
         cap *= 4
+
+
+def mode_search(
+    src: np.ndarray,
+    above_ext: np.ndarray,
+    left_ext: np.ndarray,
+    al: np.ndarray,
+    have_a: np.ndarray,
+    have_l: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int,
+    lam: float,
+    gain: float,
+    K: int,
+    refine: bool,
+    force_skip: bool,
+    n_threads: int = 1,
+):
+    """Native batched intra mode search (pass 1). Mirrors the numpy
+    reference in av1/encoder.py _batch_search (SAD prefilter with DC kept,
+    transform-domain RD on top-K, angle-delta refinement) over B same-sized
+    blocks. Returns (mode_idx, delta, cost) int32/int32/float64 arrays; the
+    mode index is into CAND_MODES = nondirectional(7) + diagonals(6)."""
+    lib = _load()
+    B, bh, bw = src.shape
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    above_ext = np.ascontiguousarray(above_ext, dtype=np.int32)
+    left_ext = np.ascontiguousarray(left_ext, dtype=np.int32)
+    al = np.ascontiguousarray(al, dtype=np.int32)
+    have_a = np.ascontiguousarray(have_a, dtype=np.uint8)
+    have_l = np.ascontiguousarray(have_l, dtype=np.uint8)
+    out_mode = np.empty(B, dtype=np.int32)
+    out_delta = np.empty(B, dtype=np.int32)
+    out_cost = np.empty(B, dtype=np.float64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.bs_search(
+        src.ctypes.data_as(i32),
+        above_ext.ctypes.data_as(i32),
+        left_ext.ctypes.data_as(i32),
+        al.ctypes.data_as(i32),
+        have_a.ctypes.data_as(u8),
+        have_l.ctypes.data_as(u8),
+        B, bw, bh, dc_q, ac_q, bit_depth, lam, gain,
+        K, int(refine), int(force_skip), n_threads,
+        out_mode.ctypes.data_as(i32),
+        out_delta.ctypes.data_as(i32),
+        out_cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError("bs_search failed")
+    return out_mode, out_delta, out_cost
 
 
 def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:

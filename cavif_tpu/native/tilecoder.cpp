@@ -19,6 +19,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
+#include <thread>
+#include <mutex>
 
 namespace {
 
@@ -60,6 +63,14 @@ struct SpecTables {
 };
 
 SpecTables g_tables;
+
+const struct DctMatrix& dct_matrix(int n);
+// Pre-warm the DCT matrix cache at load time (single-threaded dlopen), so
+// the lazy init never races between tile / search worker threads.
+const bool g_dct_warm = [] {
+  for (int n : {4, 8, 16, 32, 64}) dct_matrix(n);
+  return true;
+}();
 
 int size_idx(int w, int h) {
   int lw = 0, lh = 0;
@@ -1558,6 +1569,190 @@ struct BlockPipe {
   }
 };
 
+
+// ---------------------------------------------------------------------------
+// Batched intra mode search (the encoder's pass 1). Mirrors the numpy
+// reference search in av1/encoder.py _batch_search: 13 candidates (7
+// non-directional + 6 diagonals at delta 0), SAD prefilter with DC forced
+// into the survivor set, transform-domain RD on the survivors, optional
+// angle-delta refinement for directional winners. Threaded over blocks.
+// ---------------------------------------------------------------------------
+
+namespace search {
+
+constexpr int CAND_MODES[13] = {0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8};
+constexpr int MODE_ANGLE[8] = {90, 180, 45, 135, 113, 157, 203, 67};
+
+// predict one mode/delta from synthesized extended neighbors
+static void predict_into(int mode, int delta, const int32_t* ae,
+                         const int32_t* le, int al, int have_a, int have_l,
+                         int w, int h, int bd, int32_t* out) {
+  int base = 1 << (bd - 1);
+  if (mode == 0) {  // DC from real sides
+    int64_t avg;
+    if (have_a && have_l) {
+      int64_t sm = 0;
+      for (int i = 0; i < w; i++) sm += ae[i];
+      for (int i = 0; i < h; i++) sm += le[i];
+      avg = (sm + ((w + h) >> 1)) / (w + h);
+    } else if (have_a) {
+      int64_t sm = 0;
+      for (int i = 0; i < w; i++) sm += ae[i];
+      avg = (sm + (w >> 1)) >> (bitlength((uint32_t)w) - 1);
+    } else if (have_l) {
+      int64_t sm = 0;
+      for (int i = 0; i < h; i++) sm += le[i];
+      avg = (sm + (h >> 1)) >> (bitlength((uint32_t)h) - 1);
+    } else {
+      avg = base;
+    }
+    for (int i = 0; i < w * h; i++) out[i] = (int32_t)avg;
+    return;
+  }
+  if (mode >= 1 && mode <= 8) {  // directional
+    int p_angle = MODE_ANGLE[mode - 1] + 3 * delta;
+    const int32_t* dr = g_tables.dr.data();
+    int max_base = w + h - 1;
+    if (p_angle == 90) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) out[i * w + j] = ae[j];
+      return;
+    }
+    if (p_angle == 180) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) out[i * w + j] = le[i];
+      return;
+    }
+    if (p_angle < 90) {
+      int dx = dr[p_angle];
+      for (int i = 0; i < h; i++) {
+        int64_t idx = (int64_t)(i + 1) * dx;
+        for (int j = 0; j < w; j++) {
+          int64_t b = (idx >> 6) + j;
+          int sh = (int)((idx >> 1) & 0x1F);
+          out[i * w + j] = b < max_base
+              ? (int32_t)((ae[b] * (int64_t)(32 - sh) + ae[b + 1] * (int64_t)sh + 16) >> 5)
+              : ae[max_base];
+        }
+      }
+      return;
+    }
+    if (p_angle < 180) {
+      int dx = dr[180 - p_angle];
+      int dy = dr[p_angle - 90];
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t idx = ((int64_t)j << 6) - (int64_t)(i + 1) * dx;
+          int64_t b = idx >> 6;
+          int64_t v;
+          if (b >= -1) {
+            int sh = (int)((idx >> 1) & 0x1F);
+            int64_t a0 = b < 0 ? al : ae[b];
+            int64_t a1 = ae[b + 1];
+            v = (a0 * (32 - sh) + a1 * sh + 16) >> 5;
+          } else {
+            int64_t idx2 = ((int64_t)i << 6) - (int64_t)(j + 1) * dy;
+            int64_t b2 = idx2 >> 6;
+            int sh2 = (int)((idx2 >> 1) & 0x1F);
+            int64_t l0 = b2 < 0 ? al : le[b2];
+            int64_t l1 = b2 + 1 < 0 ? al : le[b2 + 1];
+            v = (l0 * (32 - sh2) + l1 * sh2 + 16) >> 5;
+          }
+          out[i * w + j] = (int32_t)v;
+        }
+      return;
+    }
+    int dy = dr[270 - p_angle];
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        int64_t idx = (int64_t)(j + 1) * dy;
+        int64_t b = (idx >> 6) + i;
+        int sh = (int)((idx >> 1) & 0x1F);
+        out[i * w + j] = b < max_base
+            ? (int32_t)((le[b] * (int64_t)(32 - sh) + le[b + 1] * (int64_t)sh + 16) >> 5)
+            : le[max_base];
+      }
+    return;
+  }
+  // smooth family + paeth (9..12)
+  const uint8_t* wh = g_tables.sm_weights[bitlength((uint32_t)h) - 3].data();
+  const uint8_t* ww = g_tables.sm_weights[bitlength((uint32_t)w) - 3].data();
+  int64_t below = le[h - 1], right = ae[w - 1];
+  switch (mode) {
+    case 9:
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t t = (int64_t)wh[i] * ae[j] + (256 - wh[i]) * below +
+                      (int64_t)ww[j] * le[i] + (256 - ww[j]) * right;
+          out[i * w + j] = (int32_t)((t + 256) >> 9);
+        }
+      break;
+    case 10:
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+          out[i * w + j] =
+              (int32_t)(((int64_t)wh[i] * ae[j] + (256 - wh[i]) * below + 128) >> 8);
+      break;
+    case 11:
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+          out[i * w + j] =
+              (int32_t)(((int64_t)ww[j] * le[i] + (256 - ww[j]) * right + 128) >> 8);
+      break;
+    default:  // 12 PAETH
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t b = (int64_t)le[i] + ae[j] - al;
+          int64_t pl_ = b - le[i]; if (pl_ < 0) pl_ = -pl_;
+          int64_t pt = b - ae[j]; if (pt < 0) pt = -pt;
+          int64_t ptl = b - al; if (ptl < 0) ptl = -ptl;
+          out[i * w + j] = (int32_t)(
+              (pl_ <= pt && pl_ <= ptl) ? le[i] : (pt <= ptl ? ae[j] : al));
+        }
+  }
+}
+
+struct Scratch {
+  std::vector<int32_t> pred;
+  std::vector<double> res, tmp, coef;
+  std::vector<int32_t> lv;
+};
+
+// transform-domain RD cost of one candidate
+static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
+                      int dc_q, int ac_q, int bd, double lam, double gain,
+                      Scratch& sc) {
+  int n = w * h;
+  sc.res.resize(n); sc.tmp.resize(n); sc.coef.resize(n);
+  for (int i = 0; i < n; i++) sc.res[i] = (double)(src[i] - pred[i]);
+  const DctMatrix& dh = dct_matrix(h);
+  const DctMatrix& dw = dct_matrix(w);
+  mat_sandwich(dh.d.data(), sc.res.data(), dw.d.data(), h, w, sc.tmp.data(),
+               sc.coef.data());
+  double inv_ac = 1.0 / ((double)ac_q * gain);
+  double inv_dc = 1.0 / ((double)dc_q * gain);
+  double s_ac = (double)ac_q * gain, s_dc = (double)dc_q * gain;
+  int coeff_max = (1 << (bd + 7)) - 1;
+  int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
+  int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
+  double cost = 0.0;
+  for (int i = 0; i < n; i++) {
+    bool is_dc = i == 0;
+    double t = sc.coef[i] * (is_dc ? inv_dc : inv_ac);
+    double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : 0.35));
+    int lvv = (int)(t < 0 ? -a : a);
+    int lim = is_dc ? max_dc : max_ac;
+    if (lvv > lim) lvv = lim;
+    if (lvv < -lim) lvv = -lim;
+    double e = sc.coef[i] - lvv * (is_dc ? s_dc : s_ac);
+    cost += e * e;
+    if (lvv) cost += lam * ((lvv < 0 ? -lvv : lvv) + 2.0);
+  }
+  return cost;
+}
+
+}  // namespace search
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1736,6 +1931,106 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
     }
   }
   return tc.enc.done(out, cap);
+}
+
+
+// Batched mode search over B same-sized blocks; see search:: above.
+// Arrays: src (B*bh*bw), above_ext/left_ext (B*(bw+bh)) pre-synthesized,
+// al/have_a/have_l (B). Outputs best mode id, angle delta, rd cost.
+int bs_search(const int32_t* src, const int32_t* above_ext,
+              const int32_t* left_ext, const int32_t* al,
+              const uint8_t* have_a, const uint8_t* have_l, int B, int bw,
+              int bh, int dc_q, int ac_q, int bit_depth, double lam,
+              double gain, int K, int refine, int force_skip, int n_threads,
+              int32_t* out_mode, int32_t* out_delta, double* out_cost) {
+  using namespace search;
+  int ext = bw + bh;
+  int n = bw * bh;
+  auto worker = [&](int b0, int b1) {
+    Scratch sc;
+    sc.pred.resize((size_t)13 * n);
+    std::vector<double> sad(13), cost(13);
+    for (int b = b0; b < b1; b++) {
+      const int32_t* s_ = src + (size_t)b * n;
+      const int32_t* ae = above_ext + (size_t)b * ext;
+      const int32_t* le = left_ext + (size_t)b * ext;
+      int alv = al[b];
+      for (int m = 0; m < 13; m++) {
+        int32_t* p = sc.pred.data() + (size_t)m * n;
+        predict_into(CAND_MODES[m], 0, ae, le, alv, have_a[b], have_l[b],
+                     bw, bh, bit_depth, p);
+        double sd = 0.0;
+        for (int i = 0; i < n; i++) {
+          int d = s_[i] - p[i];
+          sd += d < 0 ? -d : d;
+        }
+        sad[m] = sd + (m >= 7 ? lam * 0.5 : 0.0);
+      }
+      if (force_skip) {
+        // SSE-only pick
+        int best = 0; double bc = 1e300;
+        for (int m = 0; m < 13; m++) {
+          const int32_t* p = sc.pred.data() + (size_t)m * n;
+          double ss = 0.0;
+          for (int i = 0; i < n; i++) {
+            double d = (double)(s_[i] - p[i]);
+            ss += d * d;
+          }
+          if (m >= 7) ss += lam * 2.0;
+          if (ss < bc) { bc = ss; best = m; }
+        }
+        out_mode[b] = best; out_delta[b] = 0; out_cost[b] = bc;
+        continue;
+      }
+      // survivors: DC (index 0) + top (K-1) by SAD
+      int order[13];
+      for (int i = 0; i < 13; i++) order[i] = i;
+      std::sort(order, order + 13,
+                [&](int a_, int b_) { return sad[a_] < sad[b_]; });
+      int keep[13]; int nk = 0;
+      keep[nk++] = 0;
+      for (int i = 0; i < 13 && nk < K; i++)
+        if (order[i] != 0) keep[nk++] = order[i];
+      int best = keep[0]; double bc = 1e300;
+      for (int ki = 0; ki < nk; ki++) {
+        int m = keep[ki];
+        double c = rd_cost(s_, sc.pred.data() + (size_t)m * n, bw, bh, dc_q,
+                           ac_q, bit_depth, lam, gain, sc);
+        if (m >= 7) c += lam * 2.0;  // diag angle-symbol rate proxy
+        if (c < bc) { bc = c; best = m; }
+      }
+      int bdelta = 0;
+      int bmode_id = CAND_MODES[best];
+      if (refine && bmode_id >= 1 && bmode_id <= 8 &&
+          (bw >= 8 && bh >= 8)) {
+        static const int DELTAS[6] = {-3, -2, -1, 1, 2, 3};
+        for (int di = 0; di < 6; di++) {
+          predict_into(bmode_id, DELTAS[di], ae, le, alv, have_a[b],
+                       have_l[b], bw, bh, bit_depth, sc.pred.data());
+          double c = rd_cost(s_, sc.pred.data(), bw, bh, dc_q, ac_q,
+                             bit_depth, lam, gain, sc) + lam * 2.0;
+          if (c < bc) { bc = c; bdelta = DELTAS[di]; }
+        }
+      }
+      out_mode[b] = best;
+      out_delta[b] = bdelta;
+      out_cost[b] = bc;
+    }
+  };
+  if (n_threads <= 1 || B < 64) {
+    worker(0, B);
+  } else {
+    int nt = n_threads;
+    std::vector<std::thread> ths;
+    int per = (B + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
+      if (b0 >= b1) break;
+      ths.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ths) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

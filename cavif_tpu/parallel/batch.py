@@ -48,6 +48,10 @@ def encode_batch(
 
     enc = encoder if encoder is not None else Encoder.new()
     workers = max_workers or (os.cpu_count() or 1)
+    if enc.threads is None and len(images) > 1:
+        # file-level parallelism replaces tile-level: one tile pipeline per
+        # image avoids oversubscription (mirrors rayon's shared global pool)
+        enc = enc.with_num_threads(1)
 
     def job(i: int) -> BatchResult:
         img = np.asarray(images[i])

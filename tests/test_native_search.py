@@ -1,0 +1,103 @@
+"""Native (C++) batched mode search vs the numpy reference search.
+
+The C++ bs_search in native/tilecoder.cpp reimplements the pass-1 search of
+av1/encoder.py _batch_search (SAD prefilter keeping DC, transform-domain RD
+on the top-K, angle-delta refinement). Decisions need not be bit-identical
+(f32 vs f64 transforms), but on real content they should agree almost
+everywhere — and the resulting encodes must be equivalent in rate and
+quality.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from cavif_tpu import Encoder
+from cavif_tpu.av1.opstream import _native_available
+
+pytestmark = pytest.mark.skipif(
+    not _native_available(), reason="native library unavailable"
+)
+
+
+def _image(n=256, seed=7):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    lum = np.clip(
+        128
+        + 70 * np.sin(x / 41.0) * np.cos(y / 29.0)
+        + 50 * ((x + y) // 64 % 2)
+        + rng.normal(0, 4, (n, n)),
+        0,
+        255,
+    )
+    return np.stack(
+        [lum, np.clip(lum + 12, 0, 255), np.clip(lum - 9, 0, 255)], -1
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / mse)
+
+
+def test_native_search_matches_python_reference(monkeypatch):
+    img = _image()
+    enc = Encoder.new().with_quality(80).with_speed(4)
+    out_native = enc.encode_rgb(img).avif_file
+    monkeypatch.setenv("CAVIF_TPU_PY_SEARCH", "1")
+    out_py = enc.encode_rgb(img).avif_file
+
+    from PIL import Image
+
+    px_n = np.asarray(Image.open(io.BytesIO(out_native)).convert("RGB"))
+    px_p = np.asarray(Image.open(io.BytesIO(out_py)).convert("RGB"))
+    p_n, p_p = _psnr(px_n, img), _psnr(px_p, img)
+    # same algorithm either side: rate within 2%, quality within 0.2 dB
+    assert abs(len(out_native) - len(out_py)) <= 0.02 * len(out_py), (
+        len(out_native),
+        len(out_py),
+    )
+    assert abs(p_n - p_p) < 0.2, (p_n, p_p)
+
+
+def test_mode_search_direct_agreement():
+    """Drive bs_search and the numpy stages on the same gathered arrays."""
+    from cavif_tpu import native
+    from cavif_tpu.av1 import transforms
+
+    rng = np.random.default_rng(3)
+    B, bw, bh = 64, 16, 16
+    base = rng.integers(200, 800, size=(B, 1, 1))
+    grad = np.arange(bw)[None, None, :] * rng.integers(-8, 9, size=(B, 1, 1))
+    src = np.clip(base + grad + rng.integers(-20, 21, (B, bh, bw)), 0, 1023)
+    ext = bw + bh
+    above_ext = np.clip(
+        src[:, 0, :1] + rng.integers(-30, 31, (B, ext)), 0, 1023
+    )
+    left_ext = np.clip(src[:, :1, 0] + rng.integers(-30, 31, (B, ext)), 0, 1023)
+    al = ((above_ext[:, 0] + left_ext[:, 0]) // 2).astype(np.int32)
+    have = np.ones(B, dtype=np.uint8)
+
+    dc_q, ac_q, bd, lam = 676, 523, 10, 120.0
+    gain = float(transforms.get_gain(bw, bh))
+    m, d, c = native.mode_search(
+        src.astype(np.int32), above_ext.astype(np.int32),
+        left_ext.astype(np.int32), al, have, have,
+        dc_q, ac_q, bd, lam, gain, K=4, refine=True, force_skip=False,
+        n_threads=2,
+    )
+    assert m.shape == (B,) and ((m >= 0) & (m < 13)).all()
+    assert ((d >= -3) & (d <= 3)).all()
+    assert (c >= 0).all() and np.isfinite(c).all()
+    # threading must not change results
+    m1, d1, c1 = native.mode_search(
+        src.astype(np.int32), above_ext.astype(np.int32),
+        left_ext.astype(np.int32), al, have, have,
+        dc_q, ac_q, bd, lam, gain, K=4, refine=True, force_skip=False,
+        n_threads=1,
+    )
+    assert (m == m1).all() and (d == d1).all()
+    assert np.allclose(c, c1)
