@@ -37,6 +37,10 @@ from .symbols import (
     TileParams,
 )
 
+# pass-1 candidate order shared with the C++ bs_search (tilecoder.cpp
+# search::CAND_MODES): 7 non-directional then the 6 diagonals at delta 0
+CAND_MODES_SEARCH = [0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8]
+
 
 @dataclass
 class _PlaneState:
@@ -221,6 +225,8 @@ class FrameEncoder:
 
         Returns {(r, c, w4, h4): (y_mode, uv_mode, rd_cost)} where rd_cost
         sums luma + both-chroma proxies (V approximated by U's cost)."""
+        if self._native_search:
+            return self._batch_search_native(blocks, origin)
         from .predict import (
             NONDIRECTIONAL_MODES,
             predict_all_batch,
@@ -286,42 +292,6 @@ class FrameEncoder:
                     elif not (cc4 > 0):
                         left_ext[i] = above_ext[i, 0]
                         al[i] = above_ext[i, 0]
-                if self._native_search:
-                    from .. import native
-
-                    sp = self.cfg.tweaks.speed_preset
-                    if self.cfg.tweaks.complex_prediction_modes:
-                        K = 13
-                    elif sp <= 6:
-                        K = 4
-                    else:
-                        K = 2
-                    refine = (
-                        self.cfg.tweaks.fine_directional_intra
-                        and not force_skip
-                        and min(bw, bh) >= 8
-                    )
-                    bm, bd_, bc = native.mode_search(
-                        src, above_ext, left_ext, al, have_a, have_l,
-                        self.dc_q, self.ac_q, self.bit_depth, lam,
-                        float(transforms.get_gain(bw, bh)), K, refine,
-                        force_skip, getattr(self, "_search_threads", 1),
-                    )
-                    for i, (idx, pl) in enumerate(items):
-                        key = blocks[idx]
-                        ym, yd, uvm, uvd, tot = modes.get(
-                            key, (DC_PRED, 0, DC_PRED, 0, 0.0)
-                        )
-                        mi, dlt, cv = int(bm[i]), int(bd_[i]), float(bc[i])
-                        if pl == 0:
-                            modes[key] = (
-                                CAND_MODES[mi], dlt, uvm, uvd, tot + cv
-                            )
-                        else:
-                            modes[key] = (
-                                ym, yd, CAND_MODES[mi], dlt, tot + 2.0 * cv
-                            )
-                    continue
                 preds7 = predict_all_batch(
                     above, left, al, have_a, have_l, bw, bh, self.bit_depth
                 )  # (B, 7, bh, bw)
@@ -405,6 +375,64 @@ class FrameEncoder:
                             ym, yd, CAND_MODES[bi], dlt,
                             tot + 2.0 * float(cost[i, bi]),
                         )
+        return modes
+
+    def _batch_search_native(self, blocks, origin) -> dict:
+        """Pass-1 search via the threaded C++ bs_search2: block coordinates
+        go down, the gather + SAD prefilter + transform RD + delta
+        refinement all run in native worker threads (same algorithm as the
+        numpy path above; tests/test_native_search.py pins agreement)."""
+        from .. import native
+
+        r0, c0 = origin
+        lam = self._lambda()
+        tweaks = self.cfg.tweaks
+        sp = tweaks.speed_preset
+        if tweaks.complex_prediction_modes:
+            K = 13
+        elif sp <= 6:
+            K = 4
+        else:
+            K = 2
+        groups: dict = {}  # (bw, bh) -> [(block_idx, plane), ...]
+        for idx, (r, c, w4b, h4b) in enumerate(blocks):
+            bw, bh = w4b * 4, h4b * 4
+            g = groups.setdefault((bw, bh), [])
+            g.append((idx, 0))
+            if self.num_planes > 1:
+                g.append((idx, 1))
+        planes = self._src_stack()
+        nthr = getattr(self, "_search_threads", 1)
+        modes: dict = {}
+        for (bw, bh), items in groups.items():
+            force_skip = max(bw, bh) == 64
+            refine = (
+                tweaks.fine_directional_intra
+                and not force_skip
+                and min(bw, bh) >= 8
+            )
+            arr = np.empty((len(items), 3), dtype=np.int32)
+            for i, (idx, pl) in enumerate(items):
+                r, c, _, _ = blocks[idx]
+                arr[i] = (pl, r * 4, c * 4)
+            bm, bd_, bc = native.mode_search_planes(
+                planes, arr, bw, bh, (r0 * 4, c0 * 4),
+                self.dc_q, self.ac_q, self.bit_depth, lam,
+                float(transforms.get_gain(bw, bh)), K, refine, force_skip,
+                nthr,
+            )
+            for i, (idx, pl) in enumerate(items):
+                key = blocks[idx]
+                ym, yd, uvm, uvd, tot = modes.get(
+                    key, (DC_PRED, 0, DC_PRED, 0, 0.0)
+                )
+                mi, dlt, cv = int(bm[i]), int(bd_[i]), float(bc[i])
+                if pl == 0:
+                    modes[key] = (CAND_MODES_SEARCH[mi], dlt, uvm, uvd,
+                                  tot + cv)
+                else:
+                    modes[key] = (ym, yd, CAND_MODES_SEARCH[mi], dlt,
+                                  tot + 2.0 * cv)
         return modes
 
     def _refine_deltas(self, best, cost, src, above_ext, left_ext, al,

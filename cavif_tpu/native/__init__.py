@@ -138,6 +138,21 @@ def _load():
             ctypes.POINTER(ctypes.c_double),           # out cost
         ]
         lib.bs_search.restype = ctypes.c_int
+        lib.bs_search2.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # planes (P, Hp, Wp)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # P, Hp, Wp
+            ctypes.POINTER(ctypes.c_int32),  # items (B, 3): pl, py, px
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B, bw, bh
+            ctypes.c_int, ctypes.c_int,                # py0, px0
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # dc_q, ac_q, bd
+            ctypes.c_double, ctypes.c_double,          # lam, gain
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # K, refine, force_skip
+            ctypes.c_int,                              # n_threads
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.bs_search2.restype = ctypes.c_int
         _install_tables(lib)
         _lib = lib
         return _lib
@@ -277,6 +292,50 @@ def mode_search(
     )
     if rc != 0:
         raise RuntimeError("bs_search failed")
+    return out_mode, out_delta, out_cost
+
+
+def mode_search_planes(
+    planes: np.ndarray,
+    items: np.ndarray,
+    bw: int,
+    bh: int,
+    origin_px: tuple,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int,
+    lam: float,
+    gain: float,
+    K: int,
+    refine: bool,
+    force_skip: bool,
+    n_threads: int = 1,
+):
+    """bs_search2: like mode_search but the neighbor gather happens in the
+    C++ worker threads. planes: (P, Hp, Wp) contiguous int32 padded source;
+    items: (B, 3) int32 rows (plane, py, px) in pixels; origin_px: tile
+    origin (py0, px0) for the availability rules."""
+    lib = _load()
+    planes = np.ascontiguousarray(planes, dtype=np.int32)
+    items = np.ascontiguousarray(items, dtype=np.int32)
+    P, Hp, Wp = planes.shape
+    B = items.shape[0]
+    out_mode = np.empty(B, dtype=np.int32)
+    out_delta = np.empty(B, dtype=np.int32)
+    out_cost = np.empty(B, dtype=np.float64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.bs_search2(
+        planes.ctypes.data_as(i32), P, Hp, Wp,
+        items.ctypes.data_as(i32), B, bw, bh,
+        int(origin_px[0]), int(origin_px[1]),
+        dc_q, ac_q, bit_depth, lam, gain,
+        K, int(refine), int(force_skip), n_threads,
+        out_mode.ctypes.data_as(i32),
+        out_delta.ctypes.data_as(i32),
+        out_cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError("bs_search2 failed")
     return out_mode, out_delta, out_cost
 
 

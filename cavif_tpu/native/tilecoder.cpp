@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <thread>
 #include <mutex>
+#include <functional>
 
 namespace {
 
@@ -1937,6 +1938,102 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
 // Batched mode search over B same-sized blocks; see search:: above.
 // Arrays: src (B*bh*bw), above_ext/left_ext (B*(bw+bh)) pre-synthesized,
 // al/have_a/have_l (B). Outputs best mode id, angle delta, rd cost.
+namespace {
+namespace search {
+
+struct Params {
+  int bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip;
+  double lam, gain;
+};
+
+// one block: SAD prefilter (DC kept) -> RD on top-K -> delta refinement
+static void search_one(const int32_t* s_, const int32_t* ae,
+                       const int32_t* le, int alv, int hav_a, int hav_l,
+                       const Params& P, Scratch& sc, int32_t* out_mode,
+                       int32_t* out_delta, double* out_cost) {
+  int bw = P.bw, bh = P.bh, n = bw * bh;
+  double lam = P.lam;
+  double sad[13];
+  for (int m = 0; m < 13; m++) {
+    int32_t* p = sc.pred.data() + (size_t)m * n;
+    predict_into(CAND_MODES[m], 0, ae, le, alv, hav_a, hav_l, bw, bh,
+                 P.bit_depth, p);
+    double sd = 0.0;
+    for (int i = 0; i < n; i++) {
+      int d = s_[i] - p[i];
+      sd += d < 0 ? -d : d;
+    }
+    sad[m] = sd + (m >= 7 ? lam * 0.5 : 0.0);
+  }
+  if (P.force_skip) {
+    int best = 0;
+    double bc = 1e300;
+    for (int m = 0; m < 13; m++) {
+      const int32_t* p = sc.pred.data() + (size_t)m * n;
+      double ss = 0.0;
+      for (int i = 0; i < n; i++) {
+        double d = (double)(s_[i] - p[i]);
+        ss += d * d;
+      }
+      if (m >= 7) ss += lam * 2.0;
+      if (ss < bc) { bc = ss; best = m; }
+    }
+    *out_mode = best; *out_delta = 0; *out_cost = bc;
+    return;
+  }
+  int order[13];
+  for (int i = 0; i < 13; i++) order[i] = i;
+  std::sort(order, order + 13,
+            [&](int a_, int b_) { return sad[a_] < sad[b_]; });
+  int keep[13]; int nk = 0;
+  keep[nk++] = 0;  // DC always survives
+  for (int i = 0; i < 13 && nk < P.K; i++)
+    if (order[i] != 0) keep[nk++] = order[i];
+  int best = keep[0];
+  double bc = 1e300;
+  for (int ki = 0; ki < nk; ki++) {
+    int m = keep[ki];
+    double c = rd_cost(s_, sc.pred.data() + (size_t)m * n, bw, bh, P.dc_q,
+                       P.ac_q, P.bit_depth, lam, P.gain, sc);
+    if (m >= 7) c += lam * 2.0;  // diag angle-symbol rate proxy
+    if (c < bc) { bc = c; best = m; }
+  }
+  int bdelta = 0;
+  int bmode_id = CAND_MODES[best];
+  if (P.refine && bmode_id >= 1 && bmode_id <= 8 && bw >= 8 && bh >= 8) {
+    static const int DELTAS[6] = {-3, -2, -1, 1, 2, 3};
+    for (int di = 0; di < 6; di++) {
+      predict_into(bmode_id, DELTAS[di], ae, le, alv, hav_a, hav_l, bw, bh,
+                   P.bit_depth, sc.pred.data());
+      double c = rd_cost(s_, sc.pred.data(), bw, bh, P.dc_q, P.ac_q,
+                         P.bit_depth, lam, P.gain, sc) + lam * 2.0;
+      if (c < bc) { bc = c; bdelta = DELTAS[di]; }
+    }
+  }
+  *out_mode = best;
+  *out_delta = bdelta;
+  *out_cost = bc;
+}
+
+static void run_threaded(int B, int n_threads,
+                         const std::function<void(int, int)>& worker) {
+  if (n_threads <= 1 || B < 64) {
+    worker(0, B);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int per = (B + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
+    if (b0 >= b1) break;
+    ths.emplace_back(worker, b0, b1);
+  }
+  for (auto& th : ths) th.join();
+}
+
+}  // namespace search
+}  // namespace
+
 int bs_search(const int32_t* src, const int32_t* above_ext,
               const int32_t* left_ext, const int32_t* al,
               const uint8_t* have_a, const uint8_t* have_l, int B, int bw,
@@ -1944,92 +2041,79 @@ int bs_search(const int32_t* src, const int32_t* above_ext,
               double gain, int K, int refine, int force_skip, int n_threads,
               int32_t* out_mode, int32_t* out_delta, double* out_cost) {
   using namespace search;
+  Params P{bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip, lam, gain};
   int ext = bw + bh;
   int n = bw * bh;
   auto worker = [&](int b0, int b1) {
     Scratch sc;
     sc.pred.resize((size_t)13 * n);
-    std::vector<double> sad(13), cost(13);
+    for (int b = b0; b < b1; b++)
+      search_one(src + (size_t)b * n, above_ext + (size_t)b * ext,
+                 left_ext + (size_t)b * ext, al[b], have_a[b], have_l[b], P,
+                 sc, out_mode + b, out_delta + b, out_cost + b);
+  };
+  run_threaded(B, n_threads, worker);
+  return 0;
+}
+
+// Gathering variant: blocks are (plane, py, px) coordinates into a padded
+// (P, Hp, Wp) int32 plane stack; neighbors (with the spec's tile-top/left
+// availability and the search's source-synthesis rules for missing sides)
+// are gathered per worker thread. py0/px0 are the tile origin in pixels.
+int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
+               const int32_t* items, int B, int bw, int bh, int py0, int px0,
+               int dc_q, int ac_q, int bit_depth, double lam, double gain,
+               int K, int refine, int force_skip, int n_threads,
+               int32_t* out_mode, int32_t* out_delta, double* out_cost) {
+  using namespace search;
+  (void)nP;
+  Params P{bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip, lam, gain};
+  int ext = bw + bh;
+  int n = bw * bh;
+  int base_px = 1 << (bit_depth - 1);
+  auto worker = [&](int b0, int b1) {
+    Scratch sc;
+    sc.pred.resize((size_t)13 * n);
+    std::vector<int32_t> src(n), ae(ext), le(ext);
     for (int b = b0; b < b1; b++) {
-      const int32_t* s_ = src + (size_t)b * n;
-      const int32_t* ae = above_ext + (size_t)b * ext;
-      const int32_t* le = left_ext + (size_t)b * ext;
-      int alv = al[b];
-      for (int m = 0; m < 13; m++) {
-        int32_t* p = sc.pred.data() + (size_t)m * n;
-        predict_into(CAND_MODES[m], 0, ae, le, alv, have_a[b], have_l[b],
-                     bw, bh, bit_depth, p);
-        double sd = 0.0;
-        for (int i = 0; i < n; i++) {
-          int d = s_[i] - p[i];
-          sd += d < 0 ? -d : d;
-        }
-        sad[m] = sd + (m >= 7 ? lam * 0.5 : 0.0);
-      }
-      if (force_skip) {
-        // SSE-only pick
-        int best = 0; double bc = 1e300;
-        for (int m = 0; m < 13; m++) {
-          const int32_t* p = sc.pred.data() + (size_t)m * n;
-          double ss = 0.0;
-          for (int i = 0; i < n; i++) {
-            double d = (double)(s_[i] - p[i]);
-            ss += d * d;
-          }
-          if (m >= 7) ss += lam * 2.0;
-          if (ss < bc) { bc = ss; best = m; }
-        }
-        out_mode[b] = best; out_delta[b] = 0; out_cost[b] = bc;
-        continue;
-      }
-      // survivors: DC (index 0) + top (K-1) by SAD
-      int order[13];
-      for (int i = 0; i < 13; i++) order[i] = i;
-      std::sort(order, order + 13,
-                [&](int a_, int b_) { return sad[a_] < sad[b_]; });
-      int keep[13]; int nk = 0;
-      keep[nk++] = 0;
-      for (int i = 0; i < 13 && nk < K; i++)
-        if (order[i] != 0) keep[nk++] = order[i];
-      int best = keep[0]; double bc = 1e300;
-      for (int ki = 0; ki < nk; ki++) {
-        int m = keep[ki];
-        double c = rd_cost(s_, sc.pred.data() + (size_t)m * n, bw, bh, dc_q,
-                           ac_q, bit_depth, lam, gain, sc);
-        if (m >= 7) c += lam * 2.0;  // diag angle-symbol rate proxy
-        if (c < bc) { bc = c; best = m; }
-      }
-      int bdelta = 0;
-      int bmode_id = CAND_MODES[best];
-      if (refine && bmode_id >= 1 && bmode_id <= 8 &&
-          (bw >= 8 && bh >= 8)) {
-        static const int DELTAS[6] = {-3, -2, -1, 1, 2, 3};
-        for (int di = 0; di < 6; di++) {
-          predict_into(bmode_id, DELTAS[di], ae, le, alv, have_a[b],
-                       have_l[b], bw, bh, bit_depth, sc.pred.data());
-          double c = rd_cost(s_, sc.pred.data(), bw, bh, dc_q, ac_q,
-                             bit_depth, lam, gain, sc) + lam * 2.0;
-          if (c < bc) { bc = c; bdelta = DELTAS[di]; }
+      int pl = items[3 * b], py = items[3 * b + 1], px = items[3 * b + 2];
+      const int32_t* sp = planes + (size_t)pl * Hp * Wp;
+      for (int i = 0; i < bh; i++)
+        for (int j = 0; j < bw; j++)
+          src[(size_t)i * bw + j] = sp[(size_t)(py + i) * Wp + px + j];
+      int hav_a = py > py0, hav_l = px > px0;
+      int alv;
+      if (hav_a) {
+        const int32_t* row = sp + (size_t)(py - 1) * Wp;
+        for (int i = 0; i < ext; i++) {
+          int c = px + i;
+          ae[i] = row[c < Wp ? c : Wp - 1];
         }
       }
-      out_mode[b] = best;
-      out_delta[b] = bdelta;
-      out_cost[b] = bc;
+      if (hav_l) {
+        for (int i = 0; i < ext; i++) {
+          int r = py + i;
+          le[i] = sp[(size_t)(r < Hp ? r : Hp - 1) * Wp + px - 1];
+        }
+      }
+      if (hav_a && hav_l) {
+        alv = sp[(size_t)(py - 1) * Wp + px - 1];
+      } else if (!hav_a && !hav_l) {
+        for (int i = 0; i < ext; i++) ae[i] = base_px - 1;
+        for (int i = 0; i < ext; i++) le[i] = base_px + 1;
+        alv = base_px;
+      } else if (!hav_a) {
+        for (int i = 0; i < ext; i++) ae[i] = le[0];
+        alv = le[0];
+      } else {
+        for (int i = 0; i < ext; i++) le[i] = ae[0];
+        alv = ae[0];
+      }
+      search_one(src.data(), ae.data(), le.data(), alv, hav_a, hav_l, P, sc,
+                 out_mode + b, out_delta + b, out_cost + b);
     }
   };
-  if (n_threads <= 1 || B < 64) {
-    worker(0, B);
-  } else {
-    int nt = n_threads;
-    std::vector<std::thread> ths;
-    int per = (B + nt - 1) / nt;
-    for (int t = 0; t < nt; t++) {
-      int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
-      if (b0 >= b1) break;
-      ths.emplace_back(worker, b0, b1);
-    }
-    for (auto& th : ths) th.join();
-  }
+  run_threaded(B, n_threads, worker);
   return 0;
 }
 
