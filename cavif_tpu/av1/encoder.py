@@ -98,7 +98,9 @@ class FrameEncoder:
         self._native_search = _native_available() and not os.environ.get(
             "CAVIF_TPU_PY_SEARCH"
         )
-        self._search_threads = os.cpu_count() or 1
+        # the encoder's total thread budget (cfg.threads) bounds search
+        # workers too — batch mode runs many single-threaded encoders
+        self._search_threads = cfg.threads or (os.cpu_count() or 1)
         # The preset's upper bound is rav1e's search policy; our RD search is
         # cheap enough to always consider up to 32x32 (the DP only picks a
         # larger leaf when it wins), which strictly improves RD here.
@@ -993,7 +995,8 @@ class FrameEncoder:
         workers = min(len(tiles_rc), self.cfg.threads or (os.cpu_count() or 1))
         # split the core budget: `workers` tiles in flight, each searching
         # with its share of threads (avoids oversubscription)
-        self._search_threads = max(1, (os.cpu_count() or 1) // workers)
+        budget = self.cfg.threads or (os.cpu_count() or 1)
+        self._search_threads = max(1, budget // workers)
         with ThreadPoolExecutor(max_workers=workers) as ex:
             return list(
                 ex.map(lambda t: self._encode_tile_native(*t), tiles_rc)

@@ -1627,12 +1627,12 @@ static void predict_into(int mode, int delta, const int32_t* ae,
     if (p_angle < 90) {
       int dx = dr[p_angle];
       for (int i = 0; i < h; i++) {
-        int64_t idx = (int64_t)(i + 1) * dx;
+        int32_t idx = (i + 1) * dx;
         for (int j = 0; j < w; j++) {
-          int64_t b = (idx >> 6) + j;
+          int32_t b = (idx >> 6) + j;
           int sh = (int)((idx >> 1) & 0x1F);
           out[i * w + j] = b < max_base
-              ? (int32_t)((ae[b] * (int64_t)(32 - sh) + ae[b + 1] * (int64_t)sh + 16) >> 5)
+              ? ((ae[b] * (32 - sh) + ae[b + 1] * sh + 16) >> 5)
               : ae[max_base];
         }
       }
@@ -1643,34 +1643,34 @@ static void predict_into(int mode, int delta, const int32_t* ae,
       int dy = dr[p_angle - 90];
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t idx = ((int64_t)j << 6) - (int64_t)(i + 1) * dx;
-          int64_t b = idx >> 6;
-          int64_t v;
+          int32_t idx = (j << 6) - (i + 1) * dx;
+          int32_t b = idx >> 6;
+          int32_t v;
           if (b >= -1) {
             int sh = (int)((idx >> 1) & 0x1F);
-            int64_t a0 = b < 0 ? al : ae[b];
-            int64_t a1 = ae[b + 1];
+            int32_t a0 = b < 0 ? al : ae[b];
+            int32_t a1 = ae[b + 1];
             v = (a0 * (32 - sh) + a1 * sh + 16) >> 5;
           } else {
-            int64_t idx2 = ((int64_t)i << 6) - (int64_t)(j + 1) * dy;
-            int64_t b2 = idx2 >> 6;
+            int32_t idx2 = (i << 6) - (j + 1) * dy;
+            int32_t b2 = idx2 >> 6;
             int sh2 = (int)((idx2 >> 1) & 0x1F);
-            int64_t l0 = b2 < 0 ? al : le[b2];
-            int64_t l1 = b2 + 1 < 0 ? al : le[b2 + 1];
+            int32_t l0 = b2 < 0 ? al : le[b2];
+            int32_t l1 = b2 + 1 < 0 ? al : le[b2 + 1];
             v = (l0 * (32 - sh2) + l1 * sh2 + 16) >> 5;
           }
-          out[i * w + j] = (int32_t)v;
+          out[i * w + j] = v;
         }
       return;
     }
     int dy = dr[270 - p_angle];
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
-        int64_t idx = (int64_t)(j + 1) * dy;
-        int64_t b = (idx >> 6) + i;
+        int32_t idx = (j + 1) * dy;
+        int32_t b = (idx >> 6) + i;
         int sh = (int)((idx >> 1) & 0x1F);
         out[i * w + j] = b < max_base
-            ? (int32_t)((le[b] * (int64_t)(32 - sh) + le[b + 1] * (int64_t)sh + 16) >> 5)
+            ? ((le[b] * (32 - sh) + le[b + 1] * sh + 16) >> 5)
             : le[max_base];
       }
     return;
@@ -1678,78 +1678,159 @@ static void predict_into(int mode, int delta, const int32_t* ae,
   // smooth family + paeth (9..12)
   const uint8_t* wh = g_tables.sm_weights[bitlength((uint32_t)h) - 3].data();
   const uint8_t* ww = g_tables.sm_weights[bitlength((uint32_t)w) - 3].data();
-  int64_t below = le[h - 1], right = ae[w - 1];
+  int32_t below = le[h - 1], right = ae[w - 1];
   switch (mode) {
     case 9:
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t t = (int64_t)wh[i] * ae[j] + (256 - wh[i]) * below +
-                      (int64_t)ww[j] * le[i] + (256 - ww[j]) * right;
-          out[i * w + j] = (int32_t)((t + 256) >> 9);
+          int32_t t = wh[i] * ae[j] + (256 - wh[i]) * below +
+                      ww[j] * le[i] + (256 - ww[j]) * right;
+          out[i * w + j] = (t + 256) >> 9;
         }
       break;
     case 10:
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++)
           out[i * w + j] =
-              (int32_t)(((int64_t)wh[i] * ae[j] + (256 - wh[i]) * below + 128) >> 8);
+              (wh[i] * ae[j] + (256 - wh[i]) * below + 128) >> 8;
       break;
     case 11:
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++)
           out[i * w + j] =
-              (int32_t)(((int64_t)ww[j] * le[i] + (256 - ww[j]) * right + 128) >> 8);
+              (ww[j] * le[i] + (256 - ww[j]) * right + 128) >> 8;
       break;
     default:  // 12 PAETH
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t b = (int64_t)le[i] + ae[j] - al;
-          int64_t pl_ = b - le[i]; if (pl_ < 0) pl_ = -pl_;
-          int64_t pt = b - ae[j]; if (pt < 0) pt = -pt;
-          int64_t ptl = b - al; if (ptl < 0) ptl = -ptl;
-          out[i * w + j] = (int32_t)(
-              (pl_ <= pt && pl_ <= ptl) ? le[i] : (pt <= ptl ? ae[j] : al));
+          int32_t b = le[i] + ae[j] - al;
+          int32_t pl_ = b - le[i]; if (pl_ < 0) pl_ = -pl_;
+          int32_t pt = b - ae[j]; if (pt < 0) pt = -pt;
+          int32_t ptl = b - al; if (ptl < 0) ptl = -ptl;
+          out[i * w + j] =
+              (pl_ <= pt && pl_ <= ptl) ? le[i] : (pt <= ptl ? ae[j] : al);
         }
   }
 }
 
 struct Scratch {
   std::vector<int32_t> pred;
-  std::vector<double> res, tmp, coef;
-  std::vector<int32_t> lv;
+  std::vector<float> res, tmp, coef;
 };
 
-// transform-domain RD cost of one candidate
+// float DCT matrices for the search path (decision-only; pass 2 recomputes
+// coefficients at full precision)
+struct DctMatrixF {
+  int n = 0;
+  std::vector<float> d;   // (n, n) rows = frequencies
+  std::vector<float> dt;  // transpose, for contiguous-j accumulation
+};
+
+const DctMatrixF& dct_matrix_f(int n) {
+  static DctMatrixF cache[8];
+  int idx = bitlength((uint32_t)n) - 3;
+  DctMatrixF& m = cache[idx];
+  if (m.n != n) {
+    const DctMatrix& src = dct_matrix(n);
+    m.d.assign(src.d.begin(), src.d.end());
+    m.dt.resize((size_t)n * n);
+    for (int i = 0; i < n; i++)
+      for (int j = 0; j < n; j++)
+        m.dt[(size_t)j * n + i] = (float)src.d[(size_t)i * n + j];
+    m.n = n;
+  }
+  return m;
+}
+
+const bool g_dctf_warm = [] {
+  for (int n : {4, 8, 16, 32, 64}) dct_matrix_f(n);
+  return true;
+}();
+
+// out = A(h x h) * X(h x w) * B(w x w)^T in f32. Bt is B transposed so
+// both stages accumulate along contiguous j (auto-vectorizes without
+// reassociation).
+static void mat_sandwich_f(const float* A, const float* X, const float* Bt,
+                           int h, int w, float* tmp, float* out) {
+  for (int i = 0; i < h; i++) {
+    float* tr = &tmp[(size_t)i * w];
+    for (int j = 0; j < w; j++) tr[j] = 0.0f;
+    for (int k = 0; k < h; k++) {
+      float a = A[(size_t)i * h + k];
+      const float* xr = &X[(size_t)k * w];
+      for (int j = 0; j < w; j++) tr[j] += a * xr[j];
+    }
+  }
+  for (int i = 0; i < h; i++) {
+    const float* tr = &tmp[(size_t)i * w];
+    float* orow = &out[(size_t)i * w];
+    for (int j = 0; j < w; j++) orow[j] = 0.0f;
+    for (int k = 0; k < w; k++) {
+      float t = tr[k];
+      const float* br = &Bt[(size_t)k * w];
+      for (int j = 0; j < w; j++) orow[j] += t * br[j];
+    }
+  }
+}
+
+// transform-domain RD cost of one candidate (f32 decision path)
 static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
                       int dc_q, int ac_q, int bd, double lam, double gain,
                       Scratch& sc) {
   int n = w * h;
   sc.res.resize(n); sc.tmp.resize(n); sc.coef.resize(n);
-  for (int i = 0; i < n; i++) sc.res[i] = (double)(src[i] - pred[i]);
-  const DctMatrix& dh = dct_matrix(h);
-  const DctMatrix& dw = dct_matrix(w);
-  mat_sandwich(dh.d.data(), sc.res.data(), dw.d.data(), h, w, sc.tmp.data(),
-               sc.coef.data());
-  double inv_ac = 1.0 / ((double)ac_q * gain);
-  double inv_dc = 1.0 / ((double)dc_q * gain);
-  double s_ac = (double)ac_q * gain, s_dc = (double)dc_q * gain;
+  for (int i = 0; i < n; i++) sc.res[i] = (float)(src[i] - pred[i]);
+  const DctMatrixF& dh = dct_matrix_f(h);
+  const DctMatrixF& dw = dct_matrix_f(w);
+  mat_sandwich_f(dh.d.data(), sc.res.data(), dw.dt.data(), h, w,
+                 sc.tmp.data(), sc.coef.data());
+  float s_ac = (float)(ac_q * gain), s_dc = (float)(dc_q * gain);
+  float inv_ac = 1.0f / s_ac, inv_dc = 1.0f / s_dc;
   int coeff_max = (1 << (bd + 7)) - 1;
   int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
   int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
-  double cost = 0.0;
-  for (int i = 0; i < n; i++) {
-    bool is_dc = i == 0;
-    double t = sc.coef[i] * (is_dc ? inv_dc : inv_ac);
-    double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : 0.35));
-    int lvv = (int)(t < 0 ? -a : a);
-    int lim = is_dc ? max_dc : max_ac;
-    if (lvv > lim) lvv = lim;
-    if (lvv < -lim) lvv = -lim;
-    double e = sc.coef[i] - lvv * (is_dc ? s_dc : s_ac);
-    cost += e * e;
-    if (lvv) cost += lam * ((lvv < 0 ? -lvv : lvv) + 2.0);
+  // DC (deadzone 0.5), then a branch-free AC loop (deadzone 0.35) that
+  // the compiler can vectorize: 4-way unrolled float accumulators
+  float t0 = sc.coef[0] * inv_dc;
+  int la0 = (int)(std::fabs(t0) + 0.5f);
+  if (la0 > max_dc) la0 = max_dc;
+  int lvv0 = t0 < 0.0f ? -la0 : la0;
+  float e0 = sc.coef[0] - lvv0 * s_dc;
+  double cost = (double)e0 * e0;
+  int rate_abs = la0, rate_nz = la0 != 0;
+  float acc0 = 0.0f, acc1 = 0.0f, acc2 = 0.0f, acc3 = 0.0f;
+  int ra0 = 0, ra1 = 0, ra2 = 0, ra3 = 0;
+  int rn0 = 0, rn1 = 0, rn2 = 0, rn3 = 0;
+  int i = 1;
+  for (; i + 3 < n; i += 4) {
+#define Q(S, J)                                                         \
+    {                                                                   \
+      float c_ = sc.coef[i + J];                                        \
+      float at = std::fabs(c_) * inv_ac;                                \
+      int la = (int)(at + 0.35f);                                       \
+      la = la > max_ac ? max_ac : la;                                   \
+      float e = std::fabs(c_) - la * s_ac;                              \
+      acc##S += e * e;                                                  \
+      ra##S += la;                                                      \
+      rn##S += la != 0;                                                 \
+    }
+    Q(0, 0) Q(1, 1) Q(2, 2) Q(3, 3)
+#undef Q
   }
-  return cost;
+  for (; i < n; i++) {
+    float c_ = sc.coef[i];
+    float at = std::fabs(c_) * inv_ac;
+    int la = (int)(at + 0.35f);
+    la = la > max_ac ? max_ac : la;
+    float e = std::fabs(c_) - la * s_ac;
+    acc0 += e * e;
+    ra0 += la;
+    rn0 += la != 0;
+  }
+  cost += (double)((acc0 + acc1) + (acc2 + acc3));
+  rate_abs += ra0 + ra1 + ra2 + ra3;
+  rate_nz += rn0 + rn1 + rn2 + rn3;
+  return cost + lam * (double)(rate_abs + 2 * rate_nz);
 }
 
 }  // namespace search
@@ -1958,23 +2039,24 @@ static void search_one(const int32_t* s_, const int32_t* ae,
     int32_t* p = sc.pred.data() + (size_t)m * n;
     predict_into(CAND_MODES[m], 0, ae, le, alv, hav_a, hav_l, bw, bh,
                  P.bit_depth, p);
-    double sd = 0.0;
+    int32_t sd = 0;
     for (int i = 0; i < n; i++) {
       int d = s_[i] - p[i];
       sd += d < 0 ? -d : d;
     }
-    sad[m] = sd + (m >= 7 ? lam * 0.5 : 0.0);
+    sad[m] = (double)sd + (m >= 7 ? lam * 0.5 : 0.0);
   }
   if (P.force_skip) {
     int best = 0;
     double bc = 1e300;
     for (int m = 0; m < 13; m++) {
       const int32_t* p = sc.pred.data() + (size_t)m * n;
-      double ss = 0.0;
+      int64_t ssi = 0;
       for (int i = 0; i < n; i++) {
-        double d = (double)(s_[i] - p[i]);
-        ss += d * d;
+        int32_t d = s_[i] - p[i];
+        ssi += (int64_t)d * d;
       }
+      double ss = (double)ssi;
       if (m >= 7) ss += lam * 2.0;
       if (ss < bc) { bc = ss; best = m; }
     }
