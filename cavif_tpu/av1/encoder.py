@@ -85,11 +85,11 @@ class FrameEncoder:
         self.dc_q = tables.dc_q(self.base_q, self.bit_depth)
         self.ac_q = tables.ac_q(self.base_q, self.bit_depth)
         # partition search range from the speed preset (SURVEY.md 2.2),
-        # clamped to [8x8, 32x32]: 4x4 leaves land with the 4x4 DP tier;
-        # 64x64 leaves would take TX_64X64 whose residual path trips a
-        # libaom-decoder strictness (dav1d accepts), so 64 stays split.
+        # clamped to [4x4, 32x32]: 64x64 leaves would take TX_64X64 whose
+        # residual path trips a libaom-decoder strictness (dav1d accepts),
+        # so 64 stays split. The 4x4 tier is noise-floor-pruned below.
         minp, maxp = cfg.tweaks.partition_range
-        self.min_leaf_mi = max(minp // 4, 2)
+        self.min_leaf_mi = max(minp // 4, 1)
         # pass-1 search backend: the threaded C++ bs_search when the native
         # library is up (same algorithm as the numpy reference below;
         # CAVIF_TPU_PY_SEARCH=1 forces the numpy path for differential tests)
@@ -219,16 +219,19 @@ class FrameEncoder:
 
     # -- pass 1: batched mode search ----------------------------------------
 
-    def _batch_search(self, blocks, origin) -> dict:
+    def _batch_search(self, blocks, origin, luma_only=False) -> dict:
         """Batched mode search over candidate blocks using *source*
         neighbors (recon is not yet available; at encode quantizers recon
         tracks source closely, and pass 2 re-derives the residual against
         true recon, so there is no drift).
 
-        Returns {(r, c, w4, h4): (y_mode, uv_mode, rd_cost)} where rd_cost
-        sums luma + both-chroma proxies (V approximated by U's cost)."""
+        Returns {(r, c, w4, h4): (y_mode, y_delta, uv_mode, uv_delta,
+        total_cost, luma_cost)} where total sums luma + both-chroma proxies
+        (V approximated by U's cost). With luma_only, chroma is not
+        searched (uv fields stay DC; the caller inherits the parent's
+        choice) and total == luma."""
         if self._native_search:
-            return self._batch_search_native(blocks, origin)
+            return self._batch_search_native(blocks, origin, luma_only)
         from .predict import (
             NONDIRECTIONAL_MODES,
             predict_all_batch,
@@ -243,7 +246,7 @@ class FrameEncoder:
         for idx, (r, c, w4b, h4b) in enumerate(blocks):
             bw, bh = w4b * 4, h4b * 4
             groups.setdefault((bw, bh), []).append((idx, 0))
-            if self.num_planes > 1:
+            if self.num_planes > 1 and not luma_only:
                 groups[(bw, bh)].append((idx, 1))
         modes: dict = {}
         CHUNK = 1024  # bounds temporaries to ~200 MB at 32x32
@@ -362,24 +365,24 @@ class FrameEncoder:
                     )
                 for i, (idx, pl) in enumerate(items):
                     key = blocks[idx]
-                    ym, yd, uvm, uvd, tot = modes.get(
-                        key, (DC_PRED, 0, DC_PRED, 0, 0.0)
+                    ym, yd, uvm, uvd, tot, lc = modes.get(
+                        key, (DC_PRED, 0, DC_PRED, 0, 0.0, 0.0)
                     )
                     bi = int(best[i])
                     dlt = int(deltas[i])
                     if pl == 0:
+                        cv = float(cost[i, bi])
                         modes[key] = (
-                            CAND_MODES[bi], dlt, uvm, uvd,
-                            tot + float(cost[i, bi]),
+                            CAND_MODES[bi], dlt, uvm, uvd, tot + cv, cv,
                         )
                     else:
                         modes[key] = (
                             ym, yd, CAND_MODES[bi], dlt,
-                            tot + 2.0 * float(cost[i, bi]),
+                            tot + 2.0 * float(cost[i, bi]), lc,
                         )
         return modes
 
-    def _batch_search_native(self, blocks, origin) -> dict:
+    def _batch_search_native(self, blocks, origin, luma_only=False) -> dict:
         """Pass-1 search via the threaded C++ bs_search2: block coordinates
         go down, the gather + SAD prefilter + transform RD + delta
         refinement all run in native worker threads (same algorithm as the
@@ -401,7 +404,7 @@ class FrameEncoder:
             bw, bh = w4b * 4, h4b * 4
             g = groups.setdefault((bw, bh), [])
             g.append((idx, 0))
-            if self.num_planes > 1:
+            if self.num_planes > 1 and not luma_only:
                 g.append((idx, 1))
         planes = self._src_stack()
         nthr = getattr(self, "_search_threads", 1)
@@ -425,16 +428,16 @@ class FrameEncoder:
             )
             for i, (idx, pl) in enumerate(items):
                 key = blocks[idx]
-                ym, yd, uvm, uvd, tot = modes.get(
-                    key, (DC_PRED, 0, DC_PRED, 0, 0.0)
+                ym, yd, uvm, uvd, tot, lc = modes.get(
+                    key, (DC_PRED, 0, DC_PRED, 0, 0.0, 0.0)
                 )
                 mi, dlt, cv = int(bm[i]), int(bd_[i]), float(bc[i])
                 if pl == 0:
                     modes[key] = (CAND_MODES_SEARCH[mi], dlt, uvm, uvd,
-                                  tot + cv)
+                                  tot + cv, cv)
                 else:
                     modes[key] = (ym, yd, CAND_MODES_SEARCH[mi], dlt,
-                                  tot + 2.0 * cv)
+                                  tot + 2.0 * cv, lc)
         return modes
 
     def _refine_deltas(self, best, cost, src, above_ext, left_ext, al,
@@ -494,21 +497,39 @@ class FrameEncoder:
     # symbol overhead. Larger OVH_BLOCK biases toward larger blocks.
     OVH_BLOCK = 12.0
     OVH_SPLIT = 2.0
+    BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
 
     def _split_partials(self, collect):
         """Blocks the geometry walk found that the size-tier enumeration
-        will NOT cover: edge slivers, 4x4 corner leaves, and bottom-tier
-        squares whose parent square is not fully inside the grid (those can
-        never be pruned away by the parent-cost test)."""
+        will NOT cover: edge slivers, plus — per bottom-tier square — the
+        *maximal* full square containing it whose own parent is not fully
+        inside the grid (the prune cascade only reaches descendants of the
+        always-searched top tiers, so these orphans must be searched
+        directly; they become NONE leaves unless the cascade refines them)."""
         out = []
-        s = self.min_leaf_mi
+        seen = set()
+        s = max(self.min_leaf_mi, 2)  # collect-phase bottom tier
+        top = max(self.max_leaf_mi // 2, s)  # smallest always-searched tier
         for (r, c, w4b, h4b) in collect:
             if w4b != h4b or w4b != s:
                 out.append((r, c, w4b, h4b))
                 continue
-            pr, pc = r - r % (2 * s), c - c % (2 * s)
-            if pr + 2 * s > self.mi_rows or pc + 2 * s > self.mi_cols:
-                out.append((r, c, w4b, h4b))
+            # largest aligned full square containing this bottom-tier leaf
+            best = None
+            t = s
+            while t <= top:
+                ar, ac = r - r % t, c - c % t
+                if ar + t > self.mi_rows or ac + t > self.mi_cols:
+                    break
+                best = (ar, ac, t, t)
+                t *= 2
+            if best is None:
+                best = (r, c, w4b, h4b)  # no full parent at all
+            elif best[2] >= top:
+                continue  # covered by the always-searched tiers
+            if best not in seen:
+                seen.add(best)
+                out.append(best)
         return out
 
     def _rdo_partition(self, partials, origin, mi_r0, mi_r1, mi_c0, mi_c1):
@@ -536,40 +557,88 @@ class FrameEncoder:
                         continue
                     yield (r, c)
 
-        # upper tiers (+ edge partials) always searched; the bottom tier is
-        # searched only under parents whose cost exceeds the quantization
-        # noise floor — smooth regions never pay for the small-block batch
+        # top two tiers (+ edge partials) always searched; each lower tier
+        # is searched only under parents whose cost exceeds the signaling
+        # floor of four children (KAPPA=1 is the lossless bound; larger
+        # trades a little RD on structured content for skipping the search
+        # on textured parents). Smooth regions never descend.
         cands = list(partials)
-        upper = sizes[1:] if len(sizes) > 1 else sizes
-        for s4 in upper:
+        always = sizes[-2:] if len(sizes) > 1 else sizes
+        for s4 in always:
             for (r, c) in full_blocks(s4):
                 cands.append((r, c, s4, s4))
         modes = self._batch_search(cands, origin)
 
-        prune_bottom = len(sizes) > 1
-        if prune_bottom:
-            s4 = sizes[1]  # parent of the bottom tier
-            # lossless prune: SPLIT can only win when the parent's cost
-            # exceeds the pure signaling overhead of four children
-            floor = lam * (self.OVH_SPLIT + 3.0 * self.OVH_BLOCK)
+        floor = self.BOTTOM_KAPPA * lam * (
+            self.OVH_SPLIT + 3.0 * self.OVH_BLOCK
+        )
+        ovh_b = lam * self.OVH_BLOCK
+        ovh_s = lam * self.OVH_SPLIT
+        for s4 in reversed(sizes[:-2]):
+            ps4 = s4 * 2  # parent tier (always searched or cascaded)
+            luma_only = s4 == 1  # 4x4: chroma inherits the parent's uv
+            # below the first cascade tier, only descend where splitting is
+            # already winning: the parent's own parent must prefer SPLIT
+            # over NONE given the just-searched sibling costs (textured
+            # content, where small blocks can't beat the noise, stops here)
+            deep = ps4 < sizes[-2]
+            gate: set = set()
+            if deep:
+                gs4 = ps4 * 2
+                for (r, c) in full_blocks(gs4):
+                    g = modes.get((r, c, gs4, gs4))
+                    if g is None:
+                        continue
+                    kids = [
+                        modes.get((r + dr, c + dc_, ps4, ps4))
+                        for dr in (0, ps4)
+                        for dc_ in (0, ps4)
+                    ]
+                    if any(k is None for k in kids):
+                        continue
+                    split_c = ovh_s + sum(k[4] + ovh_b for k in kids)
+                    if split_c < g[4] + ovh_b:
+                        gate.add((r, c))
             small = []
-            for (r, c) in full_blocks(s4):
-                if modes[(r, c, s4, s4)][4] > floor:
-                    half = s4 // 2
-                    for dr in (0, half):
-                        for dc_ in (0, half):
-                            small.append((r + dr, c + dc_, half, half))
-            if small:
-                modes.update(self._batch_search(small, origin))
+            parents = []
+            for (r, c) in full_blocks(ps4):
+                p = modes.get((r, c, ps4, ps4))
+                if p is None or p[4] <= floor:
+                    continue
+                if deep and (r - r % (ps4 * 2), c - c % (ps4 * 2)) not in gate:
+                    continue
+                parents.append((r, c))
+                for dr in (0, s4):
+                    for dc_ in (0, s4):
+                        small.append((r + dr, c + dc_, s4, s4))
+            if not small:
+                break
+            modes.update(
+                self._batch_search(small, origin, luma_only=luma_only)
+            )
+            if luma_only:
+                # spread the parent's chroma cost over the children so the
+                # NONE-vs-SPLIT comparison stays chroma-inclusive
+                for (r, c) in parents:
+                    p = modes[(r, c, ps4, ps4)]
+                    uv_share = (p[4] - p[5]) / 4.0
+                    for dr in (0, s4):
+                        for dc_ in (0, s4):
+                            k = (r + dr, c + dc_, s4, s4)
+                            m = modes[k]
+                            modes[k] = (m[0], m[1], p[2], p[3],
+                                        m[4] + uv_share, m[5])
 
         part: dict = {}
         best_cost: dict = {}  # (r, c, s4) -> subtree cost
+        by_size: dict = {}
+        for (r, c, w4b, h4b) in modes:
+            if w4b == h4b:
+                by_size.setdefault(w4b, []).append((r, c))
         for s4 in sizes:
             half = s4 // 2
-            for (r, c) in full_blocks(s4):
+            for (r, c) in by_size.get(s4, ()):
                 key = (r, c, s4, s4)
-                if key not in modes:
-                    continue  # pruned bottom-tier block
                 none_c = modes[key][4] + lam * self.OVH_BLOCK
                 if s4 == self.min_leaf_mi:
                     best_cost[(r, c, s4)] = none_c
@@ -620,7 +689,14 @@ class FrameEncoder:
         emit = tw is not None
 
         if full:
-            if n4 <= self.min_leaf_mi or (
+            # the collect walk stops at 8x8 (the 4x4 tier's candidates come
+            # from the RDO cascade, not the geometry walk)
+            leaf_mi = (
+                self.min_leaf_mi
+                if ctx.part is not None
+                else max(self.min_leaf_mi, 2)
+            )
+            if n4 <= leaf_mi or (
                 n4 <= self.max_leaf_mi
                 and ctx.part is not None
                 and ctx.part.get((r, c, n4)) == PARTITION_NONE
@@ -674,7 +750,7 @@ class FrameEncoder:
             ctx.collect.append((r, c, w4, h4))
             return
         if ctx.skeleton:
-            ym, yd, uvm, uvd, _cost = ctx.modes[(r, c, w4, h4)]
+            ym, yd, uvm, uvd = ctx.modes[(r, c, w4, h4)][:4]
             tw.write_block_compute(r, c, w4, h4, ym, uvm, y_delta=yd,
                                    uv_delta=uvd)
             return
@@ -687,7 +763,7 @@ class FrameEncoder:
         # signaled for sqr_up <= 16)
         force_skip = max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
-        y_mode, y_delta, uv_mode, uv_delta, _cost = ctx.modes[(r, c, w4, h4)]
+        y_mode, y_delta, uv_mode, uv_delta = ctx.modes[(r, c, w4, h4)][:4]
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []

@@ -35,7 +35,7 @@ def test_plane_search_matches_host():
     )  # (1, 4, 4)
 
     agree = total = 0
-    for (r, c, _w4, _h4), (ym, _yd, _uv, _uvd, _cost) in host_modes.items():
+    for (r, c, _w4, _h4), (ym, *_rest) in host_modes.items():
         by, bx = r // 8, c // 8
         total += 1
         if CAND_MODES[int(dev[0, by, bx])] == ym:

@@ -115,3 +115,59 @@ def test_recon_exact_chroma_adst():
         dec = desc[3][pl].astype(np.int64)
         rec = fe.planes[pl].recon[:128, :128].astype(np.int64)
         assert int(np.abs(dec - rec).max()) == 0, pl
+
+
+def test_recon_exact_4x4_partitions():
+    """Structured content drives the RDO down to 4x4 leaves (spec: no
+    partition syntax below 8x8; tx 4x4); recon must stay decoder-exact and
+    the stream must actually contain 4x4 luma blocks."""
+    import dav1d_probe
+
+    n = 128
+    y, x = np.mgrid[0:n, 0:n]
+    plane = np.where((x + y) % 16 < 8, 240, 800)
+    plane[(x // 8 + y // 8) % 7 == 0] = 512
+    plane = plane.astype(np.int32)
+    cfg = AV1Config(
+        width=n, height=n, bit_depth=10, quantizer=121,
+        tweaks=SpeedTweaks.from_preset(4, 121), chroma_sampling="400",
+        full_range=True, matrix_coefficients=None, threads=1,
+        ec_backend="python",
+    )
+    fe = FrameEncoder(plane, cfg)
+    fe._cdef_strengths = lambda: ((), ())
+    orig = frame_mod.FrameParams.__init__
+
+    def patched(self, *a, **k):
+        orig(self, *a, **k)
+        self.filter_level = (0, 0, 0, 0)
+
+    frame_mod.FrameParams.__init__ = patched
+    try:
+        b = fe.encode()
+    finally:
+        frame_mod.FrameParams.__init__ = orig
+    # the walk must have produced 4x4 luma leaves for this content
+    tp, ops = fe._tile_skeleton(0, fe.mi_rows, 0, fe.mi_cols)
+    from cavif_tpu.av1 import opstream as ops_mod
+
+    arity = {
+        ops_mod.OP_CLEAR_LEFT: 0, ops_mod.OP_PARTITION: 4,
+        ops_mod.OP_SPLIT_BIN: 5, ops_mod.OP_BLOCK: 10,
+        ops_mod.OP_COEFFS: 12, ops_mod.OP_BLOCK_COMPUTE: 8,
+        ops_mod.OP_SB_START: 2,
+    }
+    a = np.asarray(ops)
+    i = 0
+    n4x4 = 0
+    while i < len(a):
+        op = int(a[i])
+        if op == ops_mod.OP_BLOCK_COMPUTE and a[i + 3] == 1 and a[i + 4] == 1:
+            n4x4 += 1
+        i += 1 + arity[op]
+    assert n4x4 > 0, "content should trigger 4x4 partitions"
+    ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
+    assert ok, logs
+    dec = desc[3][0].astype(np.int64)
+    rec = fe.planes[0].recon[:n, :n].astype(np.int64)
+    assert int(np.abs(dec - rec).max()) == 0
