@@ -498,6 +498,11 @@ class FrameEncoder:
     OVH_BLOCK = 12.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
+    # per-half block-overhead factor in the HORZ/VERT cost proxy; high on
+    # purpose: the search's rate proxy underestimates two-block overhead, so
+    # rect partitions are taken only on clear wins (measured RD-neutral on
+    # photo content, strict improvement on elongated structure)
+    RECT_OVH = 8.0
 
     def _split_partials(self, collect):
         """Blocks the geometry walk found that the size-tier enumeration
@@ -629,12 +634,41 @@ class FrameEncoder:
                             modes[k] = (m[0], m[1], p[2], p[3],
                                         m[4] + uv_share, m[5])
 
-        part: dict = {}
-        best_cost: dict = {}  # (r, c, s4) -> subtree cost
         by_size: dict = {}
         for (r, c, w4b, h4b) in modes:
             if w4b == h4b:
                 by_size.setdefault(w4b, []).append((r, c))
+
+        # HORZ/VERT halves: searched only where SPLIT is already *winning*
+        # (children searched and their sum beats NONE) — the region where a
+        # 2-way rectangular cut can out-compete the 4-way split's overhead
+        rects = []
+        for s4 in sizes:
+            if s4 < 2:
+                continue
+            half = s4 // 2
+            for (r, c) in by_size.get(s4, ()):
+                kids = [
+                    modes.get((r + dr, c + dc_, half, half))
+                    for dr in (0, half)
+                    for dc_ in (0, half)
+                ]
+                if any(k is None for k in kids):
+                    continue
+                split_c = lam * self.OVH_SPLIT + sum(
+                    k[4] + lam * self.OVH_BLOCK for k in kids
+                )
+                if split_c >= modes[(r, c, s4, s4)][4] + lam * self.OVH_BLOCK:
+                    continue
+                rects.extend((
+                    (r, c, s4, half), (r + half, c, s4, half),
+                    (r, c, half, s4), (r, c + half, half, s4),
+                ))
+        if rects:
+            modes.update(self._batch_search(rects, origin))
+
+        part: dict = {}
+        best_cost: dict = {}  # (r, c, s4) -> subtree cost
         for s4 in sizes:
             half = s4 // 2
             for (r, c) in by_size.get(s4, ()):
@@ -643,22 +677,37 @@ class FrameEncoder:
                 if s4 == self.min_leaf_mi:
                     best_cost[(r, c, s4)] = none_c
                     continue
+                cands = [(PARTITION_NONE, none_c)]
                 children = [
                     best_cost.get((r + dr, c + dc_, half))
                     for dr in (0, half)
                     for dc_ in (0, half)
                 ]
-                if any(ch is None for ch in children):
-                    part[(r, c, s4)] = PARTITION_NONE  # children pruned
-                    best_cost[(r, c, s4)] = none_c
-                    continue
-                split_c = lam * self.OVH_SPLIT + sum(children)
-                if none_c <= split_c:
-                    part[(r, c, s4)] = PARTITION_NONE
-                    best_cost[(r, c, s4)] = none_c
-                else:
-                    part[(r, c, s4)] = PARTITION_SPLIT
-                    best_cost[(r, c, s4)] = split_c
+                if not any(ch is None for ch in children):
+                    cands.append(
+                        (PARTITION_SPLIT,
+                         lam * self.OVH_SPLIT + sum(children))
+                    )
+                    rect_ovh = lam * (
+                        self.OVH_SPLIT + self.RECT_OVH * self.OVH_BLOCK
+                    )
+                    h_top = modes.get((r, c, s4, half))
+                    h_bot = modes.get((r + half, c, s4, half))
+                    if h_top is not None and h_bot is not None:
+                        cands.append((
+                            PARTITION_HORZ,
+                            rect_ovh + h_top[4] + h_bot[4],
+                        ))
+                    v_l = modes.get((r, c, half, s4))
+                    v_r = modes.get((r, c + half, half, s4))
+                    if v_l is not None and v_r is not None:
+                        cands.append((
+                            PARTITION_VERT,
+                            rect_ovh + v_l[4] + v_r[4],
+                        ))
+                best_p, best_c = min(cands, key=lambda t: t[1])
+                part[(r, c, s4)] = best_p
+                best_cost[(r, c, s4)] = best_c
         return part, modes
 
     @staticmethod
@@ -696,14 +745,25 @@ class FrameEncoder:
                 if ctx.part is not None
                 else max(self.min_leaf_mi, 2)
             )
-            if n4 <= leaf_mi or (
-                n4 <= self.max_leaf_mi
-                and ctx.part is not None
-                and ctx.part.get((r, c, n4)) == PARTITION_NONE
-            ):
+            p = (
+                ctx.part.get((r, c, n4))
+                if ctx.part is not None and n4 <= self.max_leaf_mi
+                else None
+            )
+            if n4 <= leaf_mi or p == PARTITION_NONE:
                 if emit:
                     tw.write_partition(rr, cc, bsl, PARTITION_NONE)
                 self._encode_block(ctx, tw, r, c, n4, n4)
+            elif p == PARTITION_HORZ:
+                if emit:
+                    tw.write_partition(rr, cc, bsl, PARTITION_HORZ)
+                self._encode_block(ctx, tw, r, c, n4, half)
+                self._encode_block(ctx, tw, r + half, c, n4, half)
+            elif p == PARTITION_VERT:
+                if emit:
+                    tw.write_partition(rr, cc, bsl, PARTITION_VERT)
+                self._encode_block(ctx, tw, r, c, half, n4)
+                self._encode_block(ctx, tw, r, c + half, half, n4)
             else:
                 if emit:
                     tw.write_partition(rr, cc, bsl, PARTITION_SPLIT)
@@ -872,22 +932,22 @@ class FrameEncoder:
             left_ext = np.full(ext, base + 1, dtype=np.int64)
             al = base
         elif not have_a:
-            n_lv = txh + (txw if have_bl else 0)
+            n_lv = txh + (txh if have_bl else 0)
             ys = np.minimum(py + np.minimum(np.arange(ext), n_lv - 1), max_y)
             left_ext = recon[ys, px - 1].astype(np.int64)
             above_ext = np.full(ext, left_ext[0], dtype=np.int64)
             al = int(left_ext[0])
         elif not have_l:
-            n_av = txw + (txh if have_ar else 0)
+            n_av = txw + (txw if have_ar else 0)
             xs = np.minimum(px + np.minimum(np.arange(ext), n_av - 1), max_x)
             above_ext = recon[py - 1, xs].astype(np.int64)
             left_ext = np.full(ext, above_ext[0], dtype=np.int64)
             al = int(above_ext[0])
         else:
-            n_av = txw + (txh if have_ar else 0)
+            n_av = txw + (txw if have_ar else 0)
             xs = np.minimum(px + np.minimum(np.arange(ext), n_av - 1), max_x)
             above_ext = recon[py - 1, xs].astype(np.int64)
-            n_lv = txh + (txw if have_bl else 0)
+            n_lv = txh + (txh if have_bl else 0)
             ys = np.minimum(py + np.minimum(np.arange(ext), n_lv - 1), max_y)
             left_ext = recon[ys, px - 1].astype(np.int64)
             al = int(recon[py - 1, px - 1])

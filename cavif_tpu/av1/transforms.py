@@ -53,9 +53,10 @@ def set_gain(w: int, h: int, gain: float) -> None:
 def get_gain(w: int, h: int) -> float:
     """Measured against dav1d (tools/calibrate_gain.py): the AV1 dequant +
     integer-inverse-transform chain has linear gain exactly 1/8 relative to
-    the orthonormal idct for every tx size measured (32x32, 32x16, 16x32,
-    DC and AC positions, 8- and 10-bit)."""
-    return _GAIN.get((w, h), 0.125)
+    the orthonormal idct for every tx size measured — except TX_8X4/TX_4X8,
+    whose inverse row pass shifts one bit less (inv_txfm_shift_ls), making
+    the gain 1/4; validated by tests/test_recon_exact.py rect coverage."""
+    return _GAIN.get((w, h), 0.25 if (w, h) in ((8, 4), (4, 8)) else 0.125)
 
 
 def forward_dct2d(res: np.ndarray) -> np.ndarray:

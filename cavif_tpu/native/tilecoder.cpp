@@ -930,6 +930,14 @@ static void itx_1d(const int64_t* in, int64_t* out, int n, int is_adst,
   iiadst16(in, out, c);
 }
 
+// Per-tx-size decoder gain relative to the orthonormal idct: 1/8 for all
+// sizes except TX_8X4/TX_4X8, whose inverse row pass shifts one bit less
+// (inv_txfm_shift_ls), doubling the linear gain. The caller's `gain` field
+// stays the 1/8 base; tx_gain() applies the per-size factor.
+static inline double tx_gain_factor(int txw, int txh) {
+  return ((txw == 8 && txh == 4) || (txw == 4 && txh == 8)) ? 2.0 : 1.0;
+}
+
 // Full exact inverse: dequant + rect scale + row pass + col pass.
 // levels: (ch x cw) coded area of a (txh x txw) transform; out: (txh x txw)
 // residual values to add to prediction.
@@ -944,6 +952,7 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
   int s0, s1 = 4;
   int mx = txw > txh ? txw : txh;
   if (mx <= 4) s0 = 0;
+  else if ((txw == 8 && txh == 4) || (txw == 4 && txh == 8)) s0 = 0;
   else if (mx == 8) s0 = 1;
   else if (txw == txh && txw >= 16) s0 = 2;
   else if ((txw == 32 && txh == 16) || (txw == 16 && txh == 32) ||
@@ -1227,7 +1236,7 @@ struct BlockPipe {
       for (int i = 0; i < ext; i++) left_ext[i] = base + 1;
       al = base;
     } else if (!have_a) {
-      int n_lv = h + (have_bl ? w : 0);
+      int n_lv = h + (have_bl ? h : 0);
       for (int i = 0; i < ext; i++) {
         int k = i < n_lv - 1 ? i : n_lv - 1;
         int yy = py + k; if (yy > max_y) yy = max_y;
@@ -1236,7 +1245,7 @@ struct BlockPipe {
       for (int i = 0; i < ext; i++) above_ext[i] = left_ext[0];
       al = left_ext[0];
     } else if (!have_l) {
-      int n_av = w + (have_ar ? h : 0);
+      int n_av = w + (have_ar ? w : 0);
       for (int i = 0; i < ext; i++) {
         int k = i < n_av - 1 ? i : n_av - 1;
         int xx = px + k; if (xx > max_x) xx = max_x;
@@ -1245,13 +1254,13 @@ struct BlockPipe {
       for (int i = 0; i < ext; i++) left_ext[i] = above_ext[0];
       al = above_ext[0];
     } else {
-      int n_av = w + (have_ar ? h : 0);
+      int n_av = w + (have_ar ? w : 0);
       for (int i = 0; i < ext; i++) {
         int k = i < n_av - 1 ? i : n_av - 1;
         int xx = px + k; if (xx > max_x) xx = max_x;
         above_ext[i] = rp[(size_t)(py - 1) * Wp + xx];
       }
-      int n_lv = h + (have_bl ? w : 0);
+      int n_lv = h + (have_bl ? h : 0);
       for (int i = 0; i < ext; i++) {
         int k = i < n_lv - 1 ? i : n_lv - 1;
         int yy = py + k; if (yy > max_y) yy = max_y;
@@ -1377,8 +1386,9 @@ struct BlockPipe {
     // quantize coded area (top-left ch x cw of the txh x txw coef array);
     // clamp to the dequant conformance bound |level * q| < 1 << (7 + bd)
     // (spec 7.13.3 — transforms.level_limits mirrors this)
-    double inv_ac = 1.0 / ((double)ac_q * gain);
-    double inv_dc = 1.0 / ((double)dc_q * gain);
+    double gsz = gain * tx_gain_factor(txw, txh);
+    double inv_ac = 1.0 / ((double)ac_q * gsz);
+    double inv_dc = 1.0 / ((double)dc_q * gsz);
     int coeff_max = (1 << (7 + bit_depth)) - 1;
     int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
     int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
@@ -1406,7 +1416,7 @@ struct BlockPipe {
       int eob = 0;
       for (int i = area - 1; i >= 0; i--)
         if (lvbuf[scan[i]] != 0) { eob = i + 1; break; }
-      double s_ac = (double)ac_q * gain, s_dc = (double)dc_q * gain;
+      double s_ac = (double)ac_q * gsz, s_dc = (double)dc_q * gsz;
       double dd = 0.0, dr = 0.0, best = 0.0;
       int best_cut = eob;
       for (int si = eob - 1; si >= 1; si--) {
@@ -1434,7 +1444,7 @@ struct BlockPipe {
     // RD cost of this quantization (for the luma DCT-vs-ADST choice)
     {
       double cst = 0.0;
-      double s_ac2 = (double)ac_q * gain, s_dc2 = (double)dc_q * gain;
+      double s_ac2 = (double)ac_q * gsz, s_dc2 = (double)dc_q * gsz;
       for (int yy = 0; yy < ch; yy++)
         for (int xx = 0; xx < cw; xx++) {
           double cf = cbuf[yy * txw + xx];

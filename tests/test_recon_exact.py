@@ -171,3 +171,55 @@ def test_recon_exact_4x4_partitions():
     dec = desc[3][0].astype(np.int64)
     rec = fe.planes[0].recon[:n, :n].astype(np.int64)
     assert int(np.abs(dec - rec).max()) == 0
+
+
+def test_recon_exact_rect_partitions():
+    """HORZ/VERT partitions make rect blocks (8x16/16x32/...) whose
+    above-right/below-left neighbor extension supplies only w (resp. h)
+    extra pixels — identical for squares, a real bug for rects (found via
+    a +-1 DC drift cascading from a D45 16-high half)."""
+    import dav1d_probe
+    from cavif_tpu.av1.symbols import PARTITION_VERT, PARTITION_NONE
+    from cavif_tpu.av1.encoder import PARTITION_SPLIT
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(100, 900, (64, 64)).astype(np.int32)
+    for mode in (3, 5, 7):  # D45/D113/D203: zones 1/2/3 all hit extensions
+        cfg = AV1Config(
+            width=64, height=64, bit_depth=10, quantizer=121,
+            tweaks=SpeedTweaks.from_preset(4, 121), chroma_sampling="400",
+            full_range=True, matrix_coefficients=None, threads=1,
+            ec_backend="python",
+        )
+        fe = FrameEncoder(img, cfg)
+        fe._cdef_strengths = lambda: ((), ())
+
+        def rdo(partials, origin, *a):
+            part = {(r, c, 8): PARTITION_SPLIT for r in (0, 8) for c in (0, 8)}
+            modes = {}
+            for r in (0, 4, 8, 12):
+                for c in (0, 4, 8, 12):
+                    part[(r, c, 4)] = PARTITION_NONE
+                    modes[(r, c, 4, 4)] = (0, 0, 0, 0, 0.0, 0.0)
+            part[(8, 8, 4)] = PARTITION_VERT
+            modes[(8, 8, 2, 4)] = (mode, 0, 0, 0, 0.0, 0.0)
+            modes[(8, 10, 2, 4)] = (mode, 0, 0, 0, 0.0, 0.0)
+            return part, modes
+
+        fe._rdo_partition = rdo
+        orig = frame_mod.FrameParams.__init__
+
+        def patched(self, *a, **k):
+            orig(self, *a, **k)
+            self.filter_level = (0, 0, 0, 0)
+
+        frame_mod.FrameParams.__init__ = patched
+        try:
+            b = fe.encode()
+        finally:
+            frame_mod.FrameParams.__init__ = orig
+        ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
+        assert ok, logs
+        dec = desc[3][0].astype(np.int64)
+        rec = fe.planes[0].recon[:64, :64].astype(np.int64)
+        assert int(np.abs(dec - rec).max()) == 0, mode
