@@ -123,10 +123,17 @@ class Encoder:
         assert 1 <= speed <= 10
         return replace(self, speed=speed)
 
-    def with_bit_depth(self, depth: BitDepth) -> "Encoder":
+    def with_bit_depth(self, depth) -> "Encoder":
+        """Accepts a BitDepth, its name, or a plain 8/10 int."""
+        if isinstance(depth, int) and not isinstance(depth, BitDepth):
+            depth = BitDepth(depth if depth in (8, 10) else 0)
+        elif isinstance(depth, str):
+            depth = BitDepth[depth]
         return replace(self, output_depth=depth)
 
-    def with_internal_color_model(self, model: ColorModel) -> "Encoder":
+    def with_internal_color_model(self, model) -> "Encoder":
+        if isinstance(model, str):
+            model = ColorModel[model]
         return replace(self, color_model=model)
 
     def with_num_threads(self, threads: Optional[int]) -> "Encoder":

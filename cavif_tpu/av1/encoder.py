@@ -65,6 +65,12 @@ class _TileCtx:
 class FrameEncoder:
     def __init__(self, planes: np.ndarray, cfg: AV1Config):
         self.cfg = cfg
+        # replay caches (tile key -> op streams); created eagerly because
+        # tile threads fill them concurrently (lazy creation would race and
+        # drop entries)
+        self._pyops_cache = {}
+        self._ops_cache = {}
+        self._bpops_cache = {}
         h, w = cfg.height, cfg.width
         self.mi_cols = 2 * ((w + 7) >> 3)
         self.mi_rows = 2 * ((h + 7) >> 3)
@@ -126,8 +132,21 @@ class FrameEncoder:
             backend = "native" if _native_available() else "python"
         if backend == "native":
             return self._encode_tile_native(mi_r0, mi_r1, mi_c0, mi_c1)
+        from .opstream import replay_python
+
+        cache = self._pyops_cache
+        key = (mi_r0, mi_r1, mi_c0, mi_c1)
+        if key in cache:
+            tp0, ops, levels = cache[key]
+            return replay_python(tp0, self._splice_lr(ops), levels)
         tw = self.tile_writer(mi_r0, mi_r1, mi_c0, mi_c1)
-        return tw.finish(backend=backend)
+        ops, levels = tw.pack()
+        cache[key] = (tw.p, ops, levels)
+        if backend == "python":
+            return replay_python(tw.p, ops, levels)
+        from ..native import encode_tile_native
+
+        return encode_tile_native(tw.p, ops, levels)
 
     def _tile_skeleton(self, mi_r0, mi_r1, mi_c0, mi_c1):
         """Partition walk (geometry) + batched mode search for one tile;
@@ -143,6 +162,14 @@ class FrameEncoder:
             num_planes=self.num_planes,
             reduced_tx_set=self.cfg.tweaks.reduced_tx_set,
         )
+        cache = self._ops_cache
+        key = (mi_r0, mi_r1, mi_c0, mi_c1)
+        if key in cache:
+            # second serialization pass (loop restoration): reuse the walk's
+            # op stream and splice the per-SB LR-unit ops in
+            tp0, ops = cache[key]
+            return tp0, self._splice_lr(ops)
+
         ctx = _TileCtx(origin=(mi_r0, mi_c0), collect=[],
                        end=(min(mi_r1, self.mi_rows), min(mi_c1, self.mi_cols)))
         for r in range(mi_r0, mi_r1, 16):
@@ -160,22 +187,71 @@ class FrameEncoder:
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
                 tw.write_sb_start(r, c)
+                self._emit_lr(tw, r, c)
                 self._encode_partition(ctx, tw, r, c, 4)
         ops, _ = tw.pack()
+        cache[key] = (tp, ops)
         return tp, ops
+
+    def _splice_lr(self, ops: np.ndarray) -> np.ndarray:
+        """Insert OP_LR rows after each OP_SB_START in a cached op stream."""
+        from .opstream import OP_LR, OP_SB_START
+
+        segs = []
+        last = 0
+        i = 0
+        n = len(ops)
+        arity = {0: 0, 1: 4, 2: 5, 3: 10, 4: 12, 5: 8, OP_SB_START: 2,
+                 OP_LR: 8}
+        while i < n:
+            op = int(ops[i])
+            if op == OP_SB_START:
+                r, c = int(ops[i + 1]), int(ops[i + 2])
+                ins = []
+                for pl, ur, uc in self._lr_reads(r, c):
+                    use, taps = self._lr_units[(ur, uc)]
+                    t = taps if use else (0, 0, 0, 0, 0, 0)
+                    ins.extend((OP_LR, pl, int(use), *(int(v) for v in t)))
+                if ins:
+                    segs.append(ops[last : i + 3])
+                    segs.append(np.asarray(ins, dtype=np.int32))
+                    last = i + 3
+            i += 1 + arity[op]
+        segs.append(ops[last:])
+        return np.concatenate(segs) if len(segs) > 1 else ops
 
     def _encode_tile_native(self, mi_r0, mi_r1, mi_c0, mi_c1) -> bytes:
         """Native pass 2: Python does the partition walk (geometry) and the
         batched mode search; C++ does predict/transform/quantize/recon and
-        entropy coding in one call over the skeleton op stream."""
-        from ..native import encode_tile_bp
+        entropy coding in one call over the skeleton op stream.
+
+        When a re-serialization pass may follow (loop restoration: its
+        per-unit taps are coded inside the tile stream), the first pass
+        records the expanded op stream + levels so the second pass re-runs
+        only the entropy coder (encode_tile_native replay), not the whole
+        block pipeline."""
+        from ..native import encode_tile_bp, encode_tile_native
+
+        cache = self._bpops_cache
+        key = (mi_r0, mi_r1, mi_c0, mi_c1)
+        if key in cache:
+            tp0, rops, rlvl = cache[key]
+            return encode_tile_native(tp0, self._splice_lr(rops), rlvl)
 
         tp, ops = self._tile_skeleton(mi_r0, mi_r1, mi_c0, mi_c1)
         src = self._src_stack()
-        return encode_tile_bp(
+        record = bool(self.cfg.tweaks.lrf)
+        out = encode_tile_bp(
             tp, src, self.mi_rows, self.mi_cols, self.dc_q, self.ac_q,
             transforms.get_gain(32, 32), ops, lam=self._lambda(),
+            recon_out=getattr(self, "_recon_stack", None),
+            record=record,
         )
+        if record:
+            out, rops, rlvl = out
+            if rops is not None:
+                cache[key] = (tp, rops, rlvl)
+        return out
 
     def _src_stack(self) -> np.ndarray:
         if getattr(self, "_src_stack_cache", None) is None:
@@ -208,11 +284,14 @@ class FrameEncoder:
             partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
         )
 
-        # pass 2: sequential recon + op emission
+        # pass 2: sequential recon + op emission (SB markers allow the
+        # loop-restoration pass to splice read_lr ops in later)
         tw = OpTileWriter(tp)
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
+                tw.write_sb_start(r, c)
+                self._emit_lr(tw, r, c)
                 self._reset_mask(ctx, r, c)
                 self._encode_partition(ctx, tw, r, c, 4)
         return tw
@@ -1025,6 +1104,19 @@ class FrameEncoder:
         # CDEF is output-only for still pictures (prediction reads
         # pre-filter recon), so the preset toggle costs nothing encoder-side
         cdef_y, cdef_uv = self._cdef_strengths()
+        tcl, trl = self._tile_split()
+        tiles = self._encode_tiles(tcl, trl)
+        # Loop restoration (preset `lrf`, SURVEY.md 2.2): Wiener-filter the
+        # decoded output back toward the source. Output-only like deblock/
+        # CDEF, but its per-unit taps live INSIDE the tile bitstreams
+        # (read_lr at superblock starts), so enabling it means one more
+        # serialization pass with the cached partition/mode decisions.
+        lr_types = ()
+        if cfg.tweaks.lrf and self._lr_solve():
+            lr_types = tuple(
+                2 if i == 0 else 0 for i in range(self.num_planes)
+            )
+            tiles = self._encode_tiles(tcl, trl)
         seq = write_sequence_header(
             width=cfg.width,
             height=cfg.height,
@@ -1033,11 +1125,11 @@ class FrameEncoder:
             monochrome=cfg.monochrome,
             full_range=cfg.full_range,
             enable_cdef=bool(cdef_y),
+            enable_restoration=bool(lr_types),
             color_primaries=1 if cfg.matrix_coefficients is not None else None,
             transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
             matrix_coefficients=cfg.matrix_coefficients,
         )
-        tcl, trl = self._tile_split()
         # Deblocking is output-only for still pictures (intra prediction
         # reads unfiltered recon), so signaling a level is a free subjective
         # win at low rates; measured sweep peaks near qindex/20 (+0.05 dB at
@@ -1055,10 +1147,78 @@ class FrameEncoder:
             filter_level=(lf, lf, lf, lf),
             cdef_y_strengths=cdef_y,
             cdef_uv_strengths=cdef_uv,
+            lr_types=lr_types,
         )
-        tiles = self._encode_tiles(tcl, trl)
         frame = assemble_frame_obu(fp, tiles)
         return assemble_temporal_unit(seq, frame)
+
+    # -- loop restoration (Wiener) ------------------------------------------
+
+    LR_UNIT = 256  # luma restoration unit size (lr_unit_shift = 2)
+
+    def _lr_grid(self):
+        u = self.LR_UNIT
+        h, w = self.cfg.height, self.cfg.width
+        rows = max((h + u // 2) // u, 1)
+        cols = max((w + u // 2) // u, 1)
+        return rows, cols
+
+    def _lr_reads(self, r, c):
+        """Units whose read_lr fires at superblock (r, c) (spec 5.11.57,
+        luma, no superres: unit indices covered by the SB's leading edge)."""
+        units = getattr(self, "_lr_units", None)
+        if not units:
+            return ()
+        u = self.LR_UNIT
+        rows, cols = self._lr_grid()
+        urs = (r * 4 + u - 1) // u
+        ure = min(rows, ((r + 16) * 4 + u - 1) // u)
+        ucs = (c * 4 + u - 1) // u
+        uce = min(cols, ((c + 16) * 4 + u - 1) // u)
+        return [
+            (0, ur, uc)
+            for ur in range(urs, ure)
+            for uc in range(ucs, uce)
+        ]
+
+    def _emit_lr(self, tw, r, c) -> None:
+        for pl, ur, uc in self._lr_reads(r, c):
+            use, taps = self._lr_units[(ur, uc)]
+            tw.write_lr_unit(pl, use, taps)
+
+    def _lr_recon(self):
+        """Luma reconstruction: captured from the native pipeline or the
+        python pass-2."""
+        h, w = self.cfg.height, self.cfg.width
+        stack = getattr(self, "_recon_stack", None)
+        if stack is not None:
+            return stack[0, :h, :w]
+        return self.planes[0].recon[:h, :w]
+
+    def _lr_solve(self) -> bool:
+        """Per-unit separable Wiener taps from (source, recon) least
+        squares; returns True (and sets _lr_units) when any unit gains."""
+        h, w = self.cfg.height, self.cfg.width
+        src = self.planes[0].src[:h, :w].astype(np.float64)
+        rec = self._lr_recon().astype(np.float64)
+        u = self.LR_UNIT
+        rows, cols = self._lr_grid()
+        units = {}
+        any_use = False
+        for ur in range(rows):
+            y0 = ur * u
+            y1 = h if ur == rows - 1 else (ur + 1) * u
+            for uc in range(cols):
+                x0 = uc * u
+                x1 = w if uc == cols - 1 else (uc + 1) * u
+                use, taps = _wiener_unit(
+                    src[y0:y1, x0:x1], rec[y0:y1, x0:x1]
+                )
+                units[(ur, uc)] = (use, taps)
+                any_use = any_use or use
+        if any_use:
+            self._lr_units = units
+        return any_use
 
     def _cdef_strengths(self):
         """CDEF strength heuristic (preset-gated). Secondary strength is
@@ -1109,6 +1269,20 @@ class FrameEncoder:
                 for i in range(len(starts) - 1)]
 
     def _encode_tiles(self, tcl: int, trl: int) -> List[bytes]:
+        backend = self.cfg.ec_backend
+        if backend is None:
+            from .opstream import _native_available
+
+            backend = "native" if _native_available() else "python"
+        if (
+            self.cfg.tweaks.lrf
+            and backend == "native"
+            and getattr(self, "_recon_stack", None) is None
+        ):
+            # the native pipeline keeps recon in C++; capture it here for
+            # the restoration-filter solve (tile threads write disjoint
+            # pixel regions). The python backend fills planes[].recon.
+            self._recon_stack = np.zeros_like(self._src_stack())
         sb_cols = (self.mi_cols + 15) >> 4
         sb_rows = (self.mi_rows + 15) >> 4
         col_ranges = self._tile_ranges(sb_cols, tcl, self.mi_cols)
@@ -1137,6 +1311,58 @@ class FrameEncoder:
             return list(
                 ex.map(lambda t: self._encode_tile_native(*t), tiles_rc)
             )
+
+
+_WIENER_MIN = (-5, -23, -17)
+_WIENER_MAX = (10, 8, 46)
+
+
+def _wiener_solve_1d(src, rec, axis):
+    """LS solve of the 3 free symmetric taps (offsets 3, 2, 1) of the
+    7-tap filter f = [t0,t1,t2, 128-2*(t0+t1+t2), t2,t1,t0]/128 applied
+    along `axis`, minimizing ||src - filter(rec)||^2. Edge-replicated."""
+    pad = np.pad(rec, [(3, 3) if a == axis else (0, 0) for a in (0, 1)],
+                 mode="edge")
+    def sh(k):
+        if axis == 0:
+            lo = 3 + k
+            return pad[lo : lo + rec.shape[0], :]
+        lo = 3 + k
+        return pad[:, lo : lo + rec.shape[1]]
+    g = [sh(-k) + sh(k) - 2.0 * rec for k in (3, 2, 1)]
+    d = src - rec
+    A = np.empty((3, 3))
+    b = np.empty(3)
+    for i in range(3):
+        b[i] = 128.0 * float((g[i] * d).sum())
+        for j in range(i, 3):
+            A[i, j] = A[j, i] = float((g[i] * g[j]).sum())
+    A += np.eye(3) * (1e-4 * max(A[0, 0], 1.0))
+    try:
+        t = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        return (0, 0, 0), rec
+    taps = tuple(
+        int(np.clip(round(t[i]), _WIENER_MIN[i], _WIENER_MAX[i]))
+        for i in range(3)
+    )
+    t0, t1, t2 = taps
+    out = rec + (t0 * g[0] + t1 * g[1] + t2 * g[2]) * (1.0 / 128.0)
+    return taps, out
+
+
+def _wiener_unit(src, rec):
+    """One restoration unit: vertical+horizontal tap solve; returns
+    (use, taps6) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h)."""
+    base_sse = float(((src - rec) ** 2).sum())
+    taps_h, mid = _wiener_solve_1d(src, rec, axis=1)
+    taps_v, out = _wiener_solve_1d(src, mid, axis=0)
+    sse = float(((src - out) ** 2).sum())
+    # a unit costs ~30-60 bits; require a solid gain before switching on
+    use = int(sse < base_sse * 0.995 - 64.0)
+    if not use or (taps_v == (0, 0, 0) and taps_h == (0, 0, 0)):
+        return 0, (0, 0, 0, 0, 0, 0)
+    return 1, (*taps_v, *taps_h)
 
 
 def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:

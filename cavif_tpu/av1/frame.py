@@ -45,6 +45,12 @@ class FrameParams:
     cdef_damping: int = 3
     cdef_y_strengths: tuple = ()
     cdef_uv_strengths: tuple = ()
+    # loop restoration: per-plane frame restoration types in the CODED
+    # 2-bit remap index (0 NONE, 1 SWITCHABLE, 2 WIENER, 3 SGRPROJ); empty
+    # tuple means the sequence header did not set enable_restoration.
+    # lr_unit_shift 2 -> 256px luma units.
+    lr_types: tuple = ()
+    lr_unit_shift: int = 2
     # uniform tile spacing log2 counts
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -172,7 +178,18 @@ def write_frame_header_bits(p: FrameParams, w: BitWriter) -> None:
                 up, us = p.cdef_uv_strengths[min(i, n - 1)]
                 w.f(up, 4)
                 w.f(us, 2)
-    # lr_params(): absent (enable_restoration=0)
+    # lr_params() — present iff the sequence header set enable_restoration
+    if p.lr_types:
+        uses_lr = any(p.lr_types)
+        uses_chroma_lr = any(p.lr_types[1:])
+        for t in p.lr_types:
+            w.f(t, 2)
+        if uses_lr:
+            # 64 << lr_unit_shift luma units (sb 64: two incremental bits)
+            w.f(1 if p.lr_unit_shift >= 1 else 0, 1)
+            if p.lr_unit_shift >= 1:
+                w.f(1 if p.lr_unit_shift >= 2 else 0, 1)
+            # 4:4:4 / monochrome: no lr_uv_shift bit (needs subX and subY)
     # read_tx_mode()
     if not p.coded_lossless:
         w.f(1 if p.tx_mode_select else 0, 1)

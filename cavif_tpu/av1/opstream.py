@@ -33,6 +33,7 @@ OP_BLOCK = 3
 OP_COEFFS = 4
 OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, ym, yd, uvm, uvd), abs mi
 OP_SB_START = 6  # superblock boundary (r, c abs mi): resets decoded-flag mask
+OP_LR = 7  # loop-restoration unit: (plane, use, t0v, t1v, t2v, t0h, t1h, t2h)
 
 
 class OpTileWriter:
@@ -76,6 +77,10 @@ class OpTileWriter:
 
     def write_sb_start(self, r: int, c: int) -> None:
         self.ops.extend((OP_SB_START, r, c))
+
+    def write_lr_unit(self, plane: int, use: int, taps) -> None:
+        t = taps if use else (0, 0, 0, 0, 0, 0)
+        self.ops.extend((OP_LR, plane, int(use), *(int(v) for v in t)))
 
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,
@@ -161,6 +166,12 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
                 y_mode=ym, v_adst=va, h_adst=ha,
             )
             i += 13
+        elif op == OP_SB_START:
+            i += 3
+        elif op == OP_LR:
+            _, pl, use, *t = (int(x) for x in ops[i : i + 9])
+            tw.write_lr_unit(pl, use, t)
+            i += 9
         else:
             raise ValueError(f"bad op {op} at {i}")
     return tw.finish()

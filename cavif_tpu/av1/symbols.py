@@ -127,6 +127,10 @@ class TileWriter:
         self.p = p
         self.enc = RangeEncoder()
         self.cdfs = Cdfs(update=not p.disable_cdf_update)
+        # loop-restoration tap references, reset per tile (spec decode_tile)
+        self.ref_wiener = [
+            [list(self.WIENER_MID) for _ in range(2)] for _ in range(3)
+        ]
         self.qctx = q_ctx(p.base_q)
         # +32 slack: edge blocks may legally overhang the mi grid
         w4 = p.mi_col_end - p.mi_col_start + 32
@@ -155,6 +159,83 @@ class TileWriter:
         self.enc.encode_literal(value, bits)
 
     # ---- partition --------------------------------------------------------
+
+    # -- loop restoration (read_lr_unit mirror, spec 5.11.58) -------------
+
+    WIENER_MIN = (-5, -23, -17)
+    WIENER_MAX = (10, 8, 46)
+    WIENER_K = (1, 2, 3)
+    WIENER_MID = (3, -7, 15)
+
+    def _ns_bool(self, v: int, n: int) -> None:
+        """Encode v in [0, n) with the spec's ns_bool (literal bits)."""
+        w = n.bit_length()
+        m = (1 << w) - n
+        if v < m:
+            self.literal(v, w - 1)
+        else:
+            x = v + m
+            self.literal(x >> 1, w - 1)
+            self.literal(x & 1, 1)
+
+    def _subexp_bool(self, v: int, num_syms: int, k: int) -> None:
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                self._ns_bool(v - mk, num_syms - mk)
+                return
+            if v >= mk + a:
+                self.literal(1, 1)  # subexp_more_bools
+                i += 1
+                mk += a
+            else:
+                self.literal(0, 1)
+                self.literal(v - mk, b2)
+                return
+
+    @staticmethod
+    def _recenter(r: int, v: int) -> int:
+        """Inverse of inverse_recenter: nonneg code for v given ref r."""
+        if v > 2 * r:
+            return v
+        if v >= r:
+            return (v - r) * 2
+        return (r - v) * 2 - 1
+
+    def _signed_subexp_ref(self, v, low, high, k, ref) -> None:
+        """encode_signed_subexp_with_ref_bool mirror (v in [low, high))."""
+        x = v - low
+        r = ref - low
+        mx = high - low
+        if (r << 1) <= mx:
+            self._subexp_bool(self._recenter(r, x), mx, k)
+        else:
+            self._subexp_bool(self._recenter(mx - 1 - r, mx - 1 - x), mx, k)
+
+    def write_lr_unit(self, plane: int, use: int, taps) -> None:
+        """One RESTORE_WIENER unit: use_wiener S() + tap deltas vs the
+        running per-tile reference (reset to Wiener_Taps_Mid per tile).
+        taps: 6 ints (t0v, t1v, t2v, t0h, t1h, t2h); ignored when not
+        `use`."""
+        self.code(
+            1 if use else 0,
+            ("wiener_restore",),
+            tables.wiener_restore_cdf(),
+        )
+        if not use:
+            return
+        for pass_ in range(2):
+            first = 1 if plane else 0
+            for j in range(first, 3):
+                v = int(taps[pass_ * 3 + j])
+                self._signed_subexp_ref(
+                    v, self.WIENER_MIN[j], self.WIENER_MAX[j] + 1,
+                    self.WIENER_K[j], self.ref_wiener[plane][pass_][j],
+                )
+                self.ref_wiener[plane][pass_][j] = v
 
     def clear_left(self) -> None:
         """Called at the start of every superblock row."""

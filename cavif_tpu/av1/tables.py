@@ -82,6 +82,19 @@ def partition_cdf(bsl_idx, ctx):
     return _as_lists("partition_cdf", nsym)[bsl_idx * 4 + ctx]
 
 
+_WIENER_RESTORE_CDF = None
+
+
+def wiener_restore_cdf():
+    """use_wiener binary CDF; libaom default_wiener_restore_cdf
+    AOM_CDF2(11570), inverted layout like the other accessors ([icdf0, 0];
+    the Cdfs store appends its own adaptation counter)."""
+    global _WIENER_RESTORE_CDF
+    if _WIENER_RESTORE_CDF is None:
+        _WIENER_RESTORE_CDF = [32768 - 11570, 0]
+    return _WIENER_RESTORE_CDF
+
+
 def kf_y_mode_cdf(above_ctx, left_ctx):
     return _as_lists("kf_y_mode_cdf", 13)[above_ctx, left_ctx]
 

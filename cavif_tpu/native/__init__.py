@@ -119,6 +119,10 @@ def _load():
             ctypes.c_double, ctypes.c_double,  # gain, lam
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),  # recon out (nullable)
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # rec ops (nullable)
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # rec levels
+            ctypes.POINTER(ctypes.c_int32),  # rec sizes[2]
         ]
         lib.bp_encode_tile.restype = ctypes.c_int
         lib.bs_search.argtypes = [
@@ -214,15 +218,34 @@ def encode_tile_bp(
     gain: float,
     ops: np.ndarray,
     lam: float = 0.0,
-) -> bytes:
+    recon_out: np.ndarray = None,
+    record: bool = False,
+):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
-    C++. src_planes: (P, Hp, Wp) contiguous int32 padded source."""
+    C++. src_planes: (P, Hp, Wp) contiguous int32 padded source. recon_out:
+    optional (P, Hp, Wp) int32 buffer receiving this tile's decoder-exact
+    reconstruction (for output-filter parameter search).
+
+    With record=True returns (bytes, replay_ops, replay_levels) — the
+    expanded concrete op stream of this encode, re-serializable via
+    encode_tile_native (so output-filter passes re-run only the entropy
+    coder); (bytes, None, None) if recording overflowed."""
     lib = _load()
     ops = np.ascontiguousarray(ops, dtype=np.int32)
     src_planes = np.ascontiguousarray(src_planes, dtype=np.int32)
     P, Hp, Wp = src_planes.shape
     assert P == p.num_planes
+    mi_h = min(p.mi_row_end, mi_rows) - p.mi_row_start
+    mi_w = min(p.mi_col_end, mi_cols) - p.mi_col_start
+    rops = rlvl = rsz = None
+    if record:
+        # worst case per 4x4 mi: OP_BLOCK(11) + 3 OP_COEFFS(13); levels
+        # bounded by the coded area (<= pixels) per plane
+        rops = np.empty(int(ops.size + mi_h * mi_w * 50 + 4096), np.int32)
+        rlvl = np.empty(int(P * (mi_h * 4 + 64) * (mi_w * 4 + 64) + 64),
+                        np.int32)
+        rsz = np.zeros(2, np.int32)
     cap = 65536 + src_planes.size * 4
     while True:
         out = np.empty(cap, dtype=np.uint8)
@@ -234,9 +257,25 @@ def encode_tile_bp(
             int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            recon_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if recon_out is not None
+            else None,
+            rops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if rops is not None else None,
+            rops.size if rops is not None else 0,
+            rlvl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if rlvl is not None else None,
+            rlvl.size if rlvl is not None else 0,
+            rsz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if rsz is not None else None,
         )
         if n >= 0:
-            return out[:n].tobytes()
+            data = out[:n].tobytes()
+            if not record:
+                return data
+            if rsz[0] < 0:
+                return data, None, None
+            return data, rops[: rsz[0]].copy(), rlvl[: rsz[1]].copy()
         if n == -2 or cap > (1 << 28):
             raise RuntimeError("bp tile encode failed")
         cap *= 4

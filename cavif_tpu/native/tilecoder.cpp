@@ -237,6 +237,7 @@ constexpr int OP_BLOCK = 3;
 constexpr int OP_COEFFS = 4;
 constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, ym, yd, uvm, uvd)
 constexpr int OP_SB_START = 6;       // (r, c): superblock boundary
+constexpr int OP_LR = 7;             // (plane, use, t0v..t2v, t0h..t2h)
 
 constexpr int DC_PRED = 0, V_PRED = 1, D67 = 8;
 
@@ -286,6 +287,7 @@ struct TileCoder {
   CdfRow cdf_kf_y[25];
   CdfRow cdf_uv[2][13];
   CdfRow cdf_skip[3];
+  CdfRow cdf_wiener;
   CdfRow cdf_angle[8];
   CdfRow cdf_txb_skip[5][13];
   CdfRow cdf_eob_pt[7][2];        // [log2(area)/... idx][ptype], ctx = 0
@@ -325,6 +327,13 @@ struct TileCoder {
       for (int m = 0; m < 13; m++)
         load_row(cdf_uv[cfl][m], &T.uv[(cfl * 13 + m) * 15], cfl ? 14 : 13);
     for (int i = 0; i < 3; i++) load_row(cdf_skip[i], &T.skip[i * 3], 2);
+    {
+      // use_wiener default CDF (libaom default_wiener_restore_cdf,
+      // AOM_CDF2(11570)) in the same inverted layout as the npz rows
+      static const uint16_t wrow[3] = {32768 - 11570, 0, 0};
+      load_row(cdf_wiener, wrow, 2);
+    }
+    lr_init();
     for (int i = 0; i < 8; i++) load_row(cdf_angle[i], &T.angle[i * 8], 7);
     for (int t = 0; t < 5; t++)
       for (int c = 0; c < 13; c++)
@@ -378,6 +387,77 @@ struct TileCoder {
   }
 
   static int part_nsym(int bsl) { return bsl == 1 ? 4 : (bsl == 5 ? 8 : 10); }
+
+  // -- loop restoration (read_lr_unit mirror, spec 5.11.58) ---------------
+  static constexpr int WIENER_MIN[3] = {-5, -23, -17};
+  static constexpr int WIENER_MAX[3] = {10, 8, 46};
+  static constexpr int WIENER_K[3] = {1, 2, 3};
+  int ref_wiener[3][2][3];
+
+  void lr_init() {
+    static const int mid[3] = {3, -7, 15};
+    for (int pl = 0; pl < 3; pl++)
+      for (int ps = 0; ps < 2; ps++)
+        for (int j = 0; j < 3; j++) ref_wiener[pl][ps][j] = mid[j];
+  }
+
+  void ns_bool(int v, int n) {
+    int w = bitlength((uint32_t)n);
+    int m = (1 << w) - n;
+    if (v < m) {
+      enc.encode_literal((uint32_t)v, w - 1);
+    } else {
+      int x = v + m;
+      enc.encode_literal((uint32_t)(x >> 1), w - 1);
+      enc.encode_literal((uint32_t)(x & 1), 1);
+    }
+  }
+
+  void subexp_bool(int v, int num_syms, int k) {
+    int i = 0, mk = 0;
+    for (;;) {
+      int b2 = i ? k + i - 1 : k;
+      int a = 1 << b2;
+      if (num_syms <= mk + 3 * a) {
+        ns_bool(v - mk, num_syms - mk);
+        return;
+      }
+      if (v >= mk + a) {
+        enc.encode_literal(1, 1);
+        i++;
+        mk += a;
+      } else {
+        enc.encode_literal(0, 1);
+        enc.encode_literal((uint32_t)(v - mk), b2);
+        return;
+      }
+    }
+  }
+
+  static int recenter(int r, int v) {
+    if (v > 2 * r) return v;
+    if (v >= r) return (v - r) * 2;
+    return (r - v) * 2 - 1;
+  }
+
+  void signed_subexp_ref(int v, int low, int high, int k, int ref) {
+    int x = v - low, r = ref - low, mx = high - low;
+    if ((r << 1) <= mx) subexp_bool(recenter(r, x), mx, k);
+    else subexp_bool(recenter(mx - 1 - r, mx - 1 - x), mx, k);
+  }
+
+  void write_lr_unit(int plane, int use, const int32_t* taps) {
+    code(cdf_wiener, use ? 1 : 0, 2);
+    if (!use) return;
+    for (int ps = 0; ps < 2; ps++) {
+      for (int j = plane ? 1 : 0; j < 3; j++) {
+        int v = taps[ps * 3 + j];
+        signed_subexp_ref(v, WIENER_MIN[j], WIENER_MAX[j] + 1, WIENER_K[j],
+                          ref_wiener[plane][ps][j]);
+        ref_wiener[plane][ps][j] = v;
+      }
+    }
+  }
 
   void write_partition(int r, int c, int bsl, int part) {
     int above = (above_part[c] >> (bsl - 1)) & 1;
@@ -1073,6 +1153,26 @@ struct BlockPipe {
   std::vector<double> fbuf, tbuf, cbuf, rbuf;
   std::vector<int32_t> lvbuf;
   std::vector<int32_t> pred;
+  // Optional replay-stream recorder: the expanded op stream (concrete
+  // OP_BLOCK/OP_COEFFS rows + levels) of this encode, so a later
+  // re-serialization (output-filter parameter pass) re-runs ONLY the
+  // entropy coder via tc_encode_tile instead of the whole pipeline.
+  int32_t* rops = nullptr;
+  int rops_cap = 0, rops_n = 0;
+  int32_t* rlvl = nullptr;
+  int rlvl_cap = 0, rlvl_n = 0;
+  bool rec_overflow = false;
+
+  void rec_row(const int32_t* row, int n) {
+    if (!rops) return;
+    if (rops_n + n > rops_cap) {
+      rec_overflow = true;
+      rops = nullptr;
+      return;
+    }
+    std::memcpy(rops + rops_n, row, (size_t)n * 4);
+    rops_n += n;
+  }
   // BlockDecoded mirror for the current superblock, +1 offsets (18x18)
   uint8_t mask[18][18];
   int sb_r = 0, sb_c = 0;
@@ -1569,6 +1669,11 @@ struct BlockPipe {
     }
     tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
                    y_delta, uv_delta);
+    {
+      int32_t row[11] = {OP_BLOCK, rr,       cc,   w4,      h4,     y_mode,
+                         uv_mode,  skip, cfl_allowed, y_delta, uv_delta};
+      rec_row(row, 11);
+    }
     if (skip) return;
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
@@ -1576,6 +1681,30 @@ struct BlockPipe {
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
                       t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode,
                       t.va, t.ha);
+      if (rops) {
+        int n = t.ch * t.cw;
+        if (rlvl_n + n > rlvl_cap) {
+          rec_overflow = true;
+          rops = nullptr;
+        } else {
+          std::memcpy(rlvl + rlvl_n, &all_levels[t.lvl_off], (size_t)n * 4);
+          int32_t row[13] = {OP_COEFFS,
+                             t.pl,
+                             (t.py / 4) - mi_r0,
+                             (t.px / 4) - mi_c0,
+                             t.txw,
+                             t.txh,
+                             eq,
+                             t.ch,
+                             t.cw,
+                             rlvl_n,
+                             y_mode,
+                             t.va,
+                             t.ha};
+          rlvl_n += n;
+          rec_row(row, 13);
+        }
+      }
     }
   }
 };
@@ -1926,27 +2055,39 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int base_q, int bit_depth, int num_planes,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
-                   const int32_t* ops, int n_ops, uint8_t* out, int cap) {
+                   const int32_t* ops, int n_ops, uint8_t* out, int cap,
+                   int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
+                   int32_t* rec_levels, int rec_levels_cap,
+                   int32_t* rec_sizes) {
   TileCoder tc;
   tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
   tc.reduced_tx_set = reduced_tx_set != 0;
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
+  if (rec_ops) {
+    bp.rops = rec_ops;
+    bp.rops_cap = rec_ops_cap;
+    bp.rlvl = rec_levels;
+    bp.rlvl_cap = rec_levels_cap;
+  }
   int i = 0;
   while (i < n_ops) {
     switch (ops[i]) {
       case OP_CLEAR_LEFT:
         tc.clear_left();
+        bp.rec_row(&ops[i], 1);
         i += 1;
         break;
       case OP_PARTITION:
         tc.write_partition(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4]);
+        bp.rec_row(&ops[i], 5);
         i += 5;
         break;
       case OP_SPLIT_BIN:
         tc.write_split_binary(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                               ops[i + 5]);
+        bp.rec_row(&ops[i], 6);
         i += 6;
         break;
       case OP_BLOCK_COMPUTE:
@@ -1957,11 +2098,33 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
         break;
       case OP_SB_START:
         bp.reset_mask(ops[i + 1], ops[i + 2]);
+        bp.rec_row(&ops[i], 3);
         i += 3;
+        break;
+      case OP_LR:
+        tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
+        bp.rec_row(&ops[i], 9);
+        i += 9;
         break;
       default:
         return -2;
     }
+  }
+  if (rec_sizes) {
+    rec_sizes[0] = bp.rec_overflow ? -1 : bp.rops_n;
+    rec_sizes[1] = bp.rec_overflow ? -1 : bp.rlvl_n;
+  }
+  if (recon_out) {
+    // copy this tile's pixel region into the caller's (P, Hp, Wp) buffer
+    int y0 = mi_r0 * 4, y1 = (mi_r1 < mi_rows ? mi_r1 : mi_rows) * 4;
+    int x0 = mi_c0 * 4, x1 = (mi_c1 < mi_cols ? mi_c1 : mi_cols) * 4;
+    if (y1 > Hp) y1 = Hp;
+    if (x1 > Wp) x1 = Wp;
+    for (int pl = 0; pl < num_planes; pl++)
+      for (int y = y0; y < y1; y++)
+        memcpy(recon_out + ((size_t)pl * Hp + y) * Wp + x0,
+               bp.recon + ((size_t)pl * Hp + y) * Wp + x0,
+               (size_t)(x1 - x0) * 4);
   }
   return tc.enc.done(out, cap);
 }
@@ -2017,6 +2180,10 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
                         levels + ops[i + 9], ops[i + 10], ops[i + 11],
                         ops[i + 12]);
         i += 13;
+        break;
+      case OP_LR:
+        tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
+        i += 9;
         break;
       default:
         return -1;

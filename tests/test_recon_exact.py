@@ -33,9 +33,10 @@ def _drift(plane, q, threads=1, tiles=False):
     fe = FrameEncoder(plane, cfg)
     if tiles:
         fe._tile_split = lambda: (1, 1)
-    # deblock + CDEF are output-only for still frames; disable both so
-    # decoder pixels equal pre-filter reconstruction
+    # deblock + CDEF + loop restoration are output-only for still frames;
+    # disable all three so decoder pixels equal pre-filter reconstruction
     fe._cdef_strengths = lambda: ((), ())
+    fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
     def patched(self, *a, **k):
@@ -98,6 +99,7 @@ def test_recon_exact_chroma_adst():
     fe.min_leaf_mi = 4
     fe.max_leaf_mi = 4  # force 16x16 -> chroma ADST zone
     fe._cdef_strengths = lambda: ((), ())
+    fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
     def patched(self, *a, **k):
@@ -136,6 +138,7 @@ def test_recon_exact_4x4_partitions():
     )
     fe = FrameEncoder(plane, cfg)
     fe._cdef_strengths = lambda: ((), ())
+    fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
     def patched(self, *a, **k):
@@ -193,6 +196,7 @@ def test_recon_exact_rect_partitions():
         )
         fe = FrameEncoder(img, cfg)
         fe._cdef_strengths = lambda: ((), ())
+        fe._lr_solve = lambda: False
 
         def rdo(partials, origin, *a):
             part = {(r, c, 8): PARTITION_SPLIT for r in (0, 8) for c in (0, 8)}
