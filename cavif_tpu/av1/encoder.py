@@ -111,6 +111,14 @@ class FrameEncoder:
         # cheap enough to always consider up to 32x32 (the DP only picks a
         # larger leaf when it wins), which strictly improves RD here.
         self.max_leaf_mi = max(8, self.min_leaf_mi)
+        # Output filters (deblock/LR) need the decoder-exact recon and the
+        # replayable op streams; `fast_deblock` (preset, SURVEY.md 2.2)
+        # skips the simulation/search and signals the heuristic level.
+        self._want_filters = bool(cfg.tweaks.lrf) or (
+            self._lf_hint() > 0 and not cfg.tweaks.fast_deblock
+        )
+        self._recon_stack = None
+        self._filtered_stack = None
 
     # -- per-tile encode ----------------------------------------------------
 
@@ -240,7 +248,7 @@ class FrameEncoder:
 
         tp, ops = self._tile_skeleton(mi_r0, mi_r1, mi_c0, mi_c1)
         src = self._src_stack()
-        record = bool(self.cfg.tweaks.lrf)
+        record = self._want_filters
         out = encode_tile_bp(
             tp, src, self.mi_rows, self.mi_cols, self.dc_q, self.ac_q,
             transforms.get_gain(32, 32), ops, lam=self._lambda(),
@@ -890,6 +898,12 @@ class FrameEncoder:
             return
         if ctx.skeleton:
             ym, yd, uvm, uvd = ctx.modes[(r, c, w4, h4)][:4]
+            if min(w4, h4) < 2:
+                # angle deltas are only coded for blocks >= 8x8 (spec
+                # use_angle_delta); a child inheriting the parent's
+                # directional uv choice must drop the delta or recon
+                # diverges from the decoder
+                yd = uvd = 0
             tw.write_block_compute(r, c, w4, h4, ym, uvm, y_delta=yd,
                                    uv_delta=uvd)
             return
@@ -903,6 +917,8 @@ class FrameEncoder:
         force_skip = max(bw, bh) == 64
         cfl_allowed = max(bw, bh) <= 32
         y_mode, y_delta, uv_mode, uv_delta = ctx.modes[(r, c, w4, h4)][:4]
+        if min(w4, h4) < 2:
+            y_delta = uv_delta = 0  # not codeable below 8x8 (use_angle_delta)
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -979,10 +995,16 @@ class FrameEncoder:
         qstep = self.ac_q * 0.125
         return 0.8 * qstep * qstep / 16.0
 
-    def _neighbors(self, pl, px, py, txw, txh, rr4, cc4):
+    def _neighbors(self, ctx, pl, px, py, txw, txh, rr4, cc4):
         recon = self.planes[pl].recon
-        above = recon[py - 1, px : px + txw].copy() if rr4 > 0 else None
-        left = recon[py : py + txh, px - 1].copy() if cc4 > 0 else None
+        # reads clamp at the tile mi bounds (overhanging blocks at partial
+        # superblocks: the decoder replicates the last in-bounds row/col)
+        max_y = ctx.end[0] * 4 - 1
+        max_x = ctx.end[1] * 4 - 1
+        xs = np.minimum(px + np.arange(txw), max_x)
+        ys = np.minimum(py + np.arange(txh), max_y)
+        above = recon[py - 1, xs].copy() if rr4 > 0 else None
+        left = recon[ys, px - 1].copy() if cc4 > 0 else None
         al = int(recon[py - 1, px - 1]) if (rr4 > 0 and cc4 > 0) else None
         return above, left, al
 
@@ -1060,7 +1082,8 @@ class FrameEncoder:
                 mode, delta, above_ext, left_ext, al, txw, txh
             )
         else:
-            above, left, al = self._neighbors(pl, px, py, txw, txh, rr4, cc4)
+            above, left, al = self._neighbors(ctx, pl, px, py, txw, txh,
+                                              rr4, cc4)
             pred = predict(mode, above, left, al, txw, txh, self.bit_depth)
         if force_skip:
             return np.zeros((ch, cw), dtype=np.int32), pred, 0.0
@@ -1106,6 +1129,12 @@ class FrameEncoder:
         cdef_y, cdef_uv = self._cdef_strengths()
         tcl, trl = self._tile_split()
         tiles = self._encode_tiles(tcl, trl)
+        # Deblocking is output-only for still pictures (intra prediction
+        # reads unfiltered recon), so it's a free quality lever: simulate
+        # the decoder's filter on the exact recon and pick the uniform
+        # levels that minimize real output error (heuristic level when the
+        # preset says fast_deblock).
+        lf_levels = self._deblock_apply()
         # Loop restoration (preset `lrf`, SURVEY.md 2.2): Wiener-filter the
         # decoded output back toward the source. Output-only like deblock/
         # CDEF, but its per-unit taps live INSIDE the tile bitstreams
@@ -1130,11 +1159,6 @@ class FrameEncoder:
             transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
             matrix_coefficients=cfg.matrix_coefficients,
         )
-        # Deblocking is output-only for still pictures (intra prediction
-        # reads unfiltered recon), so signaling a level is a free subjective
-        # win at low rates; measured sweep peaks near qindex/20 (+0.05 dB at
-        # Q50, fading above Q85).
-        lf = int(min(10, max(0, round(self.base_q / 20 - 2))))
         fp = FrameParams(
             width=cfg.width,
             height=cfg.height,
@@ -1144,13 +1168,96 @@ class FrameEncoder:
             tile_cols_log2=tcl,
             tile_rows_log2=trl,
             reduced_tx_set=cfg.tweaks.reduced_tx_set,
-            filter_level=(lf, lf, lf, lf),
+            filter_level=lf_levels,
             cdef_y_strengths=cdef_y,
             cdef_uv_strengths=cdef_uv,
             lr_types=lr_types,
         )
         frame = assemble_frame_obu(fp, tiles)
         return assemble_temporal_unit(seq, frame)
+
+    # -- deblocking (encoder-side decoder-exact simulation) -----------------
+
+    def _lf_hint(self) -> int:
+        """Heuristic uniform filter level; measured sweep peaks near
+        qindex/20 (+0.05 dB at Q50, fading above Q85)."""
+        return int(min(16, max(0, round(self.base_q / 20 - 2))))
+
+    def _output_filter_ops(self):
+        """Concrete (replayable) per-tile op streams for filter-map
+        building: [(mi_r0, mi_c0, ops)], or None if any tile is missing
+        (record overflow / cold cache)."""
+        cache = self._bpops_cache or self._pyops_cache
+        if not cache or len(cache) != getattr(self, "_n_tiles", -1):
+            return None
+        return [(k[0], k[2], v[1]) for k, v in cache.items()]
+
+    def _recon_full(self):
+        """Decoder-exact reconstruction as a contiguous (P, Hp, Wp) stack."""
+        if self._recon_stack is not None:
+            return self._recon_stack
+        if not self._pyops_cache:
+            return None
+        return np.ascontiguousarray(
+            np.stack([p.recon for p in self.planes], axis=0)
+        )
+
+    def _deblock_apply(self):
+        """Search uniform deblock levels by simulating the decoder's filter
+        on the exact recon and measuring output SSE vs source; keeps the
+        filtered frame for the downstream stages (LR solve). Falls back to
+        the unsimulated heuristic when the replay ops aren't available."""
+        hint = self._lf_hint()
+        fallback = (hint, hint, hint, hint) if hint else (0, 0, 0, 0)
+        if not self._want_filters:
+            return fallback
+        ops = self._output_filter_ops()
+        rec = self._recon_full()
+        if ops is None or rec is None:
+            return fallback
+        from ..native import build_filter_maps, deblock_frame
+
+        maps = build_filter_maps(ops, self.mi_rows, self.mi_cols,
+                                 self.num_planes)
+        self._filter_maps = maps
+        h, w = self.cfg.height, self.cfg.width
+        src = self._src_stack()
+        vis = (w, h)
+        args = (self.mi_rows, self.mi_cols, self.bit_depth)
+        cands = sorted(
+            {max(1, hint // 2), max(1, hint), hint + 2, min(63, 2 * hint + 4)}
+        )
+        # candidate metric: SSE delta vs the unfiltered recon, accumulated
+        # inside the C++ filter pass (level 0 == delta 0)
+        t = rec.copy()
+        by = (0.0, 0)
+        for c in cands:
+            t[0] = rec[0]
+            d = deblock_frame(t, *args, (c, c, 0, 0), maps, src, vis)
+            if d[0] < by[0]:
+                by = (d[0], c)
+        y = by[1]
+        u = v = 0
+        # u/v levels are only coded when a y level is nonzero (spec
+        # loop_filter_params)
+        if y and self.num_planes == 3:
+            bu, bv = (0.0, 0), (0.0, 0)
+            for c in cands:
+                t[1] = rec[1]
+                t[2] = rec[2]
+                d = deblock_frame(t, *args, (0, 0, c, c), maps, src, vis)
+                if d[1] < bu[0]:
+                    bu = (d[1], c)
+                if d[2] < bv[0]:
+                    bv = (d[2], c)
+            u, v = bu[1], bv[1]
+        levels = (y, y, u, v)
+        t[:] = rec
+        if any(levels):
+            deblock_frame(t, *args, levels, maps)
+        self._filtered_stack = t
+        self._lf_levels = levels
+        return levels
 
     # -- loop restoration (Wiener) ------------------------------------------
 
@@ -1187,12 +1294,14 @@ class FrameEncoder:
             tw.write_lr_unit(pl, use, taps)
 
     def _lr_recon(self):
-        """Luma reconstruction: captured from the native pipeline or the
-        python pass-2."""
+        """Luma frame the decoder feeds into loop restoration: the
+        deblocked reconstruction when the deblock simulation ran, else the
+        raw recon (native capture or python pass-2)."""
         h, w = self.cfg.height, self.cfg.width
-        stack = getattr(self, "_recon_stack", None)
-        if stack is not None:
-            return stack[0, :h, :w]
+        if self._filtered_stack is not None:
+            return self._filtered_stack[0, :h, :w]
+        if self._recon_stack is not None:
+            return self._recon_stack[0, :h, :w]
         return self.planes[0].recon[:h, :w]
 
     def _lr_solve(self) -> bool:
@@ -1275,9 +1384,9 @@ class FrameEncoder:
 
             backend = "native" if _native_available() else "python"
         if (
-            self.cfg.tweaks.lrf
+            self._want_filters
             and backend == "native"
-            and getattr(self, "_recon_stack", None) is None
+            and self._recon_stack is None
         ):
             # the native pipeline keeps recon in C++; capture it here for
             # the restoration-filter solve (tile threads write disjoint
@@ -1290,6 +1399,7 @@ class FrameEncoder:
         tiles_rc = [
             (r0, r1, c0, c1) for (r0, r1) in row_ranges for (c0, c1) in col_ranges
         ]
+        self._n_tiles = len(tiles_rc)
         backend = self.cfg.ec_backend
         if backend is None:
             from .opstream import _native_available

@@ -157,6 +157,25 @@ def _load():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.bs_search2.restype = ctypes.c_int
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.of_build_maps.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # ops
+            ctypes.c_int, ctypes.c_int,      # tile origin r0, c0
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi_rows, mi_cols, nt
+            _u8p, _u8p, _u8p, _u8p, _u8p,    # skip, txw, txh, edge_v, edge_h
+        ]
+        lib.of_build_maps.restype = ctypes.c_int
+        lib.of_deblock.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # planes (P, Hp, Wp), in place
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # P, Hp, Wp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi_rows, mi_cols, bd
+            ctypes.POINTER(ctypes.c_int32),  # levels[4]
+            _u8p, _u8p, _u8p, _u8p,          # txw, txh, edge_v, edge_h
+            ctypes.POINTER(ctypes.c_int32),  # src (nullable)
+            ctypes.c_int, ctypes.c_int,      # vis_w, vis_h
+            ctypes.POINTER(ctypes.c_double),  # sse_out[P] (nullable)
+        ]
+        lib.of_deblock.restype = ctypes.c_int
         _install_tables(lib)
         _lib = lib
         return _lib
@@ -400,6 +419,66 @@ def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:
         if cap > (1 << 28):
             raise RuntimeError("tile encode failed")
         cap *= 4
+
+
+def build_filter_maps(tile_ops, mi_rows: int, mi_cols: int, num_planes: int):
+    """Derive the loop-filter maps from concrete (replayable) tile op
+    streams: per-mi tx dims (log2 px) and txb start-edge flags on the
+    {luma, chroma} grids, plus the skip map. tile_ops: iterable of
+    (mi_r0, mi_c0, ops) with OP_BLOCK rows tile-relative."""
+    lib = _load()
+    nt = 2 if num_planes == 3 else 1
+    grid = mi_rows * mi_cols
+    skip = np.zeros(grid, np.uint8)
+    txw = np.zeros(nt * grid, np.uint8)
+    txh = np.zeros(nt * grid, np.uint8)
+    edge_v = np.zeros(nt * grid, np.uint8)
+    edge_h = np.zeros(nt * grid, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    for r0, c0, ops in tile_ops:
+        ops = np.ascontiguousarray(ops, dtype=np.int32)
+        rc = lib.of_build_maps(
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
+            int(r0), int(c0), mi_rows, mi_cols, nt,
+            skip.ctypes.data_as(u8), txw.ctypes.data_as(u8),
+            txh.ctypes.data_as(u8), edge_v.ctypes.data_as(u8),
+            edge_h.ctypes.data_as(u8),
+        )
+        if rc != 0:
+            raise RuntimeError("of_build_maps failed")
+    return skip, txw, txh, edge_v, edge_h
+
+
+def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
+                  bit_depth: int, levels, maps, src: np.ndarray = None,
+                  vis: tuple = (0, 0)):
+    """Decoder-exact deblocking in place on the padded (P, Hp, Wp) int32
+    reconstruction. levels: (y_vert, y_horz, u, v); maps from
+    build_filter_maps. With src (same shape) set, returns the per-plane
+    SSE delta (filtered minus unfiltered, against src) over the visible
+    vis=(w, h) crop — the filter-level search metric."""
+    lib = _load()
+    _skip, txw, txh, edge_v, edge_h = maps
+    P, Hp, Wp = planes.shape
+    assert planes.dtype == np.int32 and planes.flags["C_CONTIGUOUS"]
+    lv = np.asarray(list(levels) + [0] * (4 - len(levels)), dtype=np.int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    sse = np.zeros(P, np.float64) if src is not None else None
+    rc = lib.of_deblock(
+        planes.ctypes.data_as(i32),
+        P, Hp, Wp, mi_rows, mi_cols, bit_depth,
+        lv.ctypes.data_as(i32),
+        txw.ctypes.data_as(u8), txh.ctypes.data_as(u8),
+        edge_v.ctypes.data_as(u8), edge_h.ctypes.data_as(u8),
+        src.ctypes.data_as(i32) if src is not None else None,
+        int(vis[0]), int(vis[1]),
+        sse.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if sse is not None else None,
+    )
+    if rc != 0:
+        raise RuntimeError("of_deblock failed")
+    return sse
 
 
 def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,

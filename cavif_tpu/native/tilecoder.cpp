@@ -1213,21 +1213,37 @@ struct BlockPipe {
       return;
     }
     int64_t above[64], left[64], al;
+    // tile-edge clamp: reads never pass the tile mi bounds (blocks at a
+    // partial bottom/right superblock overhang the grid; the decoder
+    // replicates the last in-bounds row/column)
+    const int max_x = mi_c1 * 4 - 1, max_y = mi_r1 * 4 - 1;
     if (!have_a && !have_l) {
       for (int i = 0; i < txw; i++) above[i] = base - 1;
       for (int i = 0; i < txh; i++) left[i] = base + 1;
       al = base;
     } else if (!have_a) {
-      for (int i = 0; i < txh; i++) left[i] = rp[(size_t)(py + i) * Wp + px - 1];
+      for (int i = 0; i < txh; i++) {
+        int yy = py + i; if (yy > max_y) yy = max_y;
+        left[i] = rp[(size_t)yy * Wp + px - 1];
+      }
       for (int i = 0; i < txw; i++) above[i] = left[0];
       al = left[0];
     } else if (!have_l) {
-      for (int i = 0; i < txw; i++) above[i] = rp[(size_t)(py - 1) * Wp + px + i];
+      for (int i = 0; i < txw; i++) {
+        int xx = px + i; if (xx > max_x) xx = max_x;
+        above[i] = rp[(size_t)(py - 1) * Wp + xx];
+      }
       for (int i = 0; i < txh; i++) left[i] = above[0];
       al = above[0];
     } else {
-      for (int i = 0; i < txw; i++) above[i] = rp[(size_t)(py - 1) * Wp + px + i];
-      for (int i = 0; i < txh; i++) left[i] = rp[(size_t)(py + i) * Wp + px - 1];
+      for (int i = 0; i < txw; i++) {
+        int xx = px + i; if (xx > max_x) xx = max_x;
+        above[i] = rp[(size_t)(py - 1) * Wp + xx];
+      }
+      for (int i = 0; i < txh; i++) {
+        int yy = py + i; if (yy > max_y) yy = max_y;
+        left[i] = rp[(size_t)yy * Wp + px - 1];
+      }
       al = rp[(size_t)(py - 1) * Wp + px - 1];
     }
     int32_t* out = pred.data();
@@ -1980,6 +1996,148 @@ static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
 // C API
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Output filters: deblocking (spec 7.14 mirror). The encoder runs these on
+// its decoder-exact reconstruction to (a) obtain the exact frame the decoder
+// will feed into CDEF/loop-restoration, and (b) search filter parameters by
+// measuring real output error. Assumes the headers this encoder writes:
+// uniform filter levels, sharpness 0, no deltas, no segmentation, 4:4:4.
+// ---------------------------------------------------------------------------
+
+namespace deblock {
+
+static inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
+static inline int32_t clip3(int32_t lo, int32_t hi, int32_t v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+static inline int32_t rnd2(int32_t v, int n) { return (v + (1 << (n - 1))) >> n; }
+
+struct LineCtx {
+  int32_t limit, blimit, thresh;  // already bd-scaled
+  int32_t clampLo, clampHi;       // signed filter clamp (+-(1<<(bd-1)))
+  int32_t maxv;                   // (1<<bd)-1
+  int32_t flatF;                  // 1 << (bd-8)
+};
+
+// filter one 1-pixel line across an edge; px points AT q0, pitch steps
+// from p-side to q-side (px[-pitch] == p0). size in {4, 6, 8, 14}.
+static void filter_line(int32_t* px, int pitch, int size, const LineCtx& c) {
+  const int32_t q0 = px[0], q1 = px[pitch], q2 = px[2 * pitch],
+                q3 = px[3 * pitch];
+  const int32_t p0 = px[-pitch], p1 = px[-2 * pitch], p2 = px[-3 * pitch],
+                p3 = px[-4 * pitch];
+  bool mask = iabs(p1 - p0) <= c.limit && iabs(q1 - q0) <= c.limit &&
+              2 * iabs(p0 - q0) + (iabs(p1 - q1) >> 1) <= c.blimit;
+  if (size >= 8) {
+    mask = mask && iabs(p2 - p1) <= c.limit && iabs(q2 - q1) <= c.limit &&
+           iabs(p3 - p2) <= c.limit && iabs(q3 - q2) <= c.limit;
+  } else if (size == 6) {
+    mask = mask && iabs(p2 - p1) <= c.limit && iabs(q2 - q1) <= c.limit;
+  }
+  if (!mask) return;
+
+  const int32_t F = c.flatF;
+  if (size == 6) {
+    bool flat = iabs(p1 - p0) <= F && iabs(q1 - q0) <= F &&
+                iabs(p2 - p0) <= F && iabs(q2 - q0) <= F;
+    if (flat) {
+      px[-2 * pitch] = rnd2(p2 * 3 + p1 * 2 + p0 * 2 + q0, 3);
+      px[-pitch] = rnd2(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1, 3);
+      px[0] = rnd2(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2, 3);
+      px[pitch] = rnd2(p0 + q0 * 2 + q1 * 2 + q2 * 3, 3);
+      return;
+    }
+  } else if (size >= 8) {
+    bool flat = iabs(p1 - p0) <= F && iabs(q1 - q0) <= F &&
+                iabs(p2 - p0) <= F && iabs(q2 - q0) <= F &&
+                iabs(p3 - p0) <= F && iabs(q3 - q0) <= F;
+    if (flat && size == 14) {
+      const int32_t q4 = px[4 * pitch], q5 = px[5 * pitch],
+                    q6 = px[6 * pitch];
+      const int32_t p4 = px[-5 * pitch], p5 = px[-6 * pitch],
+                    p6 = px[-7 * pitch];
+      bool flat2 = iabs(p6 - p0) <= F && iabs(q6 - q0) <= F &&
+                   iabs(p5 - p0) <= F && iabs(q5 - q0) <= F &&
+                   iabs(p4 - p0) <= F && iabs(q4 - q0) <= F;
+      if (flat2) {
+        px[-6 * pitch] =
+            rnd2(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0, 4);
+        px[-5 * pitch] = rnd2(
+            p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1, 4);
+        px[-4 * pitch] = rnd2(
+            p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2,
+            4);
+        px[-3 * pitch] =
+            rnd2(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1 +
+                     q2 + q3,
+                 4);
+        px[-2 * pitch] = rnd2(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 +
+                                  p0 * 2 + q0 + q1 + q2 + q3 + q4,
+                              4);
+        px[-pitch] = rnd2(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 +
+                              q1 + q2 + q3 + q4 + q5,
+                          4);
+        px[0] = rnd2(p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 +
+                         q3 + q4 + q5 + q6,
+                     4);
+        px[pitch] = rnd2(p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 +
+                             q3 + q4 + q5 + q6 * 2,
+                         4);
+        px[2 * pitch] = rnd2(p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 +
+                                 q3 * 2 + q4 + q5 + q6 * 3,
+                             4);
+        px[3 * pitch] = rnd2(
+            p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 + q6 * 4,
+            4);
+        px[4 * pitch] = rnd2(
+            p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 + q6 * 5, 4);
+        px[5 * pitch] =
+            rnd2(p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7, 4);
+        return;
+      }
+    }
+    if (flat) {
+      px[-3 * pitch] = rnd2(p3 * 3 + p2 * 2 + p1 + p0 + q0, 3);
+      px[-2 * pitch] = rnd2(p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1, 3);
+      px[-pitch] = rnd2(p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2, 3);
+      px[0] = rnd2(p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3, 3);
+      px[pitch] = rnd2(p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2, 3);
+      px[2 * pitch] = rnd2(p0 + q0 + q1 + q2 * 2 + q3 * 3, 3);
+      return;
+    }
+  }
+  // narrow filter (filter4)
+  bool hev = iabs(p1 - p0) > c.thresh || iabs(q1 - q0) > c.thresh;
+  int32_t f = hev ? clip3(c.clampLo, c.clampHi, p1 - q1) : 0;
+  f = clip3(c.clampLo, c.clampHi, f + 3 * (q0 - p0));
+  int32_t f1 = clip3(c.clampLo, c.clampHi, f + 4) >> 3;
+  int32_t f2 = clip3(c.clampLo, c.clampHi, f + 3) >> 3;
+  px[0] = clip3(0, c.maxv, q0 - f1);
+  px[-pitch] = clip3(0, c.maxv, p0 + f2);
+  if (!hev) {
+    int32_t f3 = (f1 + 1) >> 1;
+    px[pitch] = clip3(0, c.maxv, q1 - f3);
+    px[-2 * pitch] = clip3(0, c.maxv, p1 + f3);
+  }
+}
+
+static void make_ctx(LineCtx& c, int lvl, int bit_depth) {
+  // sharpness == 0
+  int limit = lvl < 1 ? 1 : lvl;
+  int blimit = 2 * (lvl + 2) + limit;
+  int thresh = lvl >> 4;
+  int s = bit_depth - 8;
+  c.limit = limit << s;
+  c.blimit = blimit << s;
+  c.thresh = thresh << s;
+  c.clampLo = -(1 << (bit_depth - 1));
+  c.clampHi = (1 << (bit_depth - 1)) - 1;
+  c.maxv = (1 << bit_depth) - 1;
+  c.flatF = 1 << s;
+}
+
+}  // namespace deblock
+
 extern "C" {
 
 int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
@@ -2373,6 +2531,160 @@ int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
     }
   };
   run_threaded(B, n_threads, worker);
+  return 0;
+}
+
+// Build per-mi filter maps from a tile's concrete replay op stream:
+// skip flag, tx dims log2(px) and txb start-edge flags per {luma, chroma}
+// grid. Arrays are full-frame (mi_rows x mi_cols); (r0, c0) is the tile
+// origin (OP_BLOCK rows are tile-relative).
+int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
+                  int mi_cols, int nt, uint8_t* skip, uint8_t* txw_l2,
+                  uint8_t* txh_l2, uint8_t* edge_v, uint8_t* edge_h) {
+  const size_t grid = (size_t)mi_rows * mi_cols;
+  int i = 0;
+  while (i < n_ops) {
+    switch (ops[i]) {
+      case OP_CLEAR_LEFT: i += 1; break;
+      case OP_PARTITION: i += 5; break;
+      case OP_SPLIT_BIN: i += 6; break;
+      case OP_SB_START: i += 3; break;
+      case OP_LR: i += 9; break;
+      case OP_COEFFS: i += 13; break;
+      case OP_BLOCK: {
+        const int r = ops[i + 1] + r0, c = ops[i + 2] + c0;
+        const int w4 = ops[i + 3], h4 = ops[i + 4];
+        const int sk = ops[i + 7];
+        const int r1 = r + h4 < mi_rows ? r + h4 : mi_rows;
+        const int c1 = c + w4 < mi_cols ? c + w4 : mi_cols;
+        for (int t = 0; t < nt; t++) {
+          const int cap = t == 0 ? 16 : 8;  // 64px / 32px in mi units
+          const int tw4 = w4 < cap ? w4 : cap;
+          const int th4 = h4 < cap ? h4 : cap;
+          int wl2 = 0, hl2 = 0;
+          while ((1 << wl2) < tw4 * 4) wl2++;
+          while ((1 << hl2) < th4 * 4) hl2++;
+          uint8_t* tw = txw_l2 + t * grid;
+          uint8_t* th = txh_l2 + t * grid;
+          uint8_t* ev = edge_v + t * grid;
+          uint8_t* eh = edge_h + t * grid;
+          for (int rr = r; rr < r1; rr++)
+            for (int cc = c; cc < c1; cc++) {
+              const size_t mi = (size_t)rr * mi_cols + cc;
+              tw[mi] = (uint8_t)wl2;
+              th[mi] = (uint8_t)hl2;
+              if ((cc - c) % tw4 == 0) ev[mi] = 1;
+              if ((rr - r) % th4 == 0) eh[mi] = 1;
+              if (t == 0) skip[mi] = (uint8_t)sk;
+            }
+        }
+        i += 11;
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
+// Deblock the (padded) reconstruction in place over the full coded area
+// (4*mi_cols x 4*mi_rows; the decoder filters before cropping). Per plane:
+// all vertical edges, then all horizontal (spec pass order). levels:
+// [y_vert, y_horz, u, v]. Maps are (2, mi_rows, mi_cols) uint8 over
+// {luma, chroma} grids: tx dims log2(px) and txb start-edge flags
+// (block edges are txb edges by construction). 4:4:4 / monochrome only.
+// With src != null, accumulates the per-plane SSE *delta* (filtered vs
+// unfiltered, against src, over the visible vis_w x vis_h crop) into
+// sse_out[P] — the filter-level search metric, computed for free here.
+int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
+               int mi_cols, int bit_depth, const int32_t* levels,
+               const uint8_t* txw_l2, const uint8_t* txh_l2,
+               const uint8_t* edge_v, const uint8_t* edge_h,
+               const int32_t* src, int vis_w, int vis_h, double* sse_out) {
+  using namespace deblock;
+  const size_t grid = (size_t)mi_rows * mi_cols;
+  int32_t keep[14];
+  for (int pl = 0; pl < P; pl++) {
+    const int t = pl == 0 ? 0 : 1;
+    const uint8_t* tw = txw_l2 + t * grid;
+    const uint8_t* th = txh_l2 + t * grid;
+    const uint8_t* ev = edge_v + t * grid;
+    const uint8_t* eh = edge_h + t * grid;
+    int32_t* base = planes + (size_t)pl * Hp * Wp;
+    const int32_t* sp = src ? src + (size_t)pl * Hp * Wp : nullptr;
+    double acc = 0.0;
+    const int lvl_v = pl == 0 ? levels[0] : levels[pl + 1];
+    const int lvl_h = pl == 0 ? levels[1] : levels[pl + 1];
+    LineCtx c;
+    if (lvl_v > 0) {
+      make_ctx(c, lvl_v, bit_depth);
+      for (int mc = 1; mc < mi_cols; mc++) {
+        const int x = mc * 4;
+        for (int mr = 0; mr < mi_rows; mr++) {
+          const size_t mi = (size_t)mr * mi_cols + mc;
+          if (!ev[mi]) continue;
+          const int mw = 1 << (tw[mi - 1] < tw[mi] ? tw[mi - 1] : tw[mi]);
+          const int size =
+              pl == 0 ? (mw >= 16 ? 14 : mw >= 8 ? 8 : 4) : (mw >= 8 ? 6 : 4);
+          const int reach = size / 2;
+          for (int dy = 0; dy < 4; dy++) {
+            const int y = mr * 4 + dy;
+            int32_t* px = base + (size_t)y * Wp + x;
+            if (sp && y < vis_h) {
+              for (int k = -reach; k < reach; k++) keep[k + reach] = px[k];
+              filter_line(px, 1, size, c);
+              const int32_t* srow = sp + (size_t)y * Wp;
+              for (int k = -reach; k < reach; k++) {
+                if ((unsigned)(x + k) >= (unsigned)vis_w) continue;
+                if (px[k] == keep[k + reach]) continue;
+                const double dn = px[k] - srow[x + k];
+                const double od = keep[k + reach] - srow[x + k];
+                acc += dn * dn - od * od;
+              }
+            } else {
+              filter_line(px, 1, size, c);
+            }
+          }
+        }
+      }
+    }
+    if (lvl_h > 0) {
+      make_ctx(c, lvl_h, bit_depth);
+      for (int mr = 1; mr < mi_rows; mr++) {
+        const int y = mr * 4;
+        for (int mc = 0; mc < mi_cols; mc++) {
+          const size_t mi = (size_t)mr * mi_cols + mc;
+          if (!eh[mi]) continue;
+          const size_t up = mi - mi_cols;
+          const int mh = 1 << (th[up] < th[mi] ? th[up] : th[mi]);
+          const int size =
+              pl == 0 ? (mh >= 16 ? 14 : mh >= 8 ? 8 : 4) : (mh >= 8 ? 6 : 4);
+          const int reach = size / 2;
+          for (int dx = 0; dx < 4; dx++) {
+            const int x = mc * 4 + dx;
+            int32_t* px = base + (size_t)y * Wp + x;
+            if (sp && x < vis_w) {
+              for (int k = -reach; k < reach; k++)
+                keep[k + reach] = px[(ptrdiff_t)k * Wp];
+              filter_line(px, Wp, size, c);
+              for (int k = -reach; k < reach; k++) {
+                if ((unsigned)(y + k) >= (unsigned)vis_h) continue;
+                const int32_t nv = px[(ptrdiff_t)k * Wp];
+                if (nv == keep[k + reach]) continue;
+                const double dn = nv - sp[(size_t)(y + k) * Wp + x];
+                const double od = keep[k + reach] - sp[(size_t)(y + k) * Wp + x];
+                acc += dn * dn - od * od;
+              }
+            } else {
+              filter_line(px, Wp, size, c);
+            }
+          }
+        }
+      }
+    }
+    if (sse_out) sse_out[pl] = acc;
+  }
   return 0;
 }
 
