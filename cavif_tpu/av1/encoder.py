@@ -1124,9 +1124,6 @@ class FrameEncoder:
 
     def encode(self) -> bytes:
         cfg = self.cfg
-        # CDEF is output-only for still pictures (prediction reads
-        # pre-filter recon), so the preset toggle costs nothing encoder-side
-        cdef_y, cdef_uv = self._cdef_strengths()
         tcl, trl = self._tile_split()
         tiles = self._encode_tiles(tcl, trl)
         # Deblocking is output-only for still pictures (intra prediction
@@ -1135,6 +1132,11 @@ class FrameEncoder:
         # levels that minimize real output error (heuristic level when the
         # preset says fast_deblock).
         lf_levels = self._deblock_apply()
+        # CDEF is output-only for still pictures too; simulate it on the
+        # deblocked frame (decoder order deblock -> CDEF -> LR) and search
+        # the signaled strengths by real output error. Falls back to the
+        # quantizer heuristic when no simulation is available.
+        cdef_y, cdef_uv, cdef_damping = self._cdef_apply()
         # Loop restoration (preset `lrf`, SURVEY.md 2.2): Wiener-filter the
         # decoded output back toward the source. Output-only like deblock/
         # CDEF, but its per-unit taps live INSIDE the tile bitstreams
@@ -1169,6 +1171,7 @@ class FrameEncoder:
             tile_rows_log2=trl,
             reduced_tx_set=cfg.tweaks.reduced_tx_set,
             filter_level=lf_levels,
+            cdef_damping=cdef_damping,
             cdef_y_strengths=cdef_y,
             cdef_uv_strengths=cdef_uv,
             lr_types=lr_types,
@@ -1336,6 +1339,68 @@ class FrameEncoder:
             return (), ()
         pri = min(7, max(1, self.base_q // 48))
         return ((pri, 1),), ((pri // 2, 1),)
+
+    # primary-strength search grid (coded 0..15); secondary legs and a
+    # +/-1 refine fill in around the winner
+    CDEF_PRI = (1, 2, 3, 4, 6, 9, 12, 15)
+
+    def _cdef_apply(self):
+        """Search the CDEF strengths by simulating the decoder's filter
+        (spec 7.15) on the deblocked frame and measuring real output SSE,
+        then apply the winners so the LR solve sees the decoder's
+        post-CDEF frame. Returns coded (y_strengths, uv_strengths,
+        damping); empty strengths disable CDEF in the sequence header.
+        Falls back to the quantizer heuristic when the simulation inputs
+        (skip map / captured recon) are unavailable."""
+        if not self.cfg.tweaks.cdef:
+            return (), (), 3
+        maps = getattr(self, "_filter_maps", None)
+        base = (self._filtered_stack if self._filtered_stack is not None
+                else self._recon_full())
+        if maps is None or base is None:
+            y, uv = self._cdef_strengths()
+            return y, uv, 3
+        from ..native import cdef_apply, cdef_dirs, cdef_search
+
+        damping = min(6, 3 + (self.base_q >> 6))  # libaom pickcdef hint
+        skip = maps[0]
+        h, w = self.cfg.height, self.cfg.width
+        src = self._src_stack()
+        args = (self.mi_rows, self.mi_cols, self.bit_depth, damping)
+        dirs, vars_ = cdef_dirs(
+            np.ascontiguousarray(base[0]), self.mi_rows, self.mi_cols,
+            self.bit_depth,
+        )
+        # one threaded pass scores every (pri, sec) combo by real output
+        # SSE delta; strengths are ACTUAL values (secondary 4 codes as 3)
+        cands = np.array((0,) + self.CDEF_PRI, np.int32)
+        threads = self.cfg.threads or (os.cpu_count() or 1)
+        # fast presets score a spatial subsample of the 8x8 blocks; the
+        # argmin over thousands of blocks is insensitive to it
+        speed = self.cfg.tweaks.speed_preset
+        sub = 1 if speed <= 2 else (2 if speed <= 5 else 4)
+        acc_y, acc_uv = cdef_search(base, src, *args, cands, skip, dirs,
+                                    vars_, (w, h), threads, sub)
+        sec_act = (0, 1, 2, 4)
+
+        def best_of(acc):
+            if acc is None:
+                return (0.0, 0, 0)
+            i, j = np.unravel_index(int(np.argmin(acc)), acc.shape)
+            d = float(acc[i, j])
+            return (d, int(cands[i]), sec_act[j]) if d < 0 else (0.0, 0, 0)
+
+        yb = best_of(acc_y)
+        ub = best_of(acc_uv)
+        if not (yb[1] or yb[2] or ub[1] or ub[2]):
+            return (), (), damping
+        out = np.empty_like(base)
+        cdef_apply(base, out, *args, (yb[1], yb[2], ub[1], ub[2]), skip,
+                   dirs, vars_, n_threads=threads)
+        self._filtered_stack = out
+        coded = lambda s: 3 if s == 4 else s
+        uv = (((ub[1], coded(ub[2])),) if self.num_planes == 3 else ())
+        return ((yb[1], coded(yb[2])),), uv, damping
 
     def _tile_split(self) -> tuple:
         """Uniform tile split sized by the reference heuristic

@@ -176,6 +176,38 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # sse_out[P] (nullable)
         ]
         lib.of_deblock.restype = ctypes.c_int
+        lib.of_cdef_dirs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # deblocked luma (Hp, Wp)
+            ctypes.c_int, ctypes.c_int,      # Hp, Wp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi_rows, mi_cols, bd
+            _u8p, ctypes.POINTER(ctypes.c_int32),  # dirs, vars (sb8 grids)
+        ]
+        lib.of_cdef_dirs.restype = ctypes.c_int
+        lib.of_cdef_search.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # in (deblocked)
+            ctypes.POINTER(ctypes.c_int32),  # src
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # P, Hp, Wp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi/bd/damp
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # pri_cands, n_pri
+            _u8p, _u8p, ctypes.POINTER(ctypes.c_int32),  # skip, dirs, vars
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # vis_w, vis_h, threads
+            ctypes.c_int,  # sub (block subsampling 1/2/4)
+            ctypes.POINTER(ctypes.c_double),  # out_y[n_pri*4]
+            ctypes.POINTER(ctypes.c_double),  # out_uv (nullable)
+        ]
+        lib.of_cdef_search.restype = ctypes.c_int
+        lib.of_cdef_apply.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # in (deblocked)
+            ctypes.POINTER(ctypes.c_int32),  # out (nullable)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # P, Hp, Wp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi/bd/damp
+            ctypes.POINTER(ctypes.c_int32),  # strengths[4]
+            _u8p, _u8p, ctypes.POINTER(ctypes.c_int32),  # skip, dirs, vars
+            ctypes.POINTER(ctypes.c_int32),  # src (nullable)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # vis_w, vis_h, threads
+            ctypes.POINTER(ctypes.c_double),  # sse_out[P] (nullable)
+        ]
+        lib.of_cdef_apply.restype = ctypes.c_int
         _install_tables(lib)
         _lib = lib
         return _lib
@@ -479,6 +511,96 @@ def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
     if rc != 0:
         raise RuntimeError("of_deblock failed")
     return sse
+
+
+def cdef_dirs(deblocked_luma: np.ndarray, mi_rows: int, mi_cols: int,
+              bit_depth: int):
+    """Per-8x8 CDEF direction + variance grids from the deblocked luma
+    (padded (Hp, Wp) int32)."""
+    lib = _load()
+    Hp, Wp = deblocked_luma.shape
+    assert deblocked_luma.dtype == np.int32
+    assert deblocked_luma.flags["C_CONTIGUOUS"]
+    sb8r, sb8c = (mi_rows + 1) >> 1, (mi_cols + 1) >> 1
+    dirs = np.zeros((sb8r, sb8c), np.uint8)
+    vars_ = np.zeros((sb8r, sb8c), np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.of_cdef_dirs(
+        deblocked_luma.ctypes.data_as(i32), Hp, Wp, mi_rows, mi_cols,
+        bit_depth,
+        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vars_.ctypes.data_as(i32),
+    )
+    if rc != 0:
+        raise RuntimeError("of_cdef_dirs failed")
+    return dirs, vars_
+
+
+def cdef_apply(inp: np.ndarray, out, mi_rows: int, mi_cols: int,
+               bit_depth: int, damping: int, strengths, skip: np.ndarray,
+               dirs: np.ndarray, vars_: np.ndarray, src: np.ndarray = None,
+               vis: tuple = (0, 0), n_threads: int = 1):
+    """Apply CDEF reading the deblocked (P, Hp, Wp) int32 `inp`, writing
+    `out` (None: search mode, no writes). strengths: (y_pri, y_sec,
+    uv_pri, uv_sec) actual values. With src set, returns per-plane SSE
+    delta over the visible vis=(w, h) crop."""
+    lib = _load()
+    P, Hp, Wp = inp.shape
+    assert inp.dtype == np.int32 and inp.flags["C_CONTIGUOUS"]
+    st = np.asarray(strengths, dtype=np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    sse = np.zeros(P, np.float64) if src is not None else None
+    rc = lib.of_cdef_apply(
+        inp.ctypes.data_as(i32),
+        out.ctypes.data_as(i32) if out is not None else None,
+        P, Hp, Wp, mi_rows, mi_cols, bit_depth, damping,
+        st.ctypes.data_as(i32),
+        skip.ctypes.data_as(u8),
+        dirs.ctypes.data_as(u8),
+        vars_.ctypes.data_as(i32),
+        src.ctypes.data_as(i32) if src is not None else None,
+        int(vis[0]), int(vis[1]), int(n_threads),
+        sse.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if sse is not None else None,
+    )
+    if rc != 0:
+        raise RuntimeError("of_cdef_apply failed")
+    return sse
+
+
+def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
+                mi_cols: int, bit_depth: int, damping: int,
+                pri_cands: np.ndarray, skip: np.ndarray, dirs: np.ndarray,
+                vars_: np.ndarray, vis: tuple, n_threads: int = 1,
+                sub: int = 1):
+    """SSE deltas (filter vs passthrough, visible crop) for every
+    (pri_cands[i], sec[j]) combo with sec in {0, 1, 2, 4}, one threaded
+    pass. `sub` subsamples the scored 8x8 blocks (2: checkerboard, 4:
+    quarter grid) for fast presets. Returns (acc_y, acc_uv) as (n_pri, 4)
+    float64; acc_uv is None for monochrome."""
+    lib = _load()
+    P, Hp, Wp = inp.shape
+    assert inp.dtype == np.int32 and inp.flags["C_CONTIGUOUS"]
+    pc = np.ascontiguousarray(pri_cands, dtype=np.int32)
+    acc_y = np.zeros((len(pc), 4), np.float64)
+    acc_uv = np.zeros((len(pc), 4), np.float64) if P == 3 else None
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    rc = lib.of_cdef_search(
+        inp.ctypes.data_as(i32), src.ctypes.data_as(i32),
+        P, Hp, Wp, mi_rows, mi_cols, bit_depth, damping,
+        pc.ctypes.data_as(i32), len(pc),
+        skip.ctypes.data_as(u8), dirs.ctypes.data_as(u8),
+        vars_.ctypes.data_as(i32),
+        int(vis[0]), int(vis[1]), int(n_threads), int(sub),
+        acc_y.ctypes.data_as(f64),
+        acc_uv.ctypes.data_as(f64) if acc_uv is not None else None,
+    )
+    if rc != 0:
+        raise RuntimeError("of_cdef_search failed")
+    return acc_y, acc_uv
 
 
 def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,

@@ -15,6 +15,7 @@
 // Reference parity: rav1e's od_ec + tile encode loop, exercised via
 // /root/reference/ravif/src/av1encoder.rs:748-771.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -2138,6 +2139,343 @@ static void make_ctx(LineCtx& c, int lvl, int bit_depth) {
 
 }  // namespace deblock
 
+// ---------------------------------------------------------------------------
+// CDEF (spec 7.15 mirror): direction search + primary/secondary filter on
+// the deblocked frame. The encoder simulates it to chain the decoder's
+// output pipeline (deblock -> CDEF -> LR) and to search the signaled
+// strengths by real output error. 4:4:4 / monochrome (no subsampled dir
+// conversion needed).
+// ---------------------------------------------------------------------------
+
+namespace cdefns {
+
+// {dy, dx} at distances 1 and 2 for the 8 directions (spec Cdef_Directions)
+static const int DIRS[8][2][2] = {
+    {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
+    {{0, 1}, {1, 2}},   {{1, 1}, {2, 2}},  {{1, 0}, {2, 1}},
+    {{1, 0}, {2, 0}},   {{1, 0}, {2, -1}},
+};
+static const int PRI_TAPS[2][2] = {{4, 2}, {3, 3}};
+static const int SEC_TAPS[2] = {2, 1};
+// 840 / count (spec Div_Table)
+static const int DIV_TABLE[9] = {0, 840, 420, 280, 210, 168, 140, 120, 105};
+
+static inline int floor_log2(int v) {
+  int r = 0;
+  while (v > 1) { v >>= 1; r++; }
+  return r;
+}
+
+static inline int constrain(int diff, int threshold, int damping) {
+  if (!threshold) return 0;
+  const int adj = damping - floor_log2(threshold) > 0
+                      ? damping - floor_log2(threshold)
+                      : 0;
+  const int a = diff < 0 ? -diff : diff;
+  int v = threshold - (a >> adj);
+  if (v < 0) v = 0;
+  if (a < v) v = a;
+  return diff < 0 ? -v : v;
+}
+
+// direction + variance of one 8x8 from the (deblocked) luma (spec 7.15.2)
+static void direction(const int32_t* img, int stride, int bd, int* out_dir,
+                      int32_t* out_var) {
+  int32_t partial[8][15];
+  std::memset(partial, 0, sizeof(partial));
+  const int shift = bd - 8;
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      const int x = (img[i * stride + j] >> shift) - 128;
+      partial[0][i + j] += x;
+      partial[1][i + (j >> 1)] += x;
+      partial[2][i] += x;
+      partial[3][3 + i - (j >> 1)] += x;
+      partial[4][7 + i - j] += x;
+      partial[5][3 - (i >> 1) + j] += x;
+      partial[6][j] += x;
+      partial[7][(i >> 1) + j] += x;
+    }
+  int64_t cost[8] = {0};
+  for (int i = 0; i < 8; i++) {
+    cost[2] += (int64_t)partial[2][i] * partial[2][i];
+    cost[6] += (int64_t)partial[6][i] * partial[6][i];
+  }
+  cost[2] *= 105;
+  cost[6] *= 105;
+  for (int d = 0; d < 8; d += 4) {
+    for (int i = 0; i < 7; i++)
+      cost[d] += DIV_TABLE[i + 1] * ((int64_t)partial[d][i] * partial[d][i] +
+                                     (int64_t)partial[d][14 - i] *
+                                         partial[d][14 - i]);
+    cost[d] += 105 * (int64_t)partial[d][7] * partial[d][7];
+  }
+  for (int d = 1; d < 8; d += 2) {
+    if (d == 2 || d == 6) continue;
+    for (int i = 0; i < 11; i++) {
+      int count = 2 * (i + 1);
+      const int rcount = 2 * (11 - i);
+      if (rcount < count) count = rcount;
+      if (count > 8) count = 8;
+      cost[d] += DIV_TABLE[count] * (int64_t)partial[d][i] * partial[d][i];
+    }
+  }
+  int best = 0;
+  for (int d = 1; d < 8; d++)
+    if (cost[d] > cost[best]) best = d;
+  *out_dir = best;
+  *out_var = (int32_t)((cost[best] - cost[(best + 4) & 7]) >> 10);
+}
+
+struct FilterParams {
+  int pri, sec, damping, bd, coeff_shift;
+};
+
+// filter one 8x8 at (y0, x0) of `in` (pre-CDEF), writing to out8 (8x8,
+// row-major) — only the fh x fw valid area is computed. cw/ch: coded frame
+// dims (availability bound).
+static void filter8(const int32_t* in, int stride, int y0, int x0, int fw,
+                    int fh, int cw, int ch, int dir, int32_t var, bool luma,
+                    const FilterParams& fp, int32_t* out8) {
+  int pri = fp.pri << fp.coeff_shift;
+  const int sec = fp.sec << fp.coeff_shift;
+  int damping = fp.damping + fp.coeff_shift;
+  if (fp.pri == 0) dir = 0;
+  if (luma) {
+    if (pri) {
+      const int vs = (var >> 6) ? (floor_log2(var >> 6) < 12
+                                       ? floor_log2(var >> 6)
+                                       : 12)
+                                : 0;
+      pri = var ? (pri * (4 + vs) + 8) >> 4 : 0;
+    }
+  } else {
+    damping -= 1;
+  }
+  const int pt = (pri >> fp.coeff_shift) & 1;  // taps pick: adjusted strength
+  for (int i = 0; i < fh; i++)
+    for (int j = 0; j < fw; j++) {
+      const int y = y0 + i, x = x0 + j;
+      const int32_t px = in[(size_t)y * stride + x];
+      int sum = 0;
+      int32_t mn = px, mx = px;
+      if (pri) {
+        for (int k = 0; k < 2; k++)
+          for (int s = -1; s <= 1; s += 2) {
+            const int yy = y + s * DIRS[dir][k][0];
+            const int xx = x + s * DIRS[dir][k][1];
+            if (yy < 0 || yy >= ch || xx < 0 || xx >= cw) continue;
+            const int32_t p = in[(size_t)yy * stride + xx];
+            sum += PRI_TAPS[pt][k] * constrain(p - px, pri, damping);
+            if (p < mn) mn = p;
+            if (p > mx) mx = p;
+          }
+      }
+      if (sec) {
+        for (int dd = 2; dd <= 6; dd += 4) {  // dir+2, dir+6 (mod 8)
+          const int d2 = (dir + dd) & 7;
+          for (int k = 0; k < 2; k++)
+            for (int s = -1; s <= 1; s += 2) {
+              const int yy = y + s * DIRS[d2][k][0];
+              const int xx = x + s * DIRS[d2][k][1];
+              if (yy < 0 || yy >= ch || xx < 0 || xx >= cw) continue;
+              const int32_t p = in[(size_t)yy * stride + xx];
+              sum += SEC_TAPS[k] * constrain(p - px, sec, damping);
+              if (p < mn) mn = p;
+              if (p > mx) mx = p;
+            }
+        }
+      }
+      int32_t v = px + ((8 + sum - (sum < 0)) >> 4);
+      if (v < mn) v = mn;
+      if (v > mx) v = mx;
+      out8[i * 8 + j] = v;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Batched strength search: one pass over the frame evaluating ALL
+// (primary, secondary) strength combos at once. The filter output is
+// px + ((8 + psum + ssum) >> 4) clamped to the visited-tap min/max, where
+// psum depends only on the primary strength and ssum only on the
+// secondary; both are computed per candidate per pixel, then combined
+// cheaply per combo. The secondary tap POSITIONS depend on whether the
+// signaled primary is zero (dir is forced 0 then), so two ssum variants
+// are kept. ~25x cheaper than re-filtering the frame per candidate.
+// ---------------------------------------------------------------------------
+
+static const int SEC_ACT[4] = {0, 1, 2, 4};
+
+struct SearchPlaneArgs {
+  const int32_t* in;
+  const int32_t* src;
+  int Hp, Wp, mi_rows, mi_cols, bit_depth, damping;
+  const int32_t* pri_cands;
+  int n_pri;
+  const uint8_t* skip;
+  const uint8_t* dirs;
+  const int32_t* vars;
+  int vis_w, vis_h;
+  int sub;  // block subsampling: 1 all, 2 checkerboard, 4 quarter
+};
+
+// accumulate SSE deltas for one plane over block rows [br0, br1) into
+// acc[n_pri * 4] (combo (i, j): pri_cands[i] x SEC_ACT[j])
+static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
+                              int br1, double* acc) {
+  const int sb8c = (a.mi_cols + 1) >> 1;
+  const int cw = a.mi_cols * 4, ch = a.mi_rows * 4;
+  const int cs = a.bit_depth - 8;
+  const int NP = a.n_pri;
+  // per-candidate strength after coeff shift (luma var-adjust is per
+  // block, done below); chroma: fixed
+  std::vector<int> base_pri(NP);
+  for (int i = 0; i < NP; i++) base_pri[i] = a.pri_cands[i] << cs;
+  std::vector<int> eff(NP), pt(NP);
+  int damping = a.damping + cs;
+  if (!luma) damping -= 1;
+  const int sec_damp = damping;
+  int psum[16];
+  int ssum_d[4], ssum_z[4];
+  for (int br = br0; br < br1; br++) {
+    const int y0 = br * 8;
+    const int fh = (ch - y0) < 8 ? (ch - y0) : 8;
+    for (int bc = 0; bc < sb8c; bc++) {
+      if (a.sub == 2 && ((br + bc) & 1)) continue;
+      if (a.sub >= 4 && ((br | bc) & 1)) continue;
+      const int r1 = (br * 2 + 2) < a.mi_rows ? br * 2 + 2 : a.mi_rows;
+      const int c1 = (bc * 2 + 2) < a.mi_cols ? bc * 2 + 2 : a.mi_cols;
+      bool all_skip = true;
+      for (int r = br * 2; r < r1 && all_skip; r++)
+        for (int c = bc * 2; c < c1; c++)
+          if (!a.skip[(size_t)r * a.mi_cols + c]) { all_skip = false; break; }
+      if (all_skip) continue;
+      const int x0 = bc * 8;
+      const int fw = (cw - x0) < 8 ? (cw - x0) : 8;
+      // nothing to measure if the block is fully outside the visible crop
+      if (y0 >= a.vis_h || x0 >= a.vis_w) continue;
+      const int dir = a.dirs[br * sb8c + bc];
+      const int32_t var = a.vars[br * sb8c + bc];
+      for (int i = 0; i < NP; i++) {
+        int p = base_pri[i];
+        if (luma && p) {
+          const int v6 = var >> 6;
+          const int vs = v6 ? (floor_log2(v6) < 12 ? floor_log2(v6) : 12) : 0;
+          p = var ? (p * (4 + vs) + 8) >> 4 : 0;
+        }
+        eff[i] = p;
+        pt[i] = (p >> cs) & 1;
+      }
+      const int ih = fh < a.vis_h - y0 ? fh : a.vis_h - y0;
+      const int iw = fw < a.vis_w - x0 ? fw : a.vis_w - x0;
+      for (int ii = 0; ii < ih; ii++)
+        for (int jj = 0; jj < iw; jj++) {
+          const int y = y0 + ii, x = x0 + jj;
+          const int32_t px = a.in[(size_t)y * a.Wp + x];
+          // gather primary taps (available only)
+          int32_t ptap[4];
+          int ptk[4];  // distance index (tap weight row)
+          int np_taps = 0;
+          int32_t pmn = px, pmx = px;
+          for (int k = 0; k < 2; k++)
+            for (int s = -1; s <= 1; s += 2) {
+              const int yy = y + s * DIRS[dir][k][0];
+              const int xx = x + s * DIRS[dir][k][1];
+              if (yy < 0 || yy >= ch || xx < 0 || xx >= cw) continue;
+              const int32_t p = a.in[(size_t)yy * a.Wp + xx];
+              ptap[np_taps] = p - px;
+              ptk[np_taps++] = k;
+              if (p < pmn) pmn = p;
+              if (p > pmx) pmx = p;
+            }
+          // secondary taps, both dir variants (signaled pri 0 -> dir 0)
+          int32_t stap_d[8], stap_z[8];
+          int stk_d[8], stk_z[8];
+          int ns_d = 0, ns_z = 0;
+          int32_t smn_d = px, smx_d = px, smn_z = px, smx_z = px;
+          for (int dd = 2; dd <= 6; dd += 4)
+            for (int k = 0; k < 2; k++)
+              for (int s = -1; s <= 1; s += 2) {
+                int d2 = (dir + dd) & 7;
+                int yy = y + s * DIRS[d2][k][0];
+                int xx = x + s * DIRS[d2][k][1];
+                if (yy >= 0 && yy < ch && xx >= 0 && xx < cw) {
+                  const int32_t p = a.in[(size_t)yy * a.Wp + xx];
+                  stap_d[ns_d] = p - px;
+                  stk_d[ns_d++] = k;
+                  if (p < smn_d) smn_d = p;
+                  if (p > smx_d) smx_d = p;
+                }
+                if (dir != 0) {
+                  d2 = dd & 7;
+                  yy = y + s * DIRS[d2][k][0];
+                  xx = x + s * DIRS[d2][k][1];
+                }
+                if (yy >= 0 && yy < ch && xx >= 0 && xx < cw) {
+                  const int32_t p = a.in[(size_t)yy * a.Wp + xx];
+                  stap_z[ns_z] = p - px;
+                  stk_z[ns_z++] = k;
+                  if (p < smn_z) smn_z = p;
+                  if (p > smx_z) smx_z = p;
+                }
+              }
+          // per-candidate primary sums
+          for (int i = 0; i < NP; i++) {
+            int s = 0;
+            if (eff[i])
+              for (int k = 0; k < np_taps; k++)
+                s += PRI_TAPS[pt[i]][ptk[k]] *
+                     constrain(ptap[k], eff[i], damping);
+            psum[i] = s;
+          }
+          // per-strength secondary sums, both variants
+          ssum_d[0] = ssum_z[0] = 0;
+          for (int j = 1; j < 4; j++) {
+            const int st = SEC_ACT[j] << cs;
+            int sd = 0, sz = 0;
+            for (int k = 0; k < ns_d; k++)
+              sd += SEC_TAPS[stk_d[k]] * constrain(stap_d[k], st, sec_damp);
+            for (int k = 0; k < ns_z; k++)
+              sz += SEC_TAPS[stk_z[k]] * constrain(stap_z[k], st, sec_damp);
+            ssum_d[j] = sd;
+            ssum_z[j] = sz;
+          }
+          const double sref = a.src[(size_t)y * a.Wp + x];
+          const double od = (double)px - sref;
+          const double base_err = od * od;
+          for (int i = 0; i < NP; i++) {
+            const bool sig_pri = a.pri_cands[i] != 0;
+            const int* ss = sig_pri ? ssum_d : ssum_z;
+            const int32_t smn = sig_pri ? smn_d : smn_z;
+            const int32_t smx = sig_pri ? smx_d : smx_z;
+            for (int j = 0; j < 4; j++) {
+              if (!sig_pri && j == 0) continue;  // identity combo: delta 0
+              int sum = 0;
+              int32_t mn = px, mx = px;
+              if (eff[i] && sig_pri) {
+                sum += psum[i];
+                if (pmn < mn) mn = pmn;
+                if (pmx > mx) mx = pmx;
+              }
+              if (j) {
+                sum += ss[j];
+                if (smn < mn) mn = smn;
+                if (smx > mx) mx = smx;
+              }
+              int32_t v = px + ((8 + sum - (sum < 0)) >> 4);
+              if (v < mn) v = mn;
+              if (v > mx) v = mx;
+              const double nd = (double)v - sref;
+              acc[i * 4 + j] += nd * nd - base_err;
+            }
+          }
+        }
+    }
+  }
+}
+
+}  // namespace cdefns
+
 extern "C" {
 
 int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
@@ -2685,6 +3023,202 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
     }
     if (sse_out) sse_out[pl] = acc;
   }
+  return 0;
+}
+
+// CDEF direction + variance per 8x8 block from the deblocked luma plane.
+// dirs/vars: (sb8r, sb8c) with sb8r = ceil(mi_rows/2), sb8c = ceil(mi_cols/2).
+int of_cdef_dirs(const int32_t* luma, int Hp, int Wp, int mi_rows,
+                 int mi_cols, int bit_depth, uint8_t* dirs, int32_t* vars) {
+  (void)Hp;
+  const int sb8r = (mi_rows + 1) >> 1, sb8c = (mi_cols + 1) >> 1;
+  for (int br = 0; br < sb8r; br++)
+    for (int bc = 0; bc < sb8c; bc++) {
+      int d;
+      int32_t v;
+      cdefns::direction(luma + (size_t)br * 8 * Wp + bc * 8, Wp, bit_depth,
+                        &d, &v);
+      dirs[br * sb8c + bc] = (uint8_t)d;
+      vars[br * sb8c + bc] = v;
+    }
+  return 0;
+}
+
+// Batched CDEF strength search: SSE delta (filter vs passthrough, over
+// the visible crop) for every (pri_cands[i], SEC_ACT[j]) combo, in one
+// threaded pass. out_y: n_pri*4 luma deltas; out_uv (nullable, P==3):
+// same for the chroma pair (planes 1+2, shared strengths).
+int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
+                   int Wp, int mi_rows, int mi_cols, int bit_depth,
+                   int damping, const int32_t* pri_cands, int n_pri,
+                   const uint8_t* skip, const uint8_t* dirs,
+                   const int32_t* vars, int vis_w, int vis_h, int n_threads,
+                   int sub, double* out_y, double* out_uv) {
+  if (n_pri < 1 || n_pri > 16) return 1;
+  const int sb8r = (mi_rows + 1) >> 1;
+  const int NC = n_pri * 4;
+  std::memset(out_y, 0, NC * sizeof(double));
+  if (out_uv) std::memset(out_uv, 0, NC * sizeof(double));
+  // work items: (plane, block-row slab)
+  struct Item { int pl, br0, br1; };
+  std::vector<Item> items;
+  const int slab = 8;  // 64 pixel rows per item
+  for (int pl = 0; pl < P; pl++) {
+    if (pl > 0 && !out_uv) break;
+    for (int br = 0; br < sb8r; br += slab)
+      items.push_back({pl, br, br + slab < sb8r ? br + slab : sb8r});
+  }
+  if (n_threads < 1) n_threads = 1;
+  if ((size_t)n_threads > items.size()) n_threads = (int)items.size();
+  std::vector<std::vector<double>> accs(
+      n_threads, std::vector<double>(2 * NC, 0.0));
+  std::atomic<int> next(0);
+  auto worker = [&](int tid) {
+    cdefns::SearchPlaneArgs a;
+    a.Hp = Hp;
+    a.Wp = Wp;
+    a.mi_rows = mi_rows;
+    a.mi_cols = mi_cols;
+    a.bit_depth = bit_depth;
+    a.damping = damping;
+    a.pri_cands = pri_cands;
+    a.n_pri = n_pri;
+    a.skip = skip;
+    a.dirs = dirs;
+    a.vars = vars;
+    a.vis_w = vis_w;
+    a.vis_h = vis_h;
+    a.sub = sub < 1 ? 1 : sub;
+    for (;;) {
+      const int it = next.fetch_add(1);
+      if (it >= (int)items.size()) break;
+      const Item& item = items[it];
+      a.in = in + (size_t)item.pl * Hp * Wp;
+      a.src = src + (size_t)item.pl * Hp * Wp;
+      double* acc = accs[tid].data() + (item.pl == 0 ? 0 : NC);
+      cdefns::search_plane_rows(a, item.pl == 0, item.br0, item.br1, acc);
+    }
+  };
+  if (n_threads <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < n_threads; t++) ths.emplace_back(worker, t);
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < n_threads; t++) {
+    for (int c = 0; c < NC; c++) out_y[c] += accs[t][c];
+    if (out_uv)
+      for (int c = 0; c < NC; c++) out_uv[c] += accs[t][NC + c];
+  }
+  return 0;
+}
+
+// Apply CDEF: read the deblocked frame `in` (P, Hp, Wp), write `out`
+// (nullable: skip writes — strength-search mode). strengths: [y_pri,
+// y_sec, uv_pri, uv_sec] (sec is the actual value, i.e. coded 3 means 4).
+// skip: (mi_rows, mi_cols) per-4x4 skip flags; an 8x8 is filtered iff any
+// covered 4x4 is non-skip. With src != null accumulates the per-plane
+// visible-crop SSE delta into sse_out[P] (filter vs passthrough).
+int of_cdef_apply(const int32_t* in, int32_t* out, int P, int Hp, int Wp,
+                  int mi_rows, int mi_cols, int bit_depth, int damping,
+                  const int32_t* strengths, const uint8_t* skip,
+                  const uint8_t* dirs, const int32_t* vars,
+                  const int32_t* src, int vis_w, int vis_h, int n_threads,
+                  double* sse_out) {
+  using cdefns::FilterParams;
+  const int sb8r = (mi_rows + 1) >> 1, sb8c = (mi_cols + 1) >> 1;
+  const int cw = mi_cols * 4, ch = mi_rows * 4;
+  // (plane, block-row slab) work items; 8x8 blocks write disjoint pixels
+  struct Item { int pl, br0, br1; };
+  std::vector<Item> items;
+  const int slab = 8;
+  for (int pl = 0; pl < P; pl++) {
+    const bool luma = pl == 0;
+    const int pri = luma ? strengths[0] : strengths[2];
+    const int sec = luma ? strengths[1] : strengths[3];
+    if (sse_out) sse_out[pl] = 0.0;
+    if (out && out + (size_t)pl * Hp * Wp != in + (size_t)pl * Hp * Wp)
+      std::memcpy(out + (size_t)pl * Hp * Wp, in + (size_t)pl * Hp * Wp,
+                  (size_t)Hp * Wp * sizeof(int32_t));
+    if (pri == 0 && sec == 0) continue;
+    for (int br = 0; br < sb8r; br += slab)
+      items.push_back({pl, br, br + slab < sb8r ? br + slab : sb8r});
+  }
+  if (n_threads < 1) n_threads = 1;
+  if ((size_t)n_threads > items.size()) n_threads = (int)items.size();
+  std::vector<std::vector<double>> accs(
+      n_threads < 1 ? 1 : n_threads, std::vector<double>(P, 0.0));
+  std::atomic<int> next(0);
+  auto worker = [&](int tid) {
+    int32_t out8[64];
+    for (;;) {
+      const int it = next.fetch_add(1);
+      if (it >= (int)items.size()) break;
+      const Item& item = items[it];
+      const int pl = item.pl;
+      const int32_t* ip = in + (size_t)pl * Hp * Wp;
+      int32_t* op = out ? out + (size_t)pl * Hp * Wp : nullptr;
+      const int32_t* sp = src ? src + (size_t)pl * Hp * Wp : nullptr;
+      const bool luma = pl == 0;
+      FilterParams fp;
+      fp.pri = luma ? strengths[0] : strengths[2];
+      fp.sec = luma ? strengths[1] : strengths[3];
+      fp.damping = damping;
+      fp.bd = bit_depth;
+      fp.coeff_shift = bit_depth - 8;
+      double acc = 0.0;
+      for (int br = item.br0; br < item.br1; br++) {
+        const int y0 = br * 8;
+        const int fh = (ch - y0) < 8 ? (ch - y0) : 8;
+        for (int bc = 0; bc < sb8c; bc++) {
+          // all-skip 8x8 blocks are not filtered
+          const int r1 = (br * 2 + 2) < mi_rows ? br * 2 + 2 : mi_rows;
+          const int c1 = (bc * 2 + 2) < mi_cols ? bc * 2 + 2 : mi_cols;
+          bool all_skip = true;
+          for (int r = br * 2; r < r1 && all_skip; r++)
+            for (int c = bc * 2; c < c1; c++)
+              if (!skip[(size_t)r * mi_cols + c]) {
+                all_skip = false;
+                break;
+              }
+          if (all_skip) continue;
+          const int x0 = bc * 8;
+          const int fw = (cw - x0) < 8 ? (cw - x0) : 8;
+          cdefns::filter8(ip, Wp, y0, x0, fw, fh, cw, ch,
+                          dirs[br * sb8c + bc], vars[br * sb8c + bc], luma,
+                          fp, out8);
+          if (sp) {
+            const int ih = fh < vis_h - y0 ? fh : vis_h - y0;
+            const int iw = fw < vis_w - x0 ? fw : vis_w - x0;
+            for (int i = 0; i < ih; i++)
+              for (int j = 0; j < iw; j++) {
+                const double s = sp[(size_t)(y0 + i) * Wp + x0 + j];
+                const double dn = out8[i * 8 + j] - s;
+                const double od = ip[(size_t)(y0 + i) * Wp + x0 + j] - s;
+                acc += dn * dn - od * od;
+              }
+          }
+          if (op)
+            for (int i = 0; i < fh; i++)
+              for (int j = 0; j < fw; j++)
+                op[(size_t)(y0 + i) * Wp + x0 + j] = out8[i * 8 + j];
+        }
+        if (sse_out) accs[tid][pl] += acc;
+        acc = 0.0;
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < n_threads; t++) ths.emplace_back(worker, t);
+    for (auto& th : ths) th.join();
+  }
+  if (sse_out)
+    for (int t = 0; t < (int)accs.size(); t++)
+      for (int pl = 0; pl < P; pl++) sse_out[pl] += accs[t][pl];
   return 0;
 }
 

@@ -84,12 +84,19 @@ def test_lr_unit_serializer_equality():
 
 @pytest.mark.skipif(not _native_available(), reason="no native library")
 def test_lr_full_encode_backend_equality():
+    import dataclasses
+
     img = _noisy(256)[:, :, 0].astype(np.int32) * 4
     outs = {}
+    # cdef off: the simulated CDEF can absorb the gain LR would get,
+    # and this test needs LR units on the wire for backend equality
+    tweaks = dataclasses.replace(
+        SpeedTweaks.from_preset(4, 147), cdef=False
+    )
     for backend in ("python", "native"):
         cfg = AV1Config(
             width=256, height=256, bit_depth=10, quantizer=147,
-            tweaks=SpeedTweaks.from_preset(4, 147), chroma_sampling="400",
+            tweaks=tweaks, chroma_sampling="400",
             full_range=True, matrix_coefficients=None, threads=1,
             ec_backend=backend,
         )

@@ -35,7 +35,7 @@ def _drift(plane, q, threads=1, tiles=False):
         fe._tile_split = lambda: (1, 1)
     # deblock + CDEF + loop restoration are output-only for still frames;
     # disable all three so decoder pixels equal pre-filter reconstruction
-    fe._cdef_strengths = lambda: ((), ())
+    fe._cdef_apply = lambda: ((), (), 3)
     fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
@@ -98,7 +98,7 @@ def test_recon_exact_chroma_adst():
     fe = FrameEncoder(planes, cfg)
     fe.min_leaf_mi = 4
     fe.max_leaf_mi = 4  # force 16x16 -> chroma ADST zone
-    fe._cdef_strengths = lambda: ((), ())
+    fe._cdef_apply = lambda: ((), (), 3)
     fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
@@ -137,7 +137,7 @@ def test_recon_exact_4x4_partitions():
         ec_backend="python",
     )
     fe = FrameEncoder(plane, cfg)
-    fe._cdef_strengths = lambda: ((), ())
+    fe._cdef_apply = lambda: ((), (), 3)
     fe._lr_solve = lambda: False
     orig = frame_mod.FrameParams.__init__
 
@@ -195,7 +195,7 @@ def test_recon_exact_rect_partitions():
             ec_backend="python",
         )
         fe = FrameEncoder(img, cfg)
-        fe._cdef_strengths = lambda: ((), ())
+        fe._cdef_apply = lambda: ((), (), 3)
         fe._lr_solve = lambda: False
 
         def rdo(partials, origin, *a):
