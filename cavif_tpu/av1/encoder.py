@@ -668,7 +668,7 @@ class FrameEncoder:
         ovh_s = lam * self.OVH_SPLIT
         for s4 in reversed(sizes[:-2]):
             ps4 = s4 * 2  # parent tier (always searched or cascaded)
-            luma_only = s4 == 1  # 4x4: chroma inherits the parent's uv
+            luma_only = s4 <= 2  # 4x4/8x8: chroma inherits the parent's uv
             # below the first cascade tier, only descend where splitting is
             # already winning: the parent's own parent must prefer SPLIT
             # over NONE given the just-searched sibling costs (textured
@@ -730,6 +730,7 @@ class FrameEncoder:
         # (children searched and their sum beats NONE) — the region where a
         # 2-way rectangular cut can out-compete the 4-way split's overhead
         rects = []
+        rect_parent = {}
         for s4 in sizes:
             if s4 < 2:
                 continue
@@ -747,12 +748,23 @@ class FrameEncoder:
                 )
                 if split_c >= modes[(r, c, s4, s4)][4] + lam * self.OVH_BLOCK:
                     continue
-                rects.extend((
+                quad = (
                     (r, c, s4, half), (r + half, c, s4, half),
                     (r, c, half, s4), (r, c + half, half, s4),
-                ))
+                )
+                rects.extend(quad)
+                for k in quad:
+                    rect_parent[k] = (r, c, s4, s4)
         if rects:
-            modes.update(self._batch_search(rects, origin))
+            # luma-only: halves inherit the square parent's uv mode, with
+            # the parent's chroma cost spread across both halves so the
+            # NONE/SPLIT/HORZ/VERT comparison stays chroma-inclusive
+            modes.update(self._batch_search(rects, origin, luma_only=True))
+            for k in rects:
+                p = modes[rect_parent[k]]
+                m = modes[k]
+                modes[k] = (m[0], m[1], p[2], p[3],
+                            m[4] + (p[4] - p[5]) / 2.0, m[5])
 
         part: dict = {}
         best_cost: dict = {}  # (r, c, s4) -> subtree cost
