@@ -34,16 +34,31 @@ class BatchResult:
     error: Optional[BaseException] = None
 
 
+def _encode_one(enc, img: np.ndarray):
+    """Top-level (picklable) per-image encode used by the process pool."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[2] == 4:
+        return enc.encode_rgba(img)
+    return enc.encode_rgb(img)
+
+
 def encode_batch(
     images: Sequence[np.ndarray],
     encoder=None,
     max_workers: Optional[int] = None,
+    processes: Optional[bool] = None,
 ) -> List[BatchResult]:
     """Encode a batch of (H, W, 3|4) uint8 images in parallel.
 
     Mirrors the reference's rayon fan-out semantics: every image is
     attempted, failures are collected per image (BatchResult.error), and
-    results come back in input order."""
+    results come back in input order.
+
+    `processes` picks the fan-out: True forks a process pool (GIL-free —
+    the encode pipeline's pass-2 serialization walk is Python, so thread
+    fan-out alone caps at ~1 core of Python work), False uses threads, and
+    None (default) auto-selects processes when the batch is big enough to
+    amortize the fork and the platform supports it."""
     from .. import Encoder
 
     enc = encoder if encoder is not None else Encoder.new()
@@ -54,20 +69,49 @@ def encode_batch(
         enc = enc.with_num_threads(1)
 
     def job(i: int) -> BatchResult:
-        img = np.asarray(images[i])
         try:
-            if img.ndim == 3 and img.shape[2] == 4:
-                out = enc.encode_rgba(img)
-            else:
-                out = enc.encode_rgb(img)
-            return BatchResult(index=i, encoded=out)
+            return BatchResult(index=i, encoded=_encode_one(enc, images[i]))
         except BaseException as e:  # per-image isolation
             return BatchResult(index=i, error=e)
 
     if len(images) <= 1:
         return [job(i) for i in range(len(images))]
+    if processes is None:
+        processes = len(images) >= 3 and _fork_ok()
+    if processes and _fork_ok():
+        return _encode_batch_procs(enc, images, min(workers, len(images)))
     with ThreadPoolExecutor(max_workers=min(workers, len(images))) as ex:
         return list(ex.map(job, range(len(images))))
+
+
+def _fork_ok() -> bool:
+    import multiprocessing
+
+    return "fork" in multiprocessing.get_all_start_methods()
+
+
+def _encode_batch_procs(enc, images, workers: int) -> List[BatchResult]:
+    """Fork-based fan-out: one image per task, results reassembled by
+    index. Forked children inherit the loaded native library and cached
+    tables for free; per-task pickling moves only the input image (~MBs)
+    and the output bytes."""
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = multiprocessing.get_context("fork")
+    out: List[Optional[BatchResult]] = [None] * len(images)
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
+        futs = {
+            ex.submit(_encode_one, enc, np.asarray(images[i])): i
+            for i in range(len(images))
+        }
+        for f in futs:
+            i = futs[f]
+            try:
+                out[i] = BatchResult(index=i, encoded=f.result())
+            except BaseException as e:  # per-image isolation
+                out[i] = BatchResult(index=i, error=e)
+    return out
 
 
 def plane_mode_search_batch(
