@@ -664,6 +664,10 @@ class FrameEncoder:
         floor = self.BOTTOM_KAPPA * lam * (
             self.OVH_SPLIT + 3.0 * self.OVH_BLOCK
         )
+        # encode_bottomup (preset, SURVEY.md 2.2: s<=2): full bottom-up
+        # RDO — every tier is searched under every parent, no descent
+        # pruning (the reference's exhaustive bottom-up encode)
+        exhaustive = self.cfg.tweaks.encode_bottomup
         ovh_b = lam * self.OVH_BLOCK
         ovh_s = lam * self.OVH_SPLIT
         for s4 in reversed(sizes[:-2]):
@@ -673,7 +677,7 @@ class FrameEncoder:
             # already winning: the parent's own parent must prefer SPLIT
             # over NONE given the just-searched sibling costs (textured
             # content, where small blocks can't beat the noise, stops here)
-            deep = ps4 < sizes[-2]
+            deep = ps4 < sizes[-2] and not exhaustive
             gate: set = set()
             if deep:
                 gs4 = ps4 * 2
@@ -695,7 +699,7 @@ class FrameEncoder:
             parents = []
             for (r, c) in full_blocks(ps4):
                 p = modes.get((r, c, ps4, ps4))
-                if p is None or p[4] <= floor:
+                if p is None or (not exhaustive and p[4] <= floor):
                     continue
                 if deep and (r - r % (ps4 * 2), c - c % (ps4 * 2)) not in gate:
                     continue
@@ -960,7 +964,11 @@ class FrameEncoder:
                         transforms.MODE_V_ADST[mode]
                         or transforms.MODE_H_ADST[mode]
                     )
-                    if pl == 0 and mode_adst:
+                    # rdo_tx_decision (preset, SURVEY.md 2.2: s<=4 and not
+                    # high_quality): RD-pick DCT vs the mode-derived ADST;
+                    # when off, use the mode-derived type directly
+                    if (pl == 0 and mode_adst
+                            and self.cfg.tweaks.rdo_tx_decision):
                         lv_d, rec_d, c_d = self._compute_txb(*args, try_adst=0)
                         lv_a, rec_a, c_a = self._compute_txb(*args, try_adst=1)
                         if c_d <= c_a + self._lambda() * 2.0:

@@ -32,6 +32,109 @@ DIAG_MODES = (3, 4, 5, 6, 7, 8)  # D45,D135,D113,D157,D203,D67 at delta 0
 CAND_MODES = NONDIRECTIONAL + DIAG_MODES
 
 
+def _neighbors(planes, n: int, bit_depth: int):
+    """Per-block neighbor tensors with availability fallbacks resolved
+    (jnp, jit-traceable). planes: (N, H, W) int32.
+
+    Returns a dict of per-block tensors shaped (N, nby, nbx, ...):
+      above, left   — raw neighbor row/col (zeros where unavailable)
+      above_s/left_s/al_s — fallback-resolved values (spec defaults)
+      dc            — the DC predictor value per block
+      above_ext/left_ext — (..., 2n) resolved extended neighbors
+      al            — resolved above-left
+    Shared by the XLA and the Pallas search backends."""
+    import jax.numpy as jnp
+
+    N, H, W = planes.shape
+    nby, nbx = H // n, W // n
+    base = 1 << (bit_depth - 1)
+    rows = planes[:, n - 1 :: n, :].reshape(N, nby, nbx, n)
+    above = jnp.concatenate(
+        [jnp.zeros_like(rows[:, :1]), rows[:, :-1]], axis=1
+    )
+    cols = planes[:, :, n - 1 :: n]  # (N, H, nbx)
+    colsb = cols.reshape(N, nby, n, nbx).transpose(0, 1, 3, 2)
+    left = jnp.concatenate(
+        [jnp.zeros_like(colsb[:, :, :1]), colsb[:, :, :-1]], axis=2
+    )
+    corn = rows[..., n - 1]  # (N, nby, nbx): bottom-right px of each block
+    corn = jnp.concatenate(
+        [jnp.zeros_like(corn[:, :1]), corn[:, :-1]], axis=1
+    )
+    al = jnp.concatenate(
+        [jnp.zeros_like(corn[:, :, :1]), corn[:, :, :-1]], axis=2
+    )
+    by = jnp.arange(nby)[None, :, None]
+    bx = jnp.arange(nbx)[None, None, :]
+    have_a = jnp.broadcast_to(by > 0, (N, nby, nbx))
+    have_l = jnp.broadcast_to(bx > 0, (N, nby, nbx))
+
+    ha = have_a[..., None]
+    hl = have_l[..., None]
+    a0 = above[..., 0:1]
+    l0 = left[..., 0:1]
+    above_s = jnp.where(ha, above, jnp.where(hl, l0, base - 1))
+    left_s = jnp.where(hl, left, jnp.where(ha, a0, base + 1))
+    al_s = jnp.where(
+        have_a & have_l,
+        al,
+        jnp.where(have_a, above[..., 0], jnp.where(have_l, left[..., 0], base)),
+    )
+    sum_a = above.sum(-1)
+    sum_l = left.sum(-1)
+    log2n = n.bit_length() - 1
+    avg_both = (sum_a + sum_l + n) // (2 * n)
+    avg_a = (sum_a + (n >> 1)) >> log2n
+    avg_l = (sum_l + (n >> 1)) >> log2n
+    dc = jnp.where(
+        have_a & have_l,
+        avg_both,
+        jnp.where(have_a, avg_a, jnp.where(have_l, avg_l, base)),
+    )
+
+    # extended neighbors for the diagonal modes (host-search
+    # approximation: no above-right/below-left, replicate the edge)
+    rows2 = jnp.pad(
+        planes[:, n - 1 :: n, :], ((0, 0), (0, 0), (0, n)), mode="edge"
+    )
+    ae = jnp.stack(
+        [rows2[:, :, j * n : j * n + 2 * n] for j in range(nbx)], axis=2
+    )  # (N, nby, nbx, 2n)
+    above_ext = jnp.concatenate(
+        [jnp.zeros_like(ae[:, :1]), ae[:, :-1]], axis=1
+    )
+    cols2 = jnp.pad(
+        planes[:, :, n - 1 :: n], ((0, 0), (0, n), (0, 0)), mode="edge"
+    )
+    le = jnp.stack(
+        [cols2[:, i * n : i * n + 2 * n, :] for i in range(nby)], axis=1
+    ).transpose(0, 1, 3, 2)  # (N, nby, nbx, 2n)
+    left_ext = jnp.concatenate(
+        [jnp.zeros_like(le[:, :, :1]), le[:, :, :-1]], axis=2
+    )
+    both_missing = ~have_a & ~have_l
+    only_a = have_a & ~have_l
+    only_l = ~have_a & have_l
+    above_ext = jnp.where(
+        both_missing[..., None], base - 1,
+        jnp.where(only_l[..., None], left_ext[..., 0:1], above_ext),
+    )
+    left_ext = jnp.where(
+        both_missing[..., None], base + 1,
+        jnp.where(only_a[..., None], above_ext[..., 0:1], left_ext),
+    )
+    al_ext = jnp.where(
+        both_missing, base,
+        jnp.where(only_a, above_ext[..., 0],
+                  jnp.where(only_l, left_ext[..., 0], al)),
+    )
+    return dict(
+        above=above, left=left, al=al_ext, have_a=have_a, have_l=have_l,
+        above_s=above_s, left_s=left_s, al_s=al_s, dc=dc,
+        above_ext=above_ext, left_ext=left_ext,
+    )
+
+
 @lru_cache(maxsize=None)
 def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
     import jax
@@ -45,36 +148,12 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
     base = 1 << (bit_depth - 1)
     maxv = (1 << bit_depth) - 1
 
-    def predict7(above, left, al, have_a, have_l):
-        # above/left: (..., n) int32; al/have_*: (...)
-        ha = have_a[..., None]
-        hl = have_l[..., None]
-        a0 = above[..., 0:1]
-        l0 = left[..., 0:1]
-        above_s = jnp.where(ha, above, jnp.where(hl, l0, base - 1))
-        left_s = jnp.where(hl, left, jnp.where(ha, a0, base + 1))
-        al_s = jnp.where(
-            have_a & have_l,
-            al,
-            jnp.where(
-                have_a, above[..., 0], jnp.where(have_l, left[..., 0], base)
-            ),
-        )
-        sum_a = above.sum(-1)
-        sum_l = left.sum(-1)
-        log2n = n.bit_length() - 1
-        avg_both = (sum_a + sum_l + n) // (2 * n)
-        avg_a = (sum_a + (n >> 1)) >> log2n
-        avg_l = (sum_l + (n >> 1)) >> log2n
-        avg = jnp.where(
-            have_a & have_l,
-            avg_both,
-            jnp.where(have_a, avg_a, jnp.where(have_l, avg_l, base)),
-        )
+    def predict7(above_s, left_s, al_s, dc_val):
+        # above_s/left_s: (..., n) resolved; al_s/dc_val: (...)
         a2 = above_s[..., None, :]  # (..., 1, n)
         l2 = left_s[..., :, None]  # (..., n, 1)
-        shape = above.shape[:-1] + (n, n)
-        dc = jnp.broadcast_to(avg[..., None, None], shape)
+        shape = above_s.shape[:-1] + (n, n)
+        dc = jnp.broadcast_to(dc_val[..., None, None], shape)
         v = jnp.broadcast_to(a2, shape)
         h = jnp.broadcast_to(l2, shape)
         wh = sm_w[None, :, None]
@@ -155,68 +234,9 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
         N, H, W = planes.shape
         nby, nbx = H // n, W // n
         blocks = planes.reshape(N, nby, n, nbx, n).transpose(0, 1, 3, 2, 4)
-        # neighbor rows/cols: last row/col of the previous block row/col
-        rows = planes[:, n - 1 :: n, :].reshape(N, nby, nbx, n)
-        above = jnp.concatenate(
-            [jnp.zeros_like(rows[:, :1]), rows[:, :-1]], axis=1
-        )
-        cols = planes[:, :, n - 1 :: n]  # (N, H, nbx)
-        colsb = cols.reshape(N, nby, n, nbx).transpose(0, 1, 3, 2)
-        left = jnp.concatenate(
-            [jnp.zeros_like(colsb[:, :, :1]), colsb[:, :, :-1]], axis=2
-        )
-        corn = rows[..., n - 1]  # (N, nby, nbx): bottom-right px of each block
-        corn = jnp.concatenate(
-            [jnp.zeros_like(corn[:, :1]), corn[:, :-1]], axis=1
-        )
-        al = jnp.concatenate(
-            [jnp.zeros_like(corn[:, :, :1]), corn[:, :, :-1]], axis=2
-        )
-        by = jnp.arange(nby)[None, :, None]
-        bx = jnp.arange(nbx)[None, None, :]
-        have_a = jnp.broadcast_to(by > 0, (N, nby, nbx))
-        have_l = jnp.broadcast_to(bx > 0, (N, nby, nbx))
-
-        # extended neighbors for the diagonal modes (host-search
-        # approximation: no above-right/below-left, replicate the edge)
-        rows2 = jnp.pad(
-            planes[:, n - 1 :: n, :], ((0, 0), (0, 0), (0, n)), mode="edge"
-        )
-        ae = jnp.stack(
-            [rows2[:, :, j * n : j * n + 2 * n] for j in range(nbx)], axis=2
-        )  # (N, nby, nbx, 2n)
-        above_ext = jnp.concatenate(
-            [jnp.zeros_like(ae[:, :1]), ae[:, :-1]], axis=1
-        )
-        cols2 = jnp.pad(
-            planes[:, :, n - 1 :: n], ((0, 0), (0, n), (0, 0)), mode="edge"
-        )
-        le = jnp.stack(
-            [cols2[:, i * n : i * n + 2 * n, :] for i in range(nby)], axis=1
-        ).transpose(0, 1, 3, 2)  # (N, nby, nbx, 2n)
-        left_ext = jnp.concatenate(
-            [jnp.zeros_like(le[:, :, :1]), le[:, :, :-1]], axis=2
-        )
-        base = 1 << (bit_depth - 1)
-        both_missing = ~have_a & ~have_l
-        only_a = have_a & ~have_l
-        only_l = ~have_a & have_l
-        above_ext = jnp.where(
-            both_missing[..., None], base - 1,
-            jnp.where(only_l[..., None], left_ext[..., 0:1], above_ext),
-        )
-        left_ext = jnp.where(
-            both_missing[..., None], base + 1,
-            jnp.where(only_a[..., None], above_ext[..., 0:1], left_ext),
-        )
-        al = jnp.where(
-            both_missing, base,
-            jnp.where(only_a, above_ext[..., 0],
-                      jnp.where(only_l, left_ext[..., 0], al)),
-        )
-
-        preds7 = predict7(above, left, al, have_a, have_l)
-        preds6 = predict_dir(above_ext, left_ext, al)
+        nb = _neighbors(planes, n, bit_depth)
+        preds7 = predict7(nb["above_s"], nb["left_s"], nb["al_s"], nb["dc"])
+        preds6 = predict_dir(nb["above_ext"], nb["left_ext"], nb["al"])
         preds = jnp.concatenate([preds7, preds6], axis=-3)  # (..., 13, n, n)
         res = (blocks[..., None, :, :] - preds).astype(jnp.float32)
         coef = dct @ res @ dct.T
@@ -248,12 +268,29 @@ def plane_mode_search(
     lam: float,
     bit_depth: int,
     n: int = 32,
+    backend: str = "xla",
 ):
     """Search the best intra mode (13 candidates) for every aligned n x n
     block of a batch of planes. planes: (N, H, W) with H, W multiples of n.
-    Returns (N, H/n, W/n) int8 indices into CAND_MODES."""
+    Returns (N, H/n, W/n) int8 indices into CAND_MODES.
+
+    backend: "xla" (jnp whole-plane program), "pallas" (fused VMEM kernel,
+    ops/pallas_search.py; TPU hardware path needs n <= 16), or "auto"
+    (pallas on TPU when n <= 16, else xla)."""
     import jax.numpy as jnp
 
+    if backend == "auto":
+        import jax
+
+        backend = (
+            "pallas" if jax.default_backend() == "tpu" and n <= 16 else "xla"
+        )
+    if backend == "pallas":
+        from .pallas_search import plane_mode_search_pallas
+
+        return plane_mode_search_pallas(
+            planes, dc_q, ac_q, lam, bit_depth, n=n
+        )
     f = _kernel(n, bit_depth)
     out = f(
         jnp.asarray(np.ascontiguousarray(planes, np.int32)),
