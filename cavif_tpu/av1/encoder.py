@@ -202,24 +202,36 @@ class FrameEncoder:
         return tp, ops
 
     def _splice_lr(self, ops: np.ndarray) -> np.ndarray:
-        """Insert OP_LR rows after each OP_SB_START in a cached op stream."""
-        from .opstream import OP_LR, OP_SB_START
+        """Insert LR-unit rows after each OP_SB_START in a cached op
+        stream (OP_LR for pure-wiener frames, generic OP_LR_UNIT when the
+        frame type is sgrproj/switchable)."""
+        from .opstream import OP_LR, OP_LR_UNIT, OP_SB_START
 
+        ft = getattr(self, "_lr_frame_type", 2)
         segs = []
         last = 0
         i = 0
         n = len(ops)
         arity = {0: 0, 1: 4, 2: 5, 3: 10, 4: 12, 5: 8, OP_SB_START: 2,
-                 OP_LR: 8}
+                 OP_LR: 8, OP_LR_UNIT: 12}
         while i < n:
             op = int(ops[i])
             if op == OP_SB_START:
                 r, c = int(ops[i + 1]), int(ops[i + 2])
                 ins = []
                 for pl, ur, uc in self._lr_reads(r, c):
-                    use, taps = self._lr_units[(ur, uc)]
-                    t = taps if use else (0, 0, 0, 0, 0, 0)
-                    ins.extend((OP_LR, pl, int(use), *(int(v) for v in t)))
+                    use, taps, st, xqd = self._lr_units[(ur, uc)]
+                    t = taps if use == 1 else (0, 0, 0, 0, 0, 0)
+                    if ft == 2 and use != 2:
+                        ins.extend(
+                            (OP_LR, pl, int(use), *(int(v) for v in t))
+                        )
+                    else:
+                        ins.extend(
+                            (OP_LR_UNIT, pl, ft, int(use), int(st),
+                             int(xqd[0]), int(xqd[1]),
+                             *(int(v) for v in t))
+                        )
                 if ins:
                     segs.append(ops[last : i + 3])
                     segs.append(np.asarray(ins, dtype=np.int32))
@@ -1165,7 +1177,8 @@ class FrameEncoder:
         lr_types = ()
         if cfg.tweaks.lrf and self._lr_solve():
             lr_types = tuple(
-                2 if i == 0 else 0 for i in range(self.num_planes)
+                self._lr_frame_type if i == 0 else 0
+                for i in range(self.num_planes)
             )
             tiles = self._encode_tiles(tcl, trl)
         seq = write_sequence_header(
@@ -1312,9 +1325,11 @@ class FrameEncoder:
         ]
 
     def _emit_lr(self, tw, r, c) -> None:
+        ft = getattr(self, "_lr_frame_type", 2)
         for pl, ur, uc in self._lr_reads(r, c):
-            use, taps = self._lr_units[(ur, uc)]
-            tw.write_lr_unit(pl, use, taps)
+            use, taps, sgr_set, xqd = self._lr_units[(ur, uc)]
+            tw.write_lr_unit(pl, use, taps, frame_type=ft, sgr_set=sgr_set,
+                             xqd=xqd)
 
     def _lr_recon(self):
         """Luma frame the decoder feeds into loop restoration: the
@@ -1328,29 +1343,69 @@ class FrameEncoder:
         return self.planes[0].recon[:h, :w]
 
     def _lr_solve(self) -> bool:
-        """Per-unit separable Wiener taps from (source, recon) least
-        squares; returns True (and sets _lr_units) when any unit gains."""
+        """Per-unit loop-restoration solve: separable Wiener least squares
+        always; self-guided (SGRPROJ) search at the slow presets
+        (sgr_complexity_full tier — the numpy SGR search is too heavy for
+        the fast tiers; the reference searches SGR with reduced complexity
+        there, a documented deviation). Sets _lr_units / _lr_frame_type
+        and returns True when any unit gains."""
+        from .sgr import search_unit
+
         h, w = self.cfg.height, self.cfg.width
-        src = self.planes[0].src[:h, :w].astype(np.float64)
-        rec = self._lr_recon().astype(np.float64)
+        src_i = self.planes[0].src[:h, :w]
+        rec_full = self._lr_recon()
+        src = src_i.astype(np.float64)
+        rec = rec_full.astype(np.float64)
+        rec_i = np.ascontiguousarray(rec_full, dtype=np.int32)
+        try_sgr = self.cfg.tweaks.sgr_complexity_full
         u = self.LR_UNIT
         rows, cols = self._lr_grid()
         units = {}
-        any_use = False
+        kinds = set()
         for ur in range(rows):
             y0 = ur * u
             y1 = h if ur == rows - 1 else (ur + 1) * u
             for uc in range(cols):
                 x0 = uc * u
                 x1 = w if uc == cols - 1 else (uc + 1) * u
-                use, taps = _wiener_unit(
-                    src[y0:y1, x0:x1], rec[y0:y1, x0:x1]
+                base = float(
+                    ((src[y0:y1, x0:x1] - rec[y0:y1, x0:x1]) ** 2).sum()
                 )
-                units[(ur, uc)] = (use, taps)
-                any_use = any_use or use
-        if any_use:
-            self._lr_units = units
-        return any_use
+                # unit signaling cost in SSE units: ~40 rate-proxy units
+                # for wiener taps / ~30 for sgr params, doubled to absorb
+                # the float-vs-integer filter model error
+                lam = self._lambda()
+                use_w, taps, sse_w = _wiener_unit(
+                    src[y0:y1, x0:x1], rec[y0:y1, x0:x1],
+                    margin=2.0 * lam * 40.0,
+                )
+                best = (1, sse_w) if use_w else (0, base)
+                sgr = None
+                if try_sgr:
+                    sgr = search_unit(
+                        src_i, rec_i, y0, y1, x0, x1, self.bit_depth, True
+                    )
+                    # exact integer SSE here: only the signaling margin
+                    if (sgr[2] < base - 2.0 * lam * 30.0
+                            and sgr[2] < best[1]):
+                        best = (2, sgr[2])
+                if best[0] == 2:
+                    units[(ur, uc)] = (2, (0,) * 6, sgr[0], sgr[1])
+                else:
+                    units[(ur, uc)] = (best[0], taps, 0, (0, 0))
+                kinds.add(best[0])
+        kinds.discard(0)
+        if not kinds:
+            return False
+        # cheapest legal frame type covering the chosen unit kinds
+        if kinds == {1}:
+            self._lr_frame_type = 2  # RESTORE_WIENER
+        elif kinds == {2}:
+            self._lr_frame_type = 3  # RESTORE_SGRPROJ
+        else:
+            self._lr_frame_type = 1  # RESTORE_SWITCHABLE
+        self._lr_units = units
+        return True
 
     def _cdef_strengths(self):
         """CDEF strength heuristic (preset-gated). Secondary strength is
@@ -1550,18 +1605,21 @@ def _wiener_solve_1d(src, rec, axis):
     return taps, out
 
 
-def _wiener_unit(src, rec):
+def _wiener_unit(src, rec, margin=64.0):
     """One restoration unit: vertical+horizontal tap solve; returns
-    (use, taps6) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h)."""
+    (use, taps6, sse) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h).
+    `margin` is the SSE-equivalent signaling cost of the unit: the filter
+    turns on only when the predicted gain beats it (the prediction is a
+    float model of the integer filter, so the margin also absorbs model
+    error)."""
     base_sse = float(((src - rec) ** 2).sum())
     taps_h, mid = _wiener_solve_1d(src, rec, axis=1)
     taps_v, out = _wiener_solve_1d(src, mid, axis=0)
     sse = float(((src - out) ** 2).sum())
-    # a unit costs ~30-60 bits; require a solid gain before switching on
-    use = int(sse < base_sse * 0.995 - 64.0)
+    use = int(sse < base_sse - margin)
     if not use or (taps_v == (0, 0, 0) and taps_h == (0, 0, 0)):
-        return 0, (0, 0, 0, 0, 0, 0)
-    return 1, (*taps_v, *taps_h)
+        return 0, (0, 0, 0, 0, 0, 0), base_sse
+    return 1, (*taps_v, *taps_h), sse
 
 
 def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:

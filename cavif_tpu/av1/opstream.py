@@ -34,6 +34,8 @@ OP_COEFFS = 4
 OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, ym, yd, uvm, uvd), abs mi
 OP_SB_START = 6  # superblock boundary (r, c abs mi): resets decoded-flag mask
 OP_LR = 7  # loop-restoration unit: (plane, use, t0v, t1v, t2v, t0h, t1h, t2h)
+OP_LR_UNIT = 8  # generic LR unit: (plane, frame_type, use_type, set,
+#                 xqd0, xqd1, t0v..t2v, t0h..t2h) — wiener/sgr/switchable
 
 
 class OpTileWriter:
@@ -78,9 +80,18 @@ class OpTileWriter:
     def write_sb_start(self, r: int, c: int) -> None:
         self.ops.extend((OP_SB_START, r, c))
 
-    def write_lr_unit(self, plane: int, use: int, taps) -> None:
-        t = taps if use else (0, 0, 0, 0, 0, 0)
-        self.ops.extend((OP_LR, plane, int(use), *(int(v) for v in t)))
+    def write_lr_unit(
+        self, plane: int, use: int, taps,
+        frame_type: int = 2, sgr_set: int = 0, xqd=(0, 0),
+    ) -> None:
+        t = taps if use == 1 else (0, 0, 0, 0, 0, 0)
+        if frame_type == 2 and use != 2:
+            self.ops.extend((OP_LR, plane, int(use), *(int(v) for v in t)))
+            return
+        self.ops.extend(
+            (OP_LR_UNIT, plane, int(frame_type), int(use), int(sgr_set),
+             int(xqd[0]), int(xqd[1]), *(int(v) for v in t))
+        )
 
     def write_coeffs(
         self, plane: int, r4: int, c4: int, txw: int, txh: int,
@@ -172,6 +183,11 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             _, pl, use, *t = (int(x) for x in ops[i : i + 9])
             tw.write_lr_unit(pl, use, t)
             i += 9
+        elif op == OP_LR_UNIT:
+            _, pl, ft, use, st, x0, x1, *t = (int(x) for x in ops[i : i + 13])
+            tw.write_lr_unit(pl, use, t, frame_type=ft, sgr_set=st,
+                             xqd=(x0, x1))
+            i += 13
         else:
             raise ValueError(f"bad op {op} at {i}")
     return tw.finish()

@@ -131,6 +131,7 @@ class TileWriter:
         self.ref_wiener = [
             [list(self.WIENER_MID) for _ in range(2)] for _ in range(3)
         ]
+        self.ref_sgr = [list(self.SGR_XQD_MID) for _ in range(3)]
         self.qctx = q_ctx(p.base_q)
         # +32 slack: edge blocks may legally overhang the mi grid
         w4 = p.mi_col_end - p.mi_col_start + 32
@@ -166,6 +167,9 @@ class TileWriter:
     WIENER_MAX = (10, 8, 46)
     WIENER_K = (1, 2, 3)
     WIENER_MID = (3, -7, 15)
+    SGR_XQD_MIN = (-96, -32)
+    SGR_XQD_MAX = (31, 95)
+    SGR_XQD_MID = (-32, 31)  # Sgrproj_Xqd_Mid (per-tile ref reset)
 
     def _ns_bool(self, v: int, n: int) -> None:
         """Encode v in [0, n) with the spec's ns_bool (literal bits)."""
@@ -215,18 +219,7 @@ class TileWriter:
         else:
             self._subexp_bool(self._recenter(mx - 1 - r, mx - 1 - x), mx, k)
 
-    def write_lr_unit(self, plane: int, use: int, taps) -> None:
-        """One RESTORE_WIENER unit: use_wiener S() + tap deltas vs the
-        running per-tile reference (reset to Wiener_Taps_Mid per tile).
-        taps: 6 ints (t0v, t1v, t2v, t0h, t1h, t2h); ignored when not
-        `use`."""
-        self.code(
-            1 if use else 0,
-            ("wiener_restore",),
-            tables.wiener_restore_cdf(),
-        )
-        if not use:
-            return
+    def _wiener_taps(self, plane: int, taps) -> None:
         for pass_ in range(2):
             first = 1 if plane else 0
             for j in range(first, 3):
@@ -236,6 +229,56 @@ class TileWriter:
                     self.WIENER_K[j], self.ref_wiener[plane][pass_][j],
                 )
                 self.ref_wiener[plane][pass_][j] = v
+
+    def _sgr_params(self, plane: int, sgr_set: int, xqd) -> None:
+        """read_sgrproj_filter mirror (after the restore decision): 4-bit
+        set + projection deltas vs the running per-tile reference. For a
+        zero-radius pass the decoder derives the reference update itself;
+        the caller must pass those derived values in xqd (sgr.py
+        solve_unit does)."""
+        self.literal(sgr_set, 4)
+        r0 = 0 if 10 <= sgr_set <= 13 else 2
+        r1 = 0 if sgr_set >= 14 else 1
+        for i, r in enumerate((r0, r1)):
+            v = int(xqd[i])
+            if r:
+                self._signed_subexp_ref(
+                    v, self.SGR_XQD_MIN[i], self.SGR_XQD_MAX[i] + 1,
+                    4, self.ref_sgr[plane][i],  # SGRPROJ_PRJ_SUBEXP_K
+                )
+            self.ref_sgr[plane][i] = v
+
+    def write_lr_unit(
+        self, plane: int, use: int, taps,
+        frame_type: int = 2, sgr_set: int = 0, xqd=(0, 0),
+    ) -> None:
+        """One loop-restoration unit (read_lr_unit mirror). frame_type is
+        the plane's FrameRestorationType code (1 switchable / 2 wiener /
+        3 sgrproj); `use` is the unit RestorationType (0 none, 1 wiener,
+        2 sgrproj). Wiener payload in `taps` (t0v..t2v, t0h..t2h), sgr
+        payload in (sgr_set, xqd)."""
+        if frame_type == 2:
+            self.code(
+                1 if use == 1 else 0,
+                ("wiener_restore",),
+                tables.wiener_restore_cdf(),
+            )
+        elif frame_type == 3:
+            self.code(
+                1 if use == 2 else 0,
+                ("sgrproj_restore",),
+                tables.sgrproj_restore_cdf(),
+            )
+        else:
+            self.code(
+                int(use),
+                ("switchable_restore",),
+                tables.switchable_restore_cdf(),
+            )
+        if use == 1:
+            self._wiener_taps(plane, taps)
+        elif use == 2:
+            self._sgr_params(plane, sgr_set, xqd)
 
     def clear_left(self) -> None:
         """Called at the start of every superblock row."""

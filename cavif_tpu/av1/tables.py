@@ -83,6 +83,8 @@ def partition_cdf(bsl_idx, ctx):
 
 
 _WIENER_RESTORE_CDF = None
+_SGRPROJ_RESTORE_CDF = None
+_SWITCHABLE_RESTORE_CDF = None
 
 
 def wiener_restore_cdf():
@@ -93,6 +95,25 @@ def wiener_restore_cdf():
     if _WIENER_RESTORE_CDF is None:
         _WIENER_RESTORE_CDF = [32768 - 11570, 0]
     return _WIENER_RESTORE_CDF
+
+
+def sgrproj_restore_cdf():
+    """use_sgrproj binary CDF; libaom default_sgrproj_restore_cdf
+    AOM_CDF2(16855) (value present in the binary .rodata; validated
+    end-to-end against dav1d in tests/test_sgr.py)."""
+    global _SGRPROJ_RESTORE_CDF
+    if _SGRPROJ_RESTORE_CDF is None:
+        _SGRPROJ_RESTORE_CDF = [32768 - 16855, 0]
+    return _SGRPROJ_RESTORE_CDF
+
+
+def switchable_restore_cdf():
+    """restoration_type 3-symbol CDF; libaom default_switchable_restore_cdf
+    AOM_CDF3(9413, 22581) (validated end-to-end against dav1d)."""
+    global _SWITCHABLE_RESTORE_CDF
+    if _SWITCHABLE_RESTORE_CDF is None:
+        _SWITCHABLE_RESTORE_CDF = [32768 - 9413, 32768 - 22581, 0]
+    return _SWITCHABLE_RESTORE_CDF
 
 
 def kf_y_mode_cdf(above_ctx, left_ctx):

@@ -239,6 +239,8 @@ constexpr int OP_COEFFS = 4;
 constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, ym, yd, uvm, uvd)
 constexpr int OP_SB_START = 6;       // (r, c): superblock boundary
 constexpr int OP_LR = 7;             // (plane, use, t0v..t2v, t0h..t2h)
+constexpr int OP_LR_UNIT = 8;        // (plane, frame_type, use_type, set,
+                                     //  xqd0, xqd1, t0v..t2v, t0h..t2h)
 
 constexpr int DC_PRED = 0, V_PRED = 1, D67 = 8;
 
@@ -289,6 +291,8 @@ struct TileCoder {
   CdfRow cdf_uv[2][13];
   CdfRow cdf_skip[3];
   CdfRow cdf_wiener;
+  CdfRow cdf_sgrproj;
+  CdfRow cdf_switchable;
   CdfRow cdf_angle[8];
   CdfRow cdf_txb_skip[5][13];
   CdfRow cdf_eob_pt[7][2];        // [log2(area)/... idx][ptype], ctx = 0
@@ -333,6 +337,12 @@ struct TileCoder {
       // AOM_CDF2(11570)) in the same inverted layout as the npz rows
       static const uint16_t wrow[3] = {32768 - 11570, 0, 0};
       load_row(cdf_wiener, wrow, 2);
+      // default_sgrproj_restore_cdf AOM_CDF2(16855) and
+      // default_switchable_restore_cdf AOM_CDF3(9413, 22581)
+      static const uint16_t srow[3] = {32768 - 16855, 0, 0};
+      load_row(cdf_sgrproj, srow, 2);
+      static const uint16_t swrow[4] = {32768 - 9413, 32768 - 22581, 0, 0};
+      load_row(cdf_switchable, swrow, 3);
     }
     lr_init();
     for (int i = 0; i < 8; i++) load_row(cdf_angle[i], &T.angle[i * 8], 7);
@@ -394,12 +404,17 @@ struct TileCoder {
   static constexpr int WIENER_MAX[3] = {10, 8, 46};
   static constexpr int WIENER_K[3] = {1, 2, 3};
   int ref_wiener[3][2][3];
+  int ref_sgr[3][2];
 
   void lr_init() {
     static const int mid[3] = {3, -7, 15};
     for (int pl = 0; pl < 3; pl++)
       for (int ps = 0; ps < 2; ps++)
         for (int j = 0; j < 3; j++) ref_wiener[pl][ps][j] = mid[j];
+    for (int pl = 0; pl < 3; pl++) {  // Sgrproj_Xqd_Mid
+      ref_sgr[pl][0] = -32;
+      ref_sgr[pl][1] = 31;
+    }
   }
 
   void ns_bool(int v, int n) {
@@ -447,9 +462,7 @@ struct TileCoder {
     else subexp_bool(recenter(mx - 1 - r, mx - 1 - x), mx, k);
   }
 
-  void write_lr_unit(int plane, int use, const int32_t* taps) {
-    code(cdf_wiener, use ? 1 : 0, 2);
-    if (!use) return;
+  void wiener_taps(int plane, const int32_t* taps) {
     for (int ps = 0; ps < 2; ps++) {
       for (int j = plane ? 1 : 0; j < 3; j++) {
         int v = taps[ps * 3 + j];
@@ -458,6 +471,46 @@ struct TileCoder {
         ref_wiener[plane][ps][j] = v;
       }
     }
+  }
+
+  void write_lr_unit(int plane, int use, const int32_t* taps) {
+    code(cdf_wiener, use ? 1 : 0, 2);
+    if (!use) return;
+    wiener_taps(plane, taps);
+  }
+
+  // read_sgrproj_filter mirror (after the restore decision). For a
+  // zero-radius pass the decoder derives the new reference itself; the
+  // caller passes those derived values in xqd0/xqd1.
+  void sgr_params(int plane, int set, int xqd0, int xqd1) {
+    static constexpr int XQD_MIN[2] = {-96, -32};
+    static constexpr int XQD_MAX[2] = {31, 95};
+    enc.encode_literal((uint32_t)set, 4);
+    const int r0 = (set >= 10 && set <= 13) ? 0 : 2;
+    const int r1 = (set >= 14) ? 0 : 1;
+    const int xqd[2] = {xqd0, xqd1};
+    const int rr[2] = {r0, r1};
+    for (int i = 0; i < 2; i++) {
+      if (rr[i])
+        signed_subexp_ref(xqd[i], XQD_MIN[i], XQD_MAX[i] + 1, 4,
+                          ref_sgr[plane][i]);
+      ref_sgr[plane][i] = xqd[i];
+    }
+  }
+
+  // Generic unit: frame_type 1 switchable / 2 wiener / 3 sgrproj;
+  // use_type 0 none / 1 wiener / 2 sgrproj (spec read_lr_unit).
+  void write_lr_generic(int plane, int frame_type, int use_type, int set,
+                        int xqd0, int xqd1, const int32_t* taps) {
+    if (frame_type == 2) {
+      code(cdf_wiener, use_type == 1 ? 1 : 0, 2);
+    } else if (frame_type == 3) {
+      code(cdf_sgrproj, use_type == 2 ? 1 : 0, 2);
+    } else {
+      code(cdf_switchable, use_type, 3);
+    }
+    if (use_type == 1) wiener_taps(plane, taps);
+    else if (use_type == 2) sgr_params(plane, set, xqd0, xqd1);
   }
 
   void write_partition(int r, int c, int bsl, int part) {
@@ -2602,6 +2655,12 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
         bp.rec_row(&ops[i], 9);
         i += 9;
         break;
+      case OP_LR_UNIT:
+        tc.write_lr_generic(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
+                            ops[i + 5], ops[i + 6], &ops[i + 7]);
+        bp.rec_row(&ops[i], 13);
+        i += 13;
+        break;
       default:
         return -2;
     }
@@ -2680,6 +2739,11 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
       case OP_LR:
         tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
         i += 9;
+        break;
+      case OP_LR_UNIT:
+        tc.write_lr_generic(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
+                            ops[i + 5], ops[i + 6], &ops[i + 7]);
+        i += 13;
         break;
       default:
         return -1;
@@ -2888,6 +2952,7 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
       case OP_SPLIT_BIN: i += 6; break;
       case OP_SB_START: i += 3; break;
       case OP_LR: i += 9; break;
+      case OP_LR_UNIT: i += 13; break;
       case OP_COEFFS: i += 13; break;
       case OP_BLOCK: {
         const int r = ops[i + 1] + r0, c = ops[i + 2] + c0;
