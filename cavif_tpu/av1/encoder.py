@@ -207,7 +207,7 @@ class FrameEncoder:
         frame type is sgrproj/switchable)."""
         from .opstream import OP_LR, OP_LR_UNIT, OP_SB_START
 
-        ft = getattr(self, "_lr_frame_type", 2)
+        fts = getattr(self, "_lr_types", (2, 2, 2))
         segs = []
         last = 0
         i = 0
@@ -220,7 +220,8 @@ class FrameEncoder:
                 r, c = int(ops[i + 1]), int(ops[i + 2])
                 ins = []
                 for pl, ur, uc in self._lr_reads(r, c):
-                    use, taps, st, xqd = self._lr_units[(ur, uc)]
+                    use, taps, st, xqd = self._lr_units[(pl, ur, uc)]
+                    ft = fts[pl]
                     t = taps if use == 1 else (0, 0, 0, 0, 0, 0)
                     if ft == 2 and use != 2:
                         ins.extend(
@@ -1176,10 +1177,7 @@ class FrameEncoder:
         # serialization pass with the cached partition/mode decisions.
         lr_types = ()
         if cfg.tweaks.lrf and self._lr_solve():
-            lr_types = tuple(
-                self._lr_frame_type if i == 0 else 0
-                for i in range(self.num_planes)
-            )
+            lr_types = tuple(self._lr_types[: self.num_planes])
             tiles = self._encode_tiles(tcl, trl)
         seq = write_sequence_header(
             width=cfg.width,
@@ -1312,35 +1310,39 @@ class FrameEncoder:
         units = getattr(self, "_lr_units", None)
         if not units:
             return ()
+        fts = getattr(self, "_lr_types", (2, 2, 2))
         u = self.LR_UNIT
         rows, cols = self._lr_grid()
         urs = (r * 4 + u - 1) // u
         ure = min(rows, ((r + 16) * 4 + u - 1) // u)
         ucs = (c * 4 + u - 1) // u
         uce = min(cols, ((c + 16) * 4 + u - 1) // u)
+        # spec decode_lr: plane-major within the superblock; 4:4:4 chroma
+        # shares the luma unit grid (lr_uv_shift = 0)
         return [
-            (0, ur, uc)
+            (pl, ur, uc)
+            for pl in range(self.num_planes)
+            if fts[pl]
             for ur in range(urs, ure)
             for uc in range(ucs, uce)
         ]
 
     def _emit_lr(self, tw, r, c) -> None:
-        ft = getattr(self, "_lr_frame_type", 2)
+        fts = getattr(self, "_lr_types", (2, 2, 2))
         for pl, ur, uc in self._lr_reads(r, c):
-            use, taps, sgr_set, xqd = self._lr_units[(ur, uc)]
-            tw.write_lr_unit(pl, use, taps, frame_type=ft, sgr_set=sgr_set,
-                             xqd=xqd)
+            use, taps, sgr_set, xqd = self._lr_units[(pl, ur, uc)]
+            tw.write_lr_unit(pl, use, taps, frame_type=fts[pl],
+                             sgr_set=sgr_set, xqd=xqd)
 
-    def _lr_recon(self):
-        """Luma frame the decoder feeds into loop restoration: the
-        deblocked reconstruction when the deblock simulation ran, else the
-        raw recon (native capture or python pass-2)."""
-        h, w = self.cfg.height, self.cfg.width
+    def _lr_recon_stack(self):
+        """Plane stack the decoder feeds into loop restoration: the
+        deblocked+CDEF reconstruction when the filter simulations ran,
+        else the raw recon (native capture or python pass-2)."""
         if self._filtered_stack is not None:
-            return self._filtered_stack[0, :h, :w]
+            return self._filtered_stack
         if self._recon_stack is not None:
-            return self._recon_stack[0, :h, :w]
-        return self.planes[0].recon[:h, :w]
+            return self._recon_stack
+        return [p.recon for p in self.planes]
 
     def _lr_solve(self) -> bool:
         """Per-unit loop-restoration solve: separable Wiener least squares
@@ -1352,58 +1354,65 @@ class FrameEncoder:
         from .sgr import search_unit
 
         h, w = self.cfg.height, self.cfg.width
-        src_i = self.planes[0].src[:h, :w]
-        rec_full = self._lr_recon()
-        src = src_i.astype(np.float64)
-        rec = rec_full.astype(np.float64)
-        rec_i = np.ascontiguousarray(rec_full, dtype=np.int32)
+        stack = self._lr_recon_stack()
         try_sgr = self.cfg.tweaks.sgr_complexity_full
         u = self.LR_UNIT
         rows, cols = self._lr_grid()
+        lam = self._lambda()
         units = {}
-        kinds = set()
-        for ur in range(rows):
-            y0 = ur * u
-            y1 = h if ur == rows - 1 else (ur + 1) * u
-            for uc in range(cols):
-                x0 = uc * u
-                x1 = w if uc == cols - 1 else (uc + 1) * u
-                base = float(
-                    ((src[y0:y1, x0:x1] - rec[y0:y1, x0:x1]) ** 2).sum()
-                )
-                # unit signaling cost in SSE units: ~40 rate-proxy units
-                # for wiener taps / ~30 for sgr params, doubled to absorb
-                # the float-vs-integer filter model error
-                lam = self._lambda()
-                use_w, taps, sse_w = _wiener_unit(
-                    src[y0:y1, x0:x1], rec[y0:y1, x0:x1],
-                    margin=2.0 * lam * 40.0,
-                )
-                best = (1, sse_w) if use_w else (0, base)
-                sgr = None
-                if try_sgr:
-                    sgr = search_unit(
-                        src_i, rec_i, y0, y1, x0, x1, self.bit_depth, True
+        types = []
+        for pl in range(self.num_planes):
+            src_i = self.planes[pl].src[:h, :w]
+            rec_full = stack[pl][:h, :w]
+            src = src_i.astype(np.float64)
+            rec = rec_full.astype(np.float64)
+            rec_i = np.ascontiguousarray(rec_full, dtype=np.int32)
+            kinds = set()
+            for ur in range(rows):
+                y0 = ur * u
+                y1 = h if ur == rows - 1 else (ur + 1) * u
+                for uc in range(cols):
+                    x0 = uc * u
+                    x1 = w if uc == cols - 1 else (uc + 1) * u
+                    base = float(
+                        ((src[y0:y1, x0:x1] - rec[y0:y1, x0:x1]) ** 2).sum()
                     )
-                    # exact integer SSE here: only the signaling margin
-                    if (sgr[2] < base - 2.0 * lam * 30.0
-                            and sgr[2] < best[1]):
-                        best = (2, sgr[2])
-                if best[0] == 2:
-                    units[(ur, uc)] = (2, (0,) * 6, sgr[0], sgr[1])
-                else:
-                    units[(ur, uc)] = (best[0], taps, 0, (0, 0))
-                kinds.add(best[0])
-        kinds.discard(0)
-        if not kinds:
+                    # unit signaling cost in SSE units: ~40 rate-proxy
+                    # units for wiener taps / ~30 for sgr, doubled to
+                    # absorb the float-vs-integer filter model error
+                    use_w, taps, sse_w = _wiener_unit(
+                        src[y0:y1, x0:x1], rec[y0:y1, x0:x1],
+                        margin=2.0 * lam * 40.0, chroma=pl > 0,
+                    )
+                    best = (1, sse_w) if use_w else (0, base)
+                    sgr = None
+                    if try_sgr and pl == 0:
+                        sgr = search_unit(
+                            src_i, rec_i, y0, y1, x0, x1,
+                            self.bit_depth, True,
+                        )
+                        # exact integer SSE: only the signaling margin
+                        if (sgr[2] < base - 2.0 * lam * 30.0
+                                and sgr[2] < best[1]):
+                            best = (2, sgr[2])
+                    if best[0] == 2:
+                        units[(pl, ur, uc)] = (2, (0,) * 6, sgr[0], sgr[1])
+                    else:
+                        units[(pl, ur, uc)] = (best[0], taps, 0, (0, 0))
+                    kinds.add(best[0])
+            kinds.discard(0)
+            # cheapest legal frame type covering this plane's unit kinds
+            if not kinds:
+                types.append(0)
+            elif kinds == {1}:
+                types.append(2)  # RESTORE_WIENER
+            elif kinds == {2}:
+                types.append(3)  # RESTORE_SGRPROJ
+            else:
+                types.append(1)  # RESTORE_SWITCHABLE
+        if not any(types):
             return False
-        # cheapest legal frame type covering the chosen unit kinds
-        if kinds == {1}:
-            self._lr_frame_type = 2  # RESTORE_WIENER
-        elif kinds == {2}:
-            self._lr_frame_type = 3  # RESTORE_SGRPROJ
-        else:
-            self._lr_frame_type = 1  # RESTORE_SWITCHABLE
+        self._lr_types = tuple(types) + (0,) * (3 - len(types))
         self._lr_units = units
         return True
 
@@ -1571,10 +1580,12 @@ _WIENER_MIN = (-5, -23, -17)
 _WIENER_MAX = (10, 8, 46)
 
 
-def _wiener_solve_1d(src, rec, axis):
-    """LS solve of the 3 free symmetric taps (offsets 3, 2, 1) of the
+def _wiener_solve_1d(src, rec, axis, ntaps=3):
+    """LS solve of the free symmetric taps (offsets 3, 2, 1) of the
     7-tap filter f = [t0,t1,t2, 128-2*(t0+t1+t2), t2,t1,t0]/128 applied
-    along `axis`, minimizing ||src - filter(rec)||^2. Edge-replicated."""
+    along `axis`, minimizing ||src - filter(rec)||^2. Edge-replicated.
+    ntaps=2 forces t0 = 0 (the chroma 5-tap filter: plane > 0 codes only
+    taps 1..2, spec read_wiener_filter)."""
     pad = np.pad(rec, [(3, 3) if a == axis else (0, 0) for a in (0, 1)],
                  mode="edge")
     def sh(k):
@@ -1584,37 +1595,40 @@ def _wiener_solve_1d(src, rec, axis):
         lo = 3 + k
         return pad[:, lo : lo + rec.shape[1]]
     g = [sh(-k) + sh(k) - 2.0 * rec for k in (3, 2, 1)]
+    lo = 3 - ntaps
     d = src - rec
-    A = np.empty((3, 3))
-    b = np.empty(3)
-    for i in range(3):
-        b[i] = 128.0 * float((g[i] * d).sum())
-        for j in range(i, 3):
-            A[i, j] = A[j, i] = float((g[i] * g[j]).sum())
-    A += np.eye(3) * (1e-4 * max(A[0, 0], 1.0))
+    A = np.empty((ntaps, ntaps))
+    b = np.empty(ntaps)
+    for i in range(ntaps):
+        b[i] = 128.0 * float((g[lo + i] * d).sum())
+        for j in range(i, ntaps):
+            A[i, j] = A[j, i] = float((g[lo + i] * g[lo + j]).sum())
+    A += np.eye(ntaps) * (1e-4 * max(A[0, 0], 1.0))
     try:
         t = np.linalg.solve(A, b)
     except np.linalg.LinAlgError:
         return (0, 0, 0), rec
-    taps = tuple(
-        int(np.clip(round(t[i]), _WIENER_MIN[i], _WIENER_MAX[i]))
-        for i in range(3)
+    taps = (0,) * lo + tuple(
+        int(np.clip(round(t[i]), _WIENER_MIN[lo + i], _WIENER_MAX[lo + i]))
+        for i in range(ntaps)
     )
-    t0, t1, t2 = taps
-    out = rec + (t0 * g[0] + t1 * g[1] + t2 * g[2]) * (1.0 / 128.0)
+    out = rec + sum(
+        taps[lo + i] * g[lo + i] for i in range(ntaps)
+    ) * (1.0 / 128.0)
     return taps, out
 
 
-def _wiener_unit(src, rec, margin=64.0):
+def _wiener_unit(src, rec, margin=64.0, chroma=False):
     """One restoration unit: vertical+horizontal tap solve; returns
     (use, taps6, sse) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h).
     `margin` is the SSE-equivalent signaling cost of the unit: the filter
     turns on only when the predicted gain beats it (the prediction is a
     float model of the integer filter, so the margin also absorbs model
-    error)."""
+    error). `chroma` solves the 5-tap variant (t0 = 0)."""
+    ntaps = 2 if chroma else 3
     base_sse = float(((src - rec) ** 2).sum())
-    taps_h, mid = _wiener_solve_1d(src, rec, axis=1)
-    taps_v, out = _wiener_solve_1d(src, mid, axis=0)
+    taps_h, mid = _wiener_solve_1d(src, rec, axis=1, ntaps=ntaps)
+    taps_v, out = _wiener_solve_1d(src, mid, axis=0, ntaps=ntaps)
     sse = float(((src - out) ** 2).sum())
     use = int(sse < base_sse - margin)
     if not use or (taps_v == (0, 0, 0) and taps_h == (0, 0, 0)):

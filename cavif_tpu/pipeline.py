@@ -50,22 +50,28 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth:
         matrix_coefficients=_matrix_coefficients(enc.color_model),
         threads=enc.threads,
     )
-    color = encode_planes(planes, color_cfg)
-    alpha_payload = None
-    if alpha is not None:
-        alpha_cfg = AV1Config(
-            width=w,
-            height=h,
-            bit_depth=depth,
-            quantizer=enc.alpha_quantizer,
-            tweaks=SpeedTweaks.from_preset(enc.speed, enc.alpha_quantizer),
-            chroma_sampling="400",
-            full_range=True,
-            matrix_coefficients=None,
-            threads=enc.threads,
-        )
-        alpha_payload = encode_planes(alpha, alpha_cfg)
-    return color, alpha_payload
+    if alpha is None:
+        return encode_planes(planes, color_cfg), None
+    alpha_cfg = AV1Config(
+        width=w,
+        height=h,
+        bit_depth=depth,
+        quantizer=enc.alpha_quantizer,
+        tweaks=SpeedTweaks.from_preset(enc.speed, enc.alpha_quantizer),
+        chroma_sampling="400",
+        full_range=True,
+        matrix_coefficients=None,
+        threads=enc.threads,
+    )
+    # the reference forks color || alpha onto rayon (av1encoder.rs:454);
+    # here the two independent AV1 encodes overlap on two threads (the
+    # native serializer/search calls release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fc = ex.submit(encode_planes, planes, color_cfg)
+        fa = ex.submit(encode_planes, alpha, alpha_cfg)
+        return fc.result(), fa.result()
 
 
 def _finish(enc, color: bytes, alpha: Optional[bytes], w: int, h: int, depth: int):

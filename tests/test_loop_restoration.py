@@ -115,3 +115,59 @@ def test_lr_strict_decoders():
     av1 = cparse.read_avif(b).primary_item
     assert aom_probe.probe(av1)[0]
     assert dav1d_probe.probe(av1)[0]
+
+
+def test_chroma_wiener_lr():
+    """Chroma planes get their own (5-tap) wiener units; streams pass
+    both decoder probes and restoration improves decoded PSNR."""
+    import io
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import aom_probe
+    import dav1d_probe
+
+    from cavif_tpu import Encoder
+    import cavif_tpu.av1.encoder as enc_mod
+    from cavif_tpu.container.parse import read_avif
+
+    rng = np.random.default_rng(42)
+    y, x = np.mgrid[0:256, 0:256].astype(np.float64)
+    r = np.clip(128 + 100 * np.sin(x / 31.0) + rng.normal(0, 12, x.shape),
+                0, 255)
+    g = np.clip(128 + 100 * np.cos(y / 37.0) + rng.normal(0, 12, x.shape),
+                0, 255)
+    b = np.clip(128 + 90 * np.sin((x + y) / 23.0)
+                + rng.normal(0, 12, x.shape), 0, 255)
+    img = np.dstack([r, g, b]).astype(np.uint8)
+
+    info = {}
+    orig = enc_mod.FrameEncoder._lr_solve
+
+    def spy(self):
+        rr = orig(self)
+        if rr:
+            info["types"] = self._lr_types
+        return rr
+
+    enc_mod.FrameEncoder._lr_solve = spy
+    try:
+        res = (
+            Encoder.new().with_quality(70).with_speed(4).with_num_threads(1)
+            .encode_rgb(img)
+        )
+    finally:
+        enc_mod.FrameEncoder._lr_solve = orig
+    assert any(info.get("types", (0, 0, 0))[1:]), info  # chroma LR engaged
+    av1 = read_avif(res.avif_file).primary_item
+    assert aom_probe.probe(av1)[0]
+    assert dav1d_probe.probe(av1)[0]
+    dec = np.asarray(
+        Image.open(io.BytesIO(res.avif_file)).convert("RGB")
+    ).astype(np.float64)
+    psnr = 10 * np.log10(255**2 / ((dec - img) ** 2).mean())
+    assert psnr > 25, psnr

@@ -43,8 +43,8 @@ def _encode_with_lr(units, w, h, ftype, backend, seed=1):
     fe._cdef_apply = lambda: ((), (), 3)
 
     def fake_solve():
-        fe._lr_frame_type = ftype
-        fe._lr_units = units
+        fe._lr_types = (ftype, 0, 0)
+        fe._lr_units = {(0, *k): v for k, v in units.items()}
         return True
 
     fe._lr_solve = fake_solve
