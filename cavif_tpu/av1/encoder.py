@@ -666,7 +666,10 @@ class FrameEncoder:
         # is searched only under parents whose cost exceeds the signaling
         # floor of four children (KAPPA=1 is the lossless bound; larger
         # trades a little RD on structured content for skipping the search
-        # on textured parents). Smooth regions never descend.
+        # on textured parents — measured: 32px-tier costs sit >= 32x floor
+        # on photo content, so gating the 16px tier prunes nothing and
+        # only costs an extra search round trip). Smooth regions never
+        # descend.
         cands = list(partials)
         always = sizes[-2:] if len(sizes) > 1 else sizes
         for s4 in always:
@@ -1585,7 +1588,11 @@ def _wiener_solve_1d(src, rec, axis, ntaps=3):
     7-tap filter f = [t0,t1,t2, 128-2*(t0+t1+t2), t2,t1,t0]/128 applied
     along `axis`, minimizing ||src - filter(rec)||^2. Edge-replicated.
     ntaps=2 forces t0 = 0 (the chroma 5-tap filter: plane > 0 codes only
-    taps 1..2, spec read_wiener_filter)."""
+    taps 1..2, spec read_wiener_filter). f32 arithmetic with BLAS dots:
+    the taps round to small ints and the gain margins dwarf the f32
+    accumulation error."""
+    src = np.asarray(src, np.float32)
+    rec = np.asarray(rec, np.float32)
     pad = np.pad(rec, [(3, 3) if a == axis else (0, 0) for a in (0, 1)],
                  mode="edge")
     def sh(k):
@@ -1594,15 +1601,16 @@ def _wiener_solve_1d(src, rec, axis, ntaps=3):
             return pad[lo : lo + rec.shape[0], :]
         lo = 3 + k
         return pad[:, lo : lo + rec.shape[1]]
-    g = [sh(-k) + sh(k) - 2.0 * rec for k in (3, 2, 1)]
     lo = 3 - ntaps
-    d = src - rec
+    offs = (3, 2, 1)[lo:]
+    g = [(sh(-k) + sh(k) - 2.0 * rec).ravel() for k in offs]
+    d = (src - rec).ravel()
     A = np.empty((ntaps, ntaps))
     b = np.empty(ntaps)
     for i in range(ntaps):
-        b[i] = 128.0 * float((g[lo + i] * d).sum())
+        b[i] = 128.0 * float(np.dot(g[i], d))
         for j in range(i, ntaps):
-            A[i, j] = A[j, i] = float((g[lo + i] * g[lo + j]).sum())
+            A[i, j] = A[j, i] = float(np.dot(g[i], g[j]))
     A += np.eye(ntaps) * (1e-4 * max(A[0, 0], 1.0))
     try:
         t = np.linalg.solve(A, b)
@@ -1612,9 +1620,14 @@ def _wiener_solve_1d(src, rec, axis, ntaps=3):
         int(np.clip(round(t[i]), _WIENER_MIN[lo + i], _WIENER_MAX[lo + i]))
         for i in range(ntaps)
     )
-    out = rec + sum(
-        taps[lo + i] * g[lo + i] for i in range(ntaps)
-    ) * (1.0 / 128.0)
+    acc = None
+    for i in range(ntaps):
+        if taps[lo + i]:
+            term = np.float32(taps[lo + i]) * g[i]
+            acc = term if acc is None else acc + term
+    if acc is None:
+        return taps, rec
+    out = rec + (acc * np.float32(1.0 / 128.0)).reshape(rec.shape)
     return taps, out
 
 
