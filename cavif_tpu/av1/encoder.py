@@ -741,10 +741,27 @@ class FrameEncoder:
                             modes[k] = (m[0], m[1], p[2], p[3],
                                         m[4] + uv_share, m[5])
 
-        by_size: dict = {}
-        for (r, c, w4b, h4b) in modes:
-            if w4b == h4b:
-                by_size.setdefault(w4b, []).append((r, c))
+        # -- vectorized merge: per-tier grids (inf = absent/not-full) -----
+        def tier_shape(s4):
+            return (
+                len(range(mi_r0, mi_r1, s4)),
+                len(range(mi_c0, mi_c1, s4)),
+            )
+
+        cost_a = {s4: np.full(tier_shape(s4), np.inf) for s4 in sizes}
+        for (r, c, w4b, h4b), v in modes.items():
+            a = cost_a.get(w4b)
+            if w4b == h4b and a is not None:
+                a[(r - mi_r0) // w4b, (c - mi_c0) // w4b] = v[4]
+
+        def quad_sum(child):
+            """Sum of the 2x2 children per parent cell (inf where any
+            child is absent / the grid runs out)."""
+            nr = (child.shape[0] + 1) // 2
+            nc = (child.shape[1] + 1) // 2
+            p = np.full((2 * nr, 2 * nc), np.inf)
+            p[: child.shape[0], : child.shape[1]] = child
+            return p.reshape(nr, 2, nc, 2).sum(axis=(1, 3))
 
         # HORZ/VERT halves: searched only where SPLIT is already *winning*
         # (children searched and their sum beats NONE) — the region where a
@@ -752,22 +769,18 @@ class FrameEncoder:
         rects = []
         rect_parent = {}
         for s4 in sizes:
-            if s4 < 2:
-                continue
             half = s4 // 2
-            for (r, c) in by_size.get(s4, ()):
-                kids = [
-                    modes.get((r + dr, c + dc_, half, half))
-                    for dr in (0, half)
-                    for dc_ in (0, half)
-                ]
-                if any(k is None for k in kids):
-                    continue
-                split_c = lam * self.OVH_SPLIT + sum(
-                    k[4] + lam * self.OVH_BLOCK for k in kids
-                )
-                if split_c >= modes[(r, c, s4, s4)][4] + lam * self.OVH_BLOCK:
-                    continue
+            if s4 < 2 or half not in cost_a:
+                continue
+            q = quad_sum(cost_a[half])
+            pa = cost_a[s4]
+            win = (
+                ovh_s + 4.0 * ovh_b + q[: pa.shape[0], : pa.shape[1]]
+                < pa + ovh_b
+            ) & np.isfinite(pa)
+            for i, j in np.argwhere(win):
+                r = mi_r0 + int(i) * s4
+                c = mi_c0 + int(j) * s4
                 quad = (
                     (r, c, s4, half), (r + half, c, s4, half),
                     (r, c, half, s4), (r, c + half, half, s4),
@@ -786,47 +799,47 @@ class FrameEncoder:
                 modes[k] = (m[0], m[1], p[2], p[3],
                             m[4] + (p[4] - p[5]) / 2.0, m[5])
 
+        # rect-half cost grids (indexed by the parent cell)
+        rect_a = {
+            s4: [np.full(tier_shape(s4), np.inf) for _ in range(4)]
+            for s4 in sizes
+            if s4 >= 2
+        }
+        for (r, c, w4b, h4b), v in modes.items():
+            if w4b == 2 * h4b and w4b in rect_a:  # horz half
+                top = (r - mi_r0) % w4b == 0
+                i = (r - mi_r0 - (0 if top else h4b)) // w4b
+                rect_a[w4b][0 if top else 1][i, (c - mi_c0) // w4b] = v[4]
+            elif h4b == 2 * w4b and h4b in rect_a:  # vert half
+                left = (c - mi_c0) % h4b == 0
+                j = (c - mi_c0 - (0 if left else w4b)) // h4b
+                rect_a[h4b][2 if left else 3][(r - mi_r0) // h4b, j] = v[4]
+
+        # bottom-up NONE/SPLIT/HORZ/VERT argmin; candidate order matches
+        # the scalar reference (ties resolve to the earlier candidate)
         part: dict = {}
-        best_cost: dict = {}  # (r, c, s4) -> subtree cost
+        rect_ovh = lam * (self.OVH_SPLIT + self.RECT_OVH * self.OVH_BLOCK)
+        bc = None  # best_cost grid of the tier below
         for s4 in sizes:
-            half = s4 // 2
-            for (r, c) in by_size.get(s4, ()):
-                key = (r, c, s4, s4)
-                none_c = modes[key][4] + lam * self.OVH_BLOCK
-                if s4 == self.min_leaf_mi:
-                    best_cost[(r, c, s4)] = none_c
-                    continue
-                cands = [(PARTITION_NONE, none_c)]
-                children = [
-                    best_cost.get((r + dr, c + dc_, half))
-                    for dr in (0, half)
-                    for dc_ in (0, half)
-                ]
-                if not any(ch is None for ch in children):
-                    cands.append(
-                        (PARTITION_SPLIT,
-                         lam * self.OVH_SPLIT + sum(children))
-                    )
-                    rect_ovh = lam * (
-                        self.OVH_SPLIT + self.RECT_OVH * self.OVH_BLOCK
-                    )
-                    h_top = modes.get((r, c, s4, half))
-                    h_bot = modes.get((r + half, c, s4, half))
-                    if h_top is not None and h_bot is not None:
-                        cands.append((
-                            PARTITION_HORZ,
-                            rect_ovh + h_top[4] + h_bot[4],
-                        ))
-                    v_l = modes.get((r, c, half, s4))
-                    v_r = modes.get((r, c + half, half, s4))
-                    if v_l is not None and v_r is not None:
-                        cands.append((
-                            PARTITION_VERT,
-                            rect_ovh + v_l[4] + v_r[4],
-                        ))
-                best_p, best_c = min(cands, key=lambda t: t[1])
-                part[(r, c, s4)] = best_p
-                best_cost[(r, c, s4)] = best_c
+            none_c = cost_a[s4] + ovh_b
+            if s4 == self.min_leaf_mi:
+                bc = none_c
+                continue
+            q = quad_sum(bc)[: none_c.shape[0], : none_c.shape[1]]
+            split_c = ovh_s + q
+            ht, hb, vl, vr = rect_a[s4]
+            ok = np.isfinite(split_c)
+            horz_c = np.where(ok, rect_ovh + ht + hb, np.inf)
+            vert_c = np.where(ok, rect_ovh + vl + vr, np.inf)
+            cand = np.stack([none_c, split_c, horz_c, vert_c])
+            code = np.argmin(cand, axis=0)
+            bc = np.min(cand, axis=0)
+            code_map = (PARTITION_NONE, PARTITION_SPLIT,
+                        PARTITION_HORZ, PARTITION_VERT)
+            for i, j in np.argwhere(np.isfinite(cost_a[s4])):
+                part[(mi_r0 + int(i) * s4, mi_c0 + int(j) * s4, s4)] = (
+                    code_map[code[i, j]]
+                )
         return part, modes
 
     @staticmethod
@@ -1470,8 +1483,9 @@ class FrameEncoder:
         pri = self.CDEF_PRI if speed <= 3 else self.CDEF_PRI_FAST
         cands = np.array((0,) + pri, np.int32)
         sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
+        fast_sec = 1 if speed >= 4 else 0  # secondary strengths {0, 2}
         acc_y, acc_uv = cdef_search(base, src, *args, cands, skip, dirs,
-                                    vars_, (w, h), threads, sub)
+                                    vars_, (w, h), threads, sub, fast_sec)
         sec_act = (0, 1, 2, 4)
 
         def best_of(acc):

@@ -192,6 +192,7 @@ def _load():
             _u8p, _u8p, ctypes.POINTER(ctypes.c_int32),  # skip, dirs, vars
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # vis_w, vis_h, threads
             ctypes.c_int,  # sub (block subsampling 1/2/4)
+            ctypes.c_int,  # fast_sec (search secondary {0, 2} only)
             ctypes.POINTER(ctypes.c_double),  # out_y[n_pri*4]
             ctypes.POINTER(ctypes.c_double),  # out_uv (nullable)
         ]
@@ -573,12 +574,14 @@ def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
                 mi_cols: int, bit_depth: int, damping: int,
                 pri_cands: np.ndarray, skip: np.ndarray, dirs: np.ndarray,
                 vars_: np.ndarray, vis: tuple, n_threads: int = 1,
-                sub: int = 1):
+                sub: int = 1, fast_sec: int = 0):
     """SSE deltas (filter vs passthrough, visible crop) for every
     (pri_cands[i], sec[j]) combo with sec in {0, 1, 2, 4}, one threaded
     pass. `sub` subsamples the scored 8x8 blocks (2: checkerboard, 4:
-    quarter grid) for fast presets. Returns (acc_y, acc_uv) as (n_pri, 4)
-    float64; acc_uv is None for monochrome."""
+    quarter grid) and `fast_sec` restricts the secondary strengths to
+    {0, 2} (skipped combos report delta 0) for fast presets. Returns
+    (acc_y, acc_uv) as (n_pri, 4) float64; acc_uv is None for
+    monochrome."""
     lib = _load()
     P, Hp, Wp = inp.shape
     assert inp.dtype == np.int32 and inp.flags["C_CONTIGUOUS"]
@@ -595,6 +598,7 @@ def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
         skip.ctypes.data_as(u8), dirs.ctypes.data_as(u8),
         vars_.ctypes.data_as(i32),
         int(vis[0]), int(vis[1]), int(n_threads), int(sub),
+        int(fast_sec),
         acc_y.ctypes.data_as(f64),
         acc_uv.ctypes.data_as(f64) if acc_uv is not None else None,
     )

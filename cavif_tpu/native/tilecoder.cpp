@@ -2370,12 +2370,15 @@ struct SearchPlaneArgs {
   const int32_t* vars;
   int vis_w, vis_h;
   int sub;  // block subsampling: 1 all, 2 checkerboard, 4 quarter
+  int fast_sec;  // 1: drop secondary strength 1 (search {0, 2, 4})
 };
 
 // accumulate SSE deltas for one plane over block rows [br0, br1) into
 // acc[n_pri * 4] (combo (i, j): pri_cands[i] x SEC_ACT[j])
 static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
                               int br1, double* acc) {
+  int64_t iacc[16 * 4];
+  std::memset(iacc, 0, sizeof(iacc));
   const int sb8c = (a.mi_cols + 1) >> 1;
   const int cw = a.mi_cols * 4, ch = a.mi_rows * 4;
   const int cs = a.bit_depth - 8;
@@ -2481,9 +2484,11 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
                      constrain(ptap[k], eff[i], damping);
             psum[i] = s;
           }
-          // per-strength secondary sums, both variants
+          // per-strength secondary sums, both variants (fast mode
+          // drops the weakest nonzero secondary leg)
           ssum_d[0] = ssum_z[0] = 0;
           for (int j = 1; j < 4; j++) {
+            if (a.fast_sec && j == 1) continue;
             const int st = SEC_ACT[j] << cs;
             int sd = 0, sz = 0;
             for (int k = 0; k < ns_d; k++)
@@ -2493,9 +2498,9 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
             ssum_d[j] = sd;
             ssum_z[j] = sz;
           }
-          const double sref = a.src[(size_t)y * a.Wp + x];
-          const double od = (double)px - sref;
-          const double base_err = od * od;
+          const int32_t sref = a.src[(size_t)y * a.Wp + x];
+          const int32_t od = px - sref;
+          const int64_t base_err = (int64_t)od * od;
           for (int i = 0; i < NP; i++) {
             const bool sig_pri = a.pri_cands[i] != 0;
             const int* ss = sig_pri ? ssum_d : ssum_z;
@@ -2503,6 +2508,7 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
             const int32_t smx = sig_pri ? smx_d : smx_z;
             for (int j = 0; j < 4; j++) {
               if (!sig_pri && j == 0) continue;  // identity combo: delta 0
+              if (a.fast_sec && j == 1) continue;
               int sum = 0;
               int32_t mn = px, mx = px;
               if (eff[i] && sig_pri) {
@@ -2518,13 +2524,14 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
               int32_t v = px + ((8 + sum - (sum < 0)) >> 4);
               if (v < mn) v = mn;
               if (v > mx) v = mx;
-              const double nd = (double)v - sref;
-              acc[i * 4 + j] += nd * nd - base_err;
+              const int32_t nd = v - sref;
+              iacc[i * 4 + j] += (int64_t)nd * nd - base_err;
             }
           }
         }
     }
   }
+  for (int i = 0; i < a.n_pri * 4; i++) acc[i] += (double)iacc[i];
 }
 
 }  // namespace cdefns
@@ -3118,7 +3125,7 @@ int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
                    int damping, const int32_t* pri_cands, int n_pri,
                    const uint8_t* skip, const uint8_t* dirs,
                    const int32_t* vars, int vis_w, int vis_h, int n_threads,
-                   int sub, double* out_y, double* out_uv) {
+                   int sub, int fast_sec, double* out_y, double* out_uv) {
   if (n_pri < 1 || n_pri > 16) return 1;
   const int sb8r = (mi_rows + 1) >> 1;
   const int NC = n_pri * 4;
@@ -3154,6 +3161,7 @@ int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
     a.vis_w = vis_w;
     a.vis_h = vis_h;
     a.sub = sub < 1 ? 1 : sub;
+    a.fast_sec = fast_sec;
     for (;;) {
       const int it = next.fetch_add(1);
       if (it >= (int)items.size()) break;
