@@ -1380,9 +1380,12 @@ class FrameEncoder:
         for pl in range(self.num_planes):
             src_i = self.planes[pl].src[:h, :w]
             rec_full = stack[pl][:h, :w]
-            src = src_i.astype(np.float64)
-            rec = rec_full.astype(np.float64)
-            rec_i = np.ascontiguousarray(rec_full, dtype=np.int32)
+            # per-unit f32 conversion below: whole-plane f64 copies cost
+            # seconds at 8K; the SGR search needs a contiguous int32 view
+            rec_i = (
+                np.ascontiguousarray(rec_full, dtype=np.int32)
+                if try_sgr and pl == 0 else None
+            )
             kinds = set()
             for ur in range(rows):
                 y0 = ur * u
@@ -1390,15 +1393,18 @@ class FrameEncoder:
                 for uc in range(cols):
                     x0 = uc * u
                     x1 = w if uc == cols - 1 else (uc + 1) * u
-                    base = float(
-                        ((src[y0:y1, x0:x1] - rec[y0:y1, x0:x1]) ** 2).sum()
+                    d = (
+                        src_i[y0:y1, x0:x1].astype(np.int64)
+                        - rec_full[y0:y1, x0:x1]
                     )
+                    base = float((d * d).sum())
                     # unit signaling cost in SSE units: ~40 rate-proxy
                     # units for wiener taps / ~30 for sgr, doubled to
                     # absorb the float-vs-integer filter model error
                     use_w, taps, sse_w = _wiener_unit(
-                        src[y0:y1, x0:x1], rec[y0:y1, x0:x1],
+                        src_i[y0:y1, x0:x1], rec_full[y0:y1, x0:x1],
                         margin=2.0 * lam * 40.0, chroma=pl > 0,
+                        base_sse=base,
                     )
                     best = (1, sse_w) if use_w else (0, base)
                     sgr = None
@@ -1515,6 +1521,8 @@ class FrameEncoder:
         axis on device."""
         from .speed import tile_count
 
+        from .frame import _tile_log2
+
         cfg = self.cfg
         threads = cfg.threads or (os.cpu_count() or 1)
         target = max(1, tile_count(cfg.width, cfg.height,
@@ -1533,6 +1541,14 @@ class FrameEncoder:
                 tcl += 1
             else:
                 break
+        # spec minimums (tile_info): tiles no wider than 4096 px and no
+        # larger than 4096x2304 px regardless of the thread heuristic
+        min_tcl = _tile_log2(4096 >> 6, sb_cols)
+        min_tiles = max(
+            min_tcl, _tile_log2((4096 * 2304) >> 12, sb_rows * sb_cols)
+        )
+        tcl = max(tcl, min_tcl)
+        trl = max(trl, min_tiles - tcl)
         return tcl, trl
 
     def _tile_ranges(self, n_sb: int, log2: int, total_mi: int):
@@ -1645,7 +1661,7 @@ def _wiener_solve_1d(src, rec, axis, ntaps=3):
     return taps, out
 
 
-def _wiener_unit(src, rec, margin=64.0, chroma=False):
+def _wiener_unit(src, rec, margin=64.0, chroma=False, base_sse=None):
     """One restoration unit: vertical+horizontal tap solve; returns
     (use, taps6, sse) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h).
     `margin` is the SSE-equivalent signaling cost of the unit: the filter
@@ -1653,10 +1669,15 @@ def _wiener_unit(src, rec, margin=64.0, chroma=False):
     float model of the integer filter, so the margin also absorbs model
     error). `chroma` solves the 5-tap variant (t0 = 0)."""
     ntaps = 2 if chroma else 3
-    base_sse = float(((src - rec) ** 2).sum())
+    if base_sse is None:
+        d = np.asarray(src, np.int64) - np.asarray(rec, np.int64)
+        base_sse = float((d * d).sum())
+    src = np.asarray(src, np.float32)
+    rec = np.asarray(rec, np.float32)
     taps_h, mid = _wiener_solve_1d(src, rec, axis=1, ntaps=ntaps)
     taps_v, out = _wiener_solve_1d(src, mid, axis=0, ntaps=ntaps)
-    sse = float(((src - out) ** 2).sum())
+    d2 = src - out
+    sse = float(np.dot(d2.ravel(), d2.ravel()))
     use = int(sse < base_sse - margin)
     if not use or (taps_v == (0, 0, 0) and taps_h == (0, 0, 0)):
         return 0, (0, 0, 0, 0, 0, 0), base_sse
