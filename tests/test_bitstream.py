@@ -129,3 +129,22 @@ def test_overhang_block_context_clamp():
     payload = _encode_ycbcr(plane[..., None], q=121, depth=10, chroma="400")
     dec = _decode(payload, 64, 600, depth=10, mono=True)
     assert dec is not None
+
+
+def test_wide_frame_tile_minimums():
+    """Frames wider than 4096 px must split tiles regardless of the
+    thread heuristic (spec tile_info minimums); previously a >4096-px
+    single-threaded encode tripped the frame-header assertion."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 4160, 3), dtype=np.uint8)
+    res = Encoder.new().with_quality(60).with_speed(8).with_num_threads(1)\
+        .encode_rgb(img)
+    dec = Image.open(io.BytesIO(res.avif_file))
+    assert dec.size == (4160, 64)
