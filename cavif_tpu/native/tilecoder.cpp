@@ -2219,6 +2219,16 @@ static inline int floor_log2(int v) {
   return r;
 }
 
+// constrain with the damping adjustment precomputed (threshold constant
+// across a block: hoists the floor_log2 loop out of the per-pixel path)
+static inline int constrain_pre(int diff, int threshold, int adj) {
+  const int a = diff < 0 ? -diff : diff;
+  int v = threshold - (a >> adj);
+  v = v < 0 ? 0 : v;
+  v = a < v ? a : v;
+  return diff < 0 ? -v : v;
+}
+
 static inline int constrain(int diff, int threshold, int damping) {
   if (!threshold) return 0;
   const int adj = damping - floor_log2(threshold) > 0
@@ -2306,6 +2316,83 @@ static void filter8(const int32_t* in, int stride, int y0, int x0, int fw,
     damping -= 1;
   }
   const int pt = (pri >> fp.coeff_shift) & 1;  // taps pick: adjusted strength
+  // interior fast path: every tap in bounds -> fixed offsets, branchless
+  // constrain, compile-time tap counts (HP/HS) so the tap loops unroll
+  // and the j loop vectorizes
+  if (y0 >= 2 && x0 >= 2 && y0 + fh + 2 <= ch && x0 + fw + 2 <= cw
+      && (pri || sec)) {
+    const int adj_p = pri ? (damping > floor_log2(pri) ? damping - floor_log2(pri) : 0) : 0;
+    const int adj_s = sec ? (damping > floor_log2(sec) ? damping - floor_log2(sec) : 0) : 0;
+    ptrdiff_t poff[4];
+    int pw[4];
+    for (int k = 0; k < 2; k++)
+      for (int s = -1, q = 0; s <= 1; s += 2, q = 1) {
+        poff[k * 2 + q] = (ptrdiff_t)s * DIRS[dir][k][0] * stride
+                          + s * DIRS[dir][k][1];
+        pw[k * 2 + q] = PRI_TAPS[pt][k];
+      }
+    ptrdiff_t soff[8];
+    int sw[8];
+    int ns = 0;
+    for (int dd = 2; dd <= 6; dd += 4) {
+      const int d2 = (dir + dd) & 7;
+      for (int k = 0; k < 2; k++)
+        for (int s = -1; s <= 1; s += 2) {
+          soff[ns] = (ptrdiff_t)s * DIRS[d2][k][0] * stride
+                     + s * DIRS[d2][k][1];
+          sw[ns++] = SEC_TAPS[k];
+        }
+    }
+    auto run = [&](auto hp, auto hs) {
+      constexpr bool HP = decltype(hp)::value;
+      constexpr bool HS = decltype(hs)::value;
+      for (int i = 0; i < fh; i++) {
+        const int32_t* row = in + (size_t)(y0 + i) * stride + x0;
+        int32_t* orow = out8 + i * 8;
+        for (int j = 0; j < fw; j++) {
+          const int32_t px = row[j];
+          int sum = 0;
+          int32_t mn = px, mx = px;
+          if (HP) {
+            for (int k = 0; k < 4; k++) {
+              const int32_t p = row[j + poff[k]];
+              const int d = p - px;
+              int a = d < 0 ? -d : d;
+              int v = pri - (a >> adj_p);
+              v = v < 0 ? 0 : v;
+              v = a < v ? a : v;
+              sum += pw[k] * (d < 0 ? -v : v);
+              mn = p < mn ? p : mn;
+              mx = p > mx ? p : mx;
+            }
+          }
+          if (HS) {
+            for (int k = 0; k < 8; k++) {
+              const int32_t p = row[j + soff[k]];
+              const int d = p - px;
+              int a = d < 0 ? -d : d;
+              int v = sec - (a >> adj_s);
+              v = v < 0 ? 0 : v;
+              v = a < v ? a : v;
+              sum += sw[k] * (d < 0 ? -v : v);
+              mn = p < mn ? p : mn;
+              mx = p > mx ? p : mx;
+            }
+          }
+          int32_t v = px + ((8 + sum - (sum < 0)) >> 4);
+          v = v < mn ? mn : v;
+          v = v > mx ? mx : v;
+          orow[j] = v;
+        }
+      }
+    };
+    using T = std::true_type;
+    using F = std::false_type;
+    if (pri && sec) run(T{}, T{});
+    else if (pri) run(T{}, F{});
+    else run(F{}, T{});
+    return;
+  }
   for (int i = 0; i < fh; i++)
     for (int j = 0; j < fw; j++) {
       const int y = y0 + i, x = x0 + j;
@@ -2387,10 +2474,16 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
   // block, done below); chroma: fixed
   std::vector<int> base_pri(NP);
   for (int i = 0; i < NP; i++) base_pri[i] = a.pri_cands[i] << cs;
-  std::vector<int> eff(NP), pt(NP);
+  std::vector<int> eff(NP), pt(NP), eff_adj(NP);
   int damping = a.damping + cs;
   if (!luma) damping -= 1;
   const int sec_damp = damping;
+  int sadj[4] = {0, 0, 0, 0};
+  for (int j = 1; j < 4; j++) {
+    const int st = SEC_ACT[j] << cs;
+    const int d = sec_damp - floor_log2(st);
+    sadj[j] = d > 0 ? d : 0;
+  }
   int psum[16];
   int ssum_d[4], ssum_z[4];
   for (int br = br0; br < br1; br++) {
@@ -2421,6 +2514,8 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
         }
         eff[i] = p;
         pt[i] = (p >> cs) & 1;
+        const int d = p ? damping - floor_log2(p) : 0;
+        eff_adj[i] = d > 0 ? d : 0;
       }
       const int ih = fh < a.vis_h - y0 ? fh : a.vis_h - y0;
       const int iw = fw < a.vis_w - x0 ? fw : a.vis_w - x0;
@@ -2475,13 +2570,13 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
                   if (p > smx_z) smx_z = p;
                 }
               }
-          // per-candidate primary sums
+          // per-candidate primary sums (adj hoisted per block)
           for (int i = 0; i < NP; i++) {
             int s = 0;
             if (eff[i])
               for (int k = 0; k < np_taps; k++)
                 s += PRI_TAPS[pt[i]][ptk[k]] *
-                     constrain(ptap[k], eff[i], damping);
+                     constrain_pre(ptap[k], eff[i], eff_adj[i]);
             psum[i] = s;
           }
           // per-strength secondary sums, both variants (fast mode
@@ -2492,9 +2587,9 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
             const int st = SEC_ACT[j] << cs;
             int sd = 0, sz = 0;
             for (int k = 0; k < ns_d; k++)
-              sd += SEC_TAPS[stk_d[k]] * constrain(stap_d[k], st, sec_damp);
+              sd += SEC_TAPS[stk_d[k]] * constrain_pre(stap_d[k], st, sadj[j]);
             for (int k = 0; k < ns_z; k++)
-              sz += SEC_TAPS[stk_z[k]] * constrain(stap_z[k], st, sec_damp);
+              sz += SEC_TAPS[stk_z[k]] * constrain_pre(stap_z[k], st, sadj[j]);
             ssum_d[j] = sd;
             ssum_z[j] = sz;
           }
