@@ -104,6 +104,10 @@ class FrameEncoder:
         self._native_search = _native_available() and not os.environ.get(
             "CAVIF_TPU_PY_SEARCH"
         )
+        # opt-in TPU/XLA whole-plane pass-1 (CAVIF_TPU_DEVICE_SEARCH=
+        # xla|pallas): the always-searched tiers run as one device program
+        # per tile; partial/cascade/rect blocks stay on the host path
+        self._device_search = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
         # the encoder's total thread budget (cfg.threads) bounds search
         # workers too — batch mode runs many single-threaded encoders
         self._search_threads = cfg.threads or (os.cpu_count() or 1)
@@ -481,6 +485,81 @@ class FrameEncoder:
                             tot + 2.0 * float(cost[i, bi]), lc,
                         )
         return modes
+
+    def _batch_search_device(self, blocks, origin):
+        """Whole-plane device search (ops/block_search) for grid-aligned
+        square candidates; returns None when the candidate set is not
+        device-coverable (the caller falls back to the host path).
+
+        The device program searches every aligned n x n block of the
+        tile's plane slice in one jitted call (XLA) or one fused Pallas
+        kernel; mode indices and winning RD costs come back and are
+        assembled into the host result format (total = luma + 2 * U,
+        matching the host chroma proxy). Angle-delta refinement is not
+        applied on this path (delta 0), a documented trade of the opt-in
+        backend."""
+        from ..ops.block_search import CAND_MODES as DEV_MODES
+        from ..ops.block_search import plane_mode_search_costs
+
+        sizes = {4, 8}  # 16x16 and 32x32 px tiers
+        r0, c0 = origin
+        lam = self._lambda()
+        backend = (
+            "pallas" if self._device_search == "pallas" else "xla"
+        )
+        planes = self._src_stack()
+        npl = min(self.num_planes, 2)  # host chroma proxy uses U only
+        out = {}
+        rest = []
+        grids = {}
+        y0, x0 = r0 * 4, c0 * 4
+        th = planes.shape[1] - y0
+        tw = planes.shape[2] - x0
+        for b in blocks:
+            r, c, w4b, h4b = b
+            n = w4b * 4
+            covered = (
+                w4b == h4b and w4b in sizes
+                and (r - r0) % w4b == 0 and (c - c0) % w4b == 0
+                and (r - r0 + w4b) * 4 <= (th // n) * n
+                and (c - c0 + w4b) * 4 <= (tw // n) * n
+            )
+            (grids.setdefault(w4b, []) if covered else rest).append(b)
+        if not grids:
+            return None
+        for w4b, cand in grids.items():
+            n = w4b * 4
+            gh, gw = (th // n) * n, (tw // n) * n
+            sl = np.ascontiguousarray(
+                planes[:npl, y0 : y0 + gh, x0 : x0 + gw]
+            )
+            modes_d, costs_d = plane_mode_search_costs(
+                sl, self.dc_q, self.ac_q, lam, self.bit_depth,
+                n=n, backend=backend,
+            )
+            for (r, c, w4_, h4_) in cand:
+                by, bx = (r - r0) // w4b, (c - c0) // w4b
+                ym = DEV_MODES[int(modes_d[0, by, bx])]
+                yc = float(costs_d[0, by, bx])
+                if npl > 1:
+                    uvm = DEV_MODES[int(modes_d[1, by, bx])]
+                    uc = float(costs_d[1, by, bx])
+                else:
+                    uvm, uc = DC_PRED, 0.0
+                out[(r, c, w4_, h4_)] = (
+                    ym, 0, uvm, 0, yc + 2.0 * uc, yc,
+                )
+        if rest:
+            if self._native_search:
+                out.update(self._batch_search_native(rest, origin, False))
+            else:
+                saved = self._device_search
+                self._device_search = None
+                try:
+                    out.update(self._batch_search(rest, origin, False))
+                finally:
+                    self._device_search = saved
+        return out
 
     def _batch_search_native(self, blocks, origin, luma_only=False) -> dict:
         """Pass-1 search via the threaded C++ bs_search2: block coordinates

@@ -256,7 +256,10 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
         )
         cost = (errc * errc).sum(axis=(-2, -1)) + lam * rate
         cost = cost.at[..., 7:].add(lam * 2.0)  # angle-delta rate proxy
-        return jnp.argmin(cost, axis=-1).astype(jnp.int8)
+        return (
+            jnp.argmin(cost, axis=-1).astype(jnp.int8),
+            jnp.min(cost, axis=-1).astype(jnp.float32),
+        )
 
     return jax.jit(search)
 
@@ -292,10 +295,39 @@ def plane_mode_search(
             planes, dc_q, ac_q, lam, bit_depth, n=n
         )
     f = _kernel(n, bit_depth)
-    out = f(
+    out, _ = f(
         jnp.asarray(np.ascontiguousarray(planes, np.int32)),
         jnp.asarray(dc_q, jnp.float32),
         jnp.asarray(ac_q, jnp.float32),
         jnp.asarray(lam, jnp.float32),
     )
     return np.asarray(out)
+
+
+def plane_mode_search_costs(
+    planes: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    lam: float,
+    bit_depth: int,
+    n: int = 32,
+    backend: str = "xla",
+):
+    """Like plane_mode_search but also returns the winning RD cost per
+    block: (modes int8 (N, H/n, W/n), costs f32 (N, H/n, W/n))."""
+    import jax.numpy as jnp
+
+    if backend == "pallas":
+        from .pallas_search import plane_mode_search_pallas
+
+        return plane_mode_search_pallas(
+            planes, dc_q, ac_q, lam, bit_depth, n=n, return_costs=True
+        )
+    f = _kernel(n, bit_depth)
+    modes, costs = f(
+        jnp.asarray(np.ascontiguousarray(planes, np.int32)),
+        jnp.asarray(dc_q, jnp.float32),
+        jnp.asarray(ac_q, jnp.float32),
+        jnp.asarray(lam, jnp.float32),
+    )
+    return np.asarray(modes), np.asarray(costs)

@@ -324,6 +324,7 @@ def plane_mode_search_pallas(
     n: int = 16,
     chunk: int = 64,
     interpret: bool = False,
+    return_costs: bool = False,
 ):
     """Pallas-backend twin of block_search.plane_mode_search: best intra
     mode (13 candidates) for every aligned n x n block. planes: (N, H, W),
@@ -337,8 +338,12 @@ def plane_mode_search_pallas(
     import jax.numpy as jnp
 
     if n > 16 and not interpret:
-        from .block_search import plane_mode_search
+        from .block_search import plane_mode_search, plane_mode_search_costs
 
+        if return_costs:
+            return plane_mode_search_costs(
+                planes, dc_q, ac_q, lam, bit_depth, n=n
+            )
         return plane_mode_search(planes, dc_q, ac_q, lam, bit_depth, n=n)
 
     planes = np.ascontiguousarray(planes, np.int32)
@@ -356,5 +361,9 @@ def plane_mode_search_pallas(
         [[float(dc_q), float(ac_q), float(lam)]], jnp.float32
     )
     costs = _pallas_kernel(n, bit_depth, chunk, interpret)(*tensors, qvec)
-    flat = np.asarray(costs)[:NB, :13].argmin(axis=1)
-    return flat.reshape(N, nby, nbx).astype(np.int8)
+    cm = np.asarray(costs)[:NB, :13]
+    flat = cm.argmin(axis=1)
+    modes = flat.reshape(N, nby, nbx).astype(np.int8)
+    if return_costs:
+        return modes, cm.min(axis=1).reshape(N, nby, nbx).astype(np.float32)
+    return modes

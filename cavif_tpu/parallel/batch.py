@@ -140,5 +140,5 @@ def plane_mode_search_batch(
     if mesh is not None:
         sh = NamedSharding(mesh, P("data", "tile", None))
         arr = jax.device_put(args[0], sh)
-        return np.asarray(f(arr, *args[1:]))
-    return np.asarray(f(*args))
+        return np.asarray(f(arr, *args[1:])[0])
+    return np.asarray(f(*args)[0])
