@@ -1251,29 +1251,37 @@ class FrameEncoder:
     # -- frame assembly -----------------------------------------------------
 
     def encode(self) -> bytes:
+        from ..utils.trace import span
+
         cfg = self.cfg
         tcl, trl = self._tile_split()
-        tiles = self._encode_tiles(tcl, trl)
+        with span("tiles_pass1+2"):
+            tiles = self._encode_tiles(tcl, trl)
         # Deblocking is output-only for still pictures (intra prediction
         # reads unfiltered recon), so it's a free quality lever: simulate
         # the decoder's filter on the exact recon and pick the uniform
         # levels that minimize real output error (heuristic level when the
         # preset says fast_deblock).
-        lf_levels = self._deblock_apply()
+        with span("deblock"):
+            lf_levels = self._deblock_apply()
         # CDEF is output-only for still pictures too; simulate it on the
         # deblocked frame (decoder order deblock -> CDEF -> LR) and search
         # the signaled strengths by real output error. Falls back to the
         # quantizer heuristic when no simulation is available.
-        cdef_y, cdef_uv, cdef_damping = self._cdef_apply()
+        with span("cdef"):
+            cdef_y, cdef_uv, cdef_damping = self._cdef_apply()
         # Loop restoration (preset `lrf`, SURVEY.md 2.2): Wiener-filter the
         # decoded output back toward the source. Output-only like deblock/
         # CDEF, but its per-unit taps live INSIDE the tile bitstreams
         # (read_lr at superblock starts), so enabling it means one more
         # serialization pass with the cached partition/mode decisions.
         lr_types = ()
-        if cfg.tweaks.lrf and self._lr_solve():
+        with span("lr_solve"):
+            lr_on = cfg.tweaks.lrf and self._lr_solve()
+        if lr_on:
             lr_types = tuple(self._lr_types[: self.num_planes])
-            tiles = self._encode_tiles(tcl, trl)
+            with span("tiles_lr_reserialize"):
+                tiles = self._encode_tiles(tcl, trl)
         seq = write_sequence_header(
             width=cfg.width,
             height=cfg.height,

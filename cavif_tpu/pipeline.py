@@ -18,6 +18,7 @@ from .av1.config import AV1Config
 from .av1.speed import SpeedTweaks
 from .container.mux import serialize_avif
 from .ops import colorspace
+from .utils import trace
 
 
 def _matrix_coefficients(color_model) -> int:
@@ -97,15 +98,25 @@ def _finish(enc, color: bytes, alpha: Optional[bytes], w: int, h: int, depth: in
 def encode_rgba_pipeline(enc, rgba: np.ndarray):
     depth = enc.output_depth.bits
     h, w = rgba.shape[:2]
-    planes = _convert_planes(enc, rgba[..., :3], depth)
-    alpha = colorspace.alpha_plane_host(rgba[..., 3], depth=depth)
+    trace.reset()
+    with trace.span("convert"):
+        planes = _convert_planes(enc, rgba[..., :3], depth)
+        alpha = colorspace.alpha_plane_host(rgba[..., 3], depth=depth)
     color, alpha_payload = _encode_streams(enc, planes, alpha, depth)
-    return _finish(enc, color, alpha_payload, w, h, depth)
+    with trace.span("mux"):
+        out = _finish(enc, color, alpha_payload, w, h, depth)
+    trace.report(f"rgba {w}x{h}")
+    return out
 
 
 def encode_rgb_pipeline(enc, rgb: np.ndarray):
     depth = enc.output_depth.bits
     h, w = rgb.shape[:2]
-    planes = _convert_planes(enc, rgb, depth)
+    trace.reset()
+    with trace.span("convert"):
+        planes = _convert_planes(enc, rgb, depth)
     color, _ = _encode_streams(enc, planes, None, depth)
-    return _finish(enc, color, None, w, h, depth)
+    with trace.span("mux"):
+        out = _finish(enc, color, None, w, h, depth)
+    trace.report(f"rgb {w}x{h}")
+    return out

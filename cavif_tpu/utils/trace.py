@@ -1,0 +1,65 @@
+"""Lightweight per-stage tracing for the encode pipeline.
+
+The reference has no tracing at all (SURVEY.md §5.1); this build keeps a
+near-zero-cost span registry so the MP/s headline can be broken down per
+stage. Enable with CAVIF_TPU_TRACE=1: every `span("name")` accumulates
+wall-clock into a thread-local table and `report()` (called by the
+pipeline at the end of an encode) prints the breakdown to stderr.
+
+Disabled (the default), `span` is a no-op context manager guarded by one
+boolean check.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from contextlib import contextmanager
+
+ENABLED = bool(os.environ.get("CAVIF_TPU_TRACE"))
+
+_tls = threading.local()
+
+
+def _table():
+    t = getattr(_tls, "table", None)
+    if t is None:
+        t = _tls.table = {}
+    return t
+
+
+@contextmanager
+def span(name: str):
+    """Accumulate the wall time of the enclosed block under `name`."""
+    if not ENABLED:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        tab = _table()
+        tab[name] = tab.get(name, 0.0) + dt
+
+
+def reset() -> None:
+    if ENABLED:
+        _table().clear()
+
+
+def report(label: str = "encode") -> None:
+    """Print the accumulated spans (sorted by time) and clear them."""
+    if not ENABLED:
+        return
+    tab = _table()
+    if not tab:
+        return
+    total = sum(tab.values())
+    lines = [f"[cavif-tpu trace] {label}: {total:.3f}s"]
+    for name, dt in sorted(tab.items(), key=lambda kv: -kv[1]):
+        lines.append(f"  {name:<22s} {dt:8.3f}s  {100.0 * dt / total:5.1f}%")
+    print("\n".join(lines), file=sys.stderr)
+    tab.clear()
