@@ -216,7 +216,7 @@ class FrameEncoder:
         last = 0
         i = 0
         n = len(ops)
-        arity = {0: 0, 1: 4, 2: 5, 3: 10, 4: 12, 5: 8, OP_SB_START: 2,
+        arity = {0: 0, 1: 4, 2: 5, 3: 13, 4: 12, 5: 8, OP_SB_START: 2,
                  OP_LR: 8, OP_LR_UNIT: 12}
         while i < n:
             op = int(ops[i])
@@ -271,6 +271,10 @@ class FrameEncoder:
             transforms.get_gain(32, 32), ops, lam=self._lambda(),
             recon_out=getattr(self, "_recon_stack", None),
             record=record,
+            cfl_search=(
+                self.num_planes == 3
+                and self.cfg.tweaks.speed_preset <= 6
+            ),
         )
         if record:
             out, rops, rlvl = out
@@ -1056,42 +1060,95 @@ class FrameEncoder:
         # final regardless of the skip flag: skip is only set when every txb
         # quantized to zero).
         results = []  # (plane, px, py, txw, txh, levels)
-        for pl in range(self.num_planes):
-            txw, txh = plane_txs[pl]
-            mode = y_mode if pl == 0 else uv_mode
-            for ty in range(0, bh, txh):
-                for tx in range(0, bw, txw):
-                    px, py = x0 + tx, y0 + ty
-                    if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
-                        continue
-                    delta = y_delta if pl == 0 else uv_delta
-                    args = (ctx, pl, px, py, txw, txh, rr + ty // 4,
-                            cc + tx // 4, force_skip, mode, delta)
-                    small = max(txw, txh) <= 16 and not force_skip
-                    mode_adst = small and (
-                        transforms.MODE_V_ADST[mode]
-                        or transforms.MODE_H_ADST[mode]
-                    )
-                    # rdo_tx_decision (preset, SURVEY.md 2.2: s<=4 and not
-                    # high_quality): RD-pick DCT vs the mode-derived ADST;
-                    # when off, use the mode-derived type directly
-                    if (pl == 0 and mode_adst
-                            and self.cfg.tweaks.rdo_tx_decision):
-                        lv_d, rec_d, c_d = self._compute_txb(*args, try_adst=0)
-                        lv_a, rec_a, c_a = self._compute_txb(*args, try_adst=1)
-                        if c_d <= c_a + self._lambda() * 2.0:
-                            levels, rec, va, ha = lv_d, rec_d, 0, 0
-                        else:
-                            levels, rec = lv_a, rec_a
-                            va = transforms.MODE_V_ADST[mode]
-                            ha = transforms.MODE_H_ADST[mode]
+        txw, txh = plane_txs[0]
+        for ty in range(0, bh, txh):
+            for tx in range(0, bw, txw):
+                px, py = x0 + tx, y0 + ty
+                if px >= self.mi_cols * 4 or py >= self.mi_rows * 4:
+                    continue
+                args = (ctx, 0, px, py, txw, txh, rr + ty // 4,
+                        cc + tx // 4, force_skip, y_mode, y_delta)
+                small = max(txw, txh) <= 16 and not force_skip
+                mode_adst = small and (
+                    transforms.MODE_V_ADST[y_mode]
+                    or transforms.MODE_H_ADST[y_mode]
+                )
+                # rdo_tx_decision (preset, SURVEY.md 2.2: s<=4 and not
+                # high_quality): RD-pick DCT vs the mode-derived ADST;
+                # when off, use the mode-derived type directly
+                if mode_adst and self.cfg.tweaks.rdo_tx_decision:
+                    lv_d, rec_d, c_d = self._compute_txb(*args, try_adst=0)
+                    lv_a, rec_a, c_a = self._compute_txb(*args, try_adst=1)
+                    if c_d <= c_a + self._lambda() * 2.0:
+                        levels, rec, va, ha = lv_d, rec_d, 0, 0
                     else:
-                        levels, rec, _c = self._compute_txb(*args)
-                        if pl == 0 and mode_adst:
-                            va = transforms.MODE_V_ADST[mode]
-                            ha = transforms.MODE_H_ADST[mode]
-                        else:
-                            va = ha = 0
+                        levels, rec = lv_a, rec_a
+                        va = transforms.MODE_V_ADST[y_mode]
+                        ha = transforms.MODE_H_ADST[y_mode]
+                else:
+                    levels, rec, _c = self._compute_txb(*args)
+                    if mode_adst:
+                        va = transforms.MODE_V_ADST[y_mode]
+                        ha = transforms.MODE_H_ADST[y_mode]
+                    else:
+                        va = ha = 0
+                self.planes[0].recon[py : py + txh, px : px + txw] = rec
+                results.append((0, px, py, txw, txh, levels, va, ha))
+
+        # chroma: the batch-chosen uv mode vs chroma-from-luma (one txb per
+        # plane when cfl_allowed; the luma recon above is final)
+        cfl_signs = cfl_au = cfl_av = 0
+        if self.num_planes > 1:
+            try_cfl = (
+                cfl_allowed and not force_skip
+                and self.cfg.tweaks.speed_preset <= 6
+                and x0 + bw <= self.planes[0].recon.shape[1]
+                and y0 + bh <= self.planes[0].recon.shape[0]
+            )
+            if not try_cfl:
+                # multi-txb chroma (64px blocks): live recon writes so the
+                # next txb predicts from the decoder's state
+                for pl in (1, 2):
+                    txw, txh = plane_txs[pl]
+                    for ty in range(0, bh, txh):
+                        for tx in range(0, bw, txw):
+                            px, py = x0 + tx, y0 + ty
+                            if (px >= self.mi_cols * 4
+                                    or py >= self.mi_rows * 4):
+                                continue
+                            args = (ctx, pl, px, py, txw, txh, rr + ty // 4,
+                                    cc + tx // 4, force_skip, uv_mode,
+                                    uv_delta)
+                            levels, rec, _c = self._compute_txb(*args)
+                            self.planes[pl].recon[
+                                py : py + txh, px : px + txw
+                            ] = rec
+                            results.append(
+                                (pl, px, py, txw, txh, levels, 0, 0)
+                            )
+            else:
+                # cfl_allowed -> one txb per chroma plane: compare the
+                # batch-chosen uv mode against chroma-from-luma
+                chroma = []
+                for pl in (1, 2):
+                    txw, txh = plane_txs[pl]
+                    args = (ctx, pl, x0, y0, txw, txh, rr, cc, False,
+                            uv_mode, uv_delta)
+                    levels, rec, cost = self._compute_txb(*args)
+                    chroma.append(
+                        (pl, x0, y0, txw, txh, levels, 0, 0, rec, cost)
+                    )
+                cfl = self._cfl_try(ctx, x0, y0, bw, bh, rr, cc)
+                if cfl is not None:
+                    c_set, signs, au, av = cfl
+                    lam = self._lambda()
+                    if (sum(t[9] for t in c_set) + lam * 4.0
+                            < sum(t[9] for t in chroma)):
+                        chroma = c_set
+                        uv_mode, uv_delta = 13, 0  # UV_CFL_PRED
+                        cfl_signs, cfl_au, cfl_av = signs, au, av
+                for t in chroma:
+                    pl, px, py, txw, txh, levels, va, ha, rec, _cost = t
                     self.planes[pl].recon[py : py + txh, px : px + txw] = rec
                     results.append((pl, px, py, txw, txh, levels, va, ha))
         skip = 1 if all(not r_[5].any() for r_ in results) else 0
@@ -1100,7 +1157,8 @@ class FrameEncoder:
         ctx.mask[sy + 1 : sy + 1 + h4, sx + 1 : sx + 1 + w4] = 1
 
         tw.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
-                       y_delta=y_delta, uv_delta=uv_delta)
+                       y_delta=y_delta, uv_delta=uv_delta,
+                       cfl_signs=cfl_signs, cfl_au=cfl_au, cfl_av=cfl_av)
         if skip:
             return
 
@@ -1117,6 +1175,63 @@ class FrameEncoder:
                 v_adst=va,
                 h_adst=ha,
             )
+
+    # CflLumaBuf average: 0 = truncating shift, 1 = rounded shift (the
+    # decoder-exact variant is pinned by the dav1d differential test)
+    CFL_AVG_ROUND = 1
+
+    def _cfl_try(self, ctx, x0, y0, bw, bh, rr, cc):
+        """Chroma-from-luma candidate for one (<= 32x32) block: LS-fit
+        the per-plane projection alphas against the block's reconstructed
+        luma AC, quantize to the coded grid, and compute the exact txbs.
+        Returns (txb_set, joint_sign, coded_au, coded_av) or None."""
+        from .predict import predict
+
+        L = (
+            self.planes[0].recon[y0 : y0 + bh, x0 : x0 + bw]
+            .astype(np.int64) << 3
+        )
+        shift = (bw * bh).bit_length() - 1
+        if self.CFL_AVG_ROUND:
+            avg = (int(L.sum()) + (1 << (shift - 1))) >> shift
+        else:
+            avg = int(L.sum()) >> shift
+        ac = L - avg
+        d = float((ac.astype(np.float64) ** 2).sum())
+        if d <= 0.0:
+            return None
+        alphas = []
+        for pl in (1, 2):
+            above, left, al = self._neighbors(
+                ctx, pl, x0, y0, bw, bh, rr, cc
+            )
+            dcp = predict(0, above, left, al, bw, bh, self.bit_depth)
+            t = (
+                self.planes[pl].src[y0 : y0 + bh, x0 : x0 + bw]
+                .astype(np.float64) - dcp
+            )
+            a = int(np.clip(
+                round(64.0 * float((t * ac).sum()) / d), -16, 16
+            ))
+            alphas.append(a)
+        if alphas == [0, 0]:
+            return None
+        txbs = []
+        for pl, a in zip((1, 2), alphas):
+            levels, rec, cost = self._compute_txb(
+                ctx, pl, x0, y0, bw, bh, rr, cc, False, 0, 0,
+                cfl=(ac, a),
+            )
+            txbs.append((pl, x0, y0, bw, bh, levels, 0, 0, rec, cost))
+
+        def sgn(a):
+            return 0 if a == 0 else (1 if a < 0 else 2)
+
+        su, sv = sgn(alphas[0]), sgn(alphas[1])
+        joint = su * 3 + sv - 1
+        au = abs(alphas[0]) - 1 if su else 0
+        av = abs(alphas[1]) - 1 if sv else 0
+        return txbs, joint, au, av
 
     def _lambda(self) -> float:
         """RD weight between pixel SSE and the |level| rate proxy."""
@@ -1184,11 +1299,13 @@ class FrameEncoder:
 
     def _compute_txb(
         self, ctx, pl, px, py, txw, txh, rr4, cc4, force_skip, mode, delta=0,
-        try_adst=1,
+        try_adst=1, cfl=None,
     ):
         """Quantize + reconstruct one txb with a fixed mode; returns
         (levels, recon, rd_cost). Prediction reads live recon — the
-        decoder's view."""
+        decoder's view. cfl=(luma_ac, alpha) predicts DC + the scaled
+        luma AC (spec 7.11.5; Mode_To_Txfm_Type[UV_CFL_PRED] is DCT, so
+        callers pass mode=0)."""
         from .predict import DIRECTIONAL_MODES, predict, predict_directional
 
         maxv = (1 << self.bit_depth) - 1
@@ -1200,7 +1317,15 @@ class FrameEncoder:
         if max(txw, txh) <= 16 and (pl > 0 or try_adst):
             v_adst = transforms.MODE_V_ADST[mode]
             h_adst = transforms.MODE_H_ADST[mode]
-        if mode in DIRECTIONAL_MODES and not (
+        if cfl is not None:
+            ac, alpha = cfl
+            above, left, al = self._neighbors(ctx, pl, px, py, txw, txh,
+                                              rr4, cc4)
+            dcp = predict(0, above, left, al, txw, txh, self.bit_depth)
+            t = alpha * ac
+            scaled = np.sign(t) * ((np.abs(t) + 32) >> 6)  # Round2Signed
+            pred = np.clip(dcp + scaled, 0, maxv)
+        elif mode in DIRECTIONAL_MODES and not (
             delta == 0 and mode in (1, 2)
         ):
             above_ext, left_ext, al, _ha, _hl = self._neighbors_ext(
@@ -1594,7 +1719,7 @@ class FrameEncoder:
             return (), (), damping
         out = np.empty_like(base)
         cdef_apply(base, out, *args, (yb[1], yb[2], ub[1], ub[2]), skip,
-                   dirs, vars_, n_threads=threads)
+                   dirs, vars_, vis=(w, h), n_threads=threads)
         self._filtered_stack = out
         coded = lambda s: 3 if s == 4 else s
         uv = (((ub[1], coded(ub[2])),) if self.num_planes == 3 else ())

@@ -60,11 +60,13 @@ class OpTileWriter:
     def write_block(
         self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
         skip: int, cfl_allowed: bool, y_delta: int = 0, uv_delta: int = 0,
+        cfl_signs: int = 0, cfl_au: int = 0, cfl_av: int = 0,
     ) -> None:
-        """skip + intra modes + context bookkeeping for one leaf block."""
+        """skip + intra modes + context bookkeeping for one leaf block
+        (uv_mode 13 = CfL, with its joint sign + coded alphas)."""
         self.ops.extend(
             (OP_BLOCK, r, c, w4, h4, y_mode, uv_mode, skip, int(cfl_allowed),
-             y_delta, uv_delta)
+             y_delta, uv_delta, int(cfl_signs), int(cfl_au), int(cfl_av))
         )
 
     def write_block_compute(
@@ -155,18 +157,18 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             tw.write_split_binary(r, c, bsl, bool(horz), bool(split))
             i += 6
         elif op == OP_BLOCK:
-            _, r, c, w4, h4, ym, uvm, skip, cfl, yd, uvd = (
-                int(x) for x in ops[i : i + 11]
-            )
+            (_, r, c, w4, h4, ym, uvm, skip, cfl, yd, uvd,
+             csg, cau, cav) = (int(x) for x in ops[i : i + 14])
             tw.write_skip(r, c, skip)
             tw.write_intra_modes(
-                r, c, w4, h4, ym, uvm, bool(cfl), y_delta=yd, uv_delta=uvd
+                r, c, w4, h4, ym, uvm, bool(cfl), y_delta=yd, uv_delta=uvd,
+                cfl_signs=csg, cfl_au=cau, cfl_av=cav,
             )
             tw.record_block(r, c, w4, h4, ym, skip)
             tw.update_partition_ctx(r, c, w4, h4)
             if skip:
                 tw.reset_block_ctx(r, c, w4, h4)
-            i += 11
+            i += 14
         elif op == OP_COEFFS:
             _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym, va, ha = (
                 int(x) for x in ops[i : i + 13]

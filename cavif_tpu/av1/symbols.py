@@ -329,9 +329,12 @@ class TileWriter:
         ctx = above + left
         self.code(skip, ("skip", ctx), tables.skip_cdf(ctx))
 
+    UV_CFL_PRED = 13
+
     def write_intra_modes(
         self, r: int, c: int, w4: int, h4: int, y_mode: int, uv_mode: int,
         cfl_allowed: bool, y_delta: int = 0, uv_delta: int = 0,
+        cfl_signs: int = 0, cfl_au: int = 0, cfl_av: int = 0,
     ) -> None:
         above_mode = int(self.y_modes[r - 1, c]) if r > 0 else DC_PRED
         left_mode = int(self.y_modes[r, c - 1]) if c > 0 else DC_PRED
@@ -352,6 +355,21 @@ class TileWriter:
                 ("uv", int(cfl_allowed), y_mode),
                 tables.uv_mode_cdf(cfl_allowed, y_mode),
             )
+            if uv_mode == self.UV_CFL_PRED:
+                # read_cfl_alphas (spec 5.11.43): joint sign symbol, then
+                # one 16-ary alpha symbol per nonzero-sign plane with the
+                # libaom context mapping
+                self.code(cfl_signs, ("cfl_sign",), tables.cfl_sign_cdf())
+                sign_u = (cfl_signs + 1) // 3
+                sign_v = (cfl_signs + 1) % 3
+                if sign_u != 0:
+                    ctx_u = cfl_signs - 2
+                    self.code(cfl_au, ("cfl_alpha", ctx_u),
+                              tables.cfl_alpha_cdf(ctx_u))
+                if sign_v != 0:
+                    ctx_v = sign_v * 3 + sign_u - 3
+                    self.code(cfl_av, ("cfl_alpha", ctx_v),
+                              tables.cfl_alpha_cdf(ctx_v))
             if V_PRED <= uv_mode <= D67 and min(w4, h4) >= 2:
                 self.code(uv_delta + 3, ("angle", uv_mode - V_PRED),
                           tables.angle_delta_cdf(uv_mode - V_PRED))

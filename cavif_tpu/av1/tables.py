@@ -130,6 +130,16 @@ def skip_cdf(ctx):
     return _as_lists("skip_cdf", 2)[ctx]
 
 
+def cfl_sign_cdf():
+    """cfl_alpha_signs joint symbol (8 = 3x3 sign pairs minus both-zero)."""
+    return tuple(int(x) for x in get("cfl_sign_cdf")[:8])
+
+
+def cfl_alpha_cdf(ctx):
+    """cfl_alpha magnitude symbol (16-ary, coded alpha-1), 6 contexts."""
+    return tuple(int(x) for x in get("cfl_alpha_cdf")[ctx][:16])
+
+
 def angle_delta_cdf(dir_mode_idx):
     return _as_lists("angle_delta_cdf", 7)[dir_mode_idx]
 

@@ -43,6 +43,8 @@ _CDF_TABLE_IDS = {
     "br_cdf": 16,
     "dc_sign_cdf": 17,
     "intra_ext_tx_cdf": 18,
+    "cfl_sign_cdf": 19,
+    "cfl_alpha_cdf": 20,
 }
 
 _SCAN_SIZES = [
@@ -117,6 +119,7 @@ def _load():
             ctypes.c_int,                    # reduced_tx_set
             ctypes.c_int, ctypes.c_int,      # dc_q, ac_q
             ctypes.c_double, ctypes.c_double,  # gain, lam
+            ctypes.c_int,                    # cfl_search
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),  # recon out (nullable)
@@ -272,6 +275,7 @@ def encode_tile_bp(
     lam: float = 0.0,
     recon_out: np.ndarray = None,
     record: bool = False,
+    cfl_search: bool = False,
 ):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -307,6 +311,7 @@ def encode_tile_bp(
             p.mi_row_start, p.mi_row_end, p.mi_col_start, p.mi_col_end,
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
             int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
+            int(cfl_search),
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
             recon_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))

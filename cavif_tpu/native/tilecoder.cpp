@@ -52,6 +52,8 @@ struct SpecTables {
   std::vector<uint16_t> br;         // (4, 5, 2, 21, 5) nsym 4
   std::vector<uint16_t> dc_sign;    // (4, 2, 3, 3)     nsym 2
   std::vector<uint16_t> intra_ext_tx; // (2, 4, 13, 17)  nsym 7 (set1) / 5 (set2)
+  std::vector<uint16_t> cfl_sign;   // (9,)             nsym 8
+  std::vector<uint16_t> cfl_alpha;  // (6, 17)          nsym 16
   // scans (forward diagonal) + coeff-base context offsets, per (w, h)
   // coded-area size; index = (log2(w)-2)*4 + (log2(h)-2), sizes 4..32.
   std::vector<int32_t> scan[16];
@@ -294,6 +296,8 @@ struct TileCoder {
   CdfRow cdf_sgrproj;
   CdfRow cdf_switchable;
   CdfRow cdf_angle[8];
+  CdfRow cdf_cfl_sign;
+  CdfRow cdf_cfl_alpha[6];
   CdfRow cdf_txb_skip[5][13];
   CdfRow cdf_eob_pt[7][2];        // [log2(area)/... idx][ptype], ctx = 0
   CdfRow cdf_eob_extra[5][2][9];
@@ -346,6 +350,10 @@ struct TileCoder {
     }
     lr_init();
     for (int i = 0; i < 8; i++) load_row(cdf_angle[i], &T.angle[i * 8], 7);
+    if (!T.cfl_sign.empty()) load_row(cdf_cfl_sign, T.cfl_sign.data(), 8);
+    if (!T.cfl_alpha.empty())
+      for (int i = 0; i < 6; i++)
+        load_row(cdf_cfl_alpha[i], &T.cfl_alpha[i * 17], 16);
     for (int t = 0; t < 5; t++)
       for (int c = 0; c < 13; c++)
         load_row(cdf_txb_skip[t][c], &T.txb_skip[((qctx * 5 + t) * 13 + c) * 3], 2);
@@ -553,7 +561,8 @@ struct TileCoder {
   }
 
   void write_block(int r, int c, int bw4, int bh4, int y_mode, int uv_mode,
-                   int skip, int cfl_allowed, int y_delta, int uv_delta) {
+                   int skip, int cfl_allowed, int y_delta, int uv_delta,
+                   int cfl_signs = 0, int cfl_au = 0, int cfl_av = 0) {
     // skip
     {
       int above = r > 0 ? skips[(size_t)(r - 1) * w4 + c] : 0;
@@ -574,6 +583,14 @@ struct TileCoder {
         code(cdf_angle[y_mode - V_PRED], y_delta + 3, 7);
       if (num_planes > 1) {
         code(cdf_uv[cfl_allowed][y_mode], uv_mode, cfl_allowed ? 14 : 13);
+        if (uv_mode == 13) {  // UV_CFL_PRED: joint sign + per-plane alphas
+          code(cdf_cfl_sign, cfl_signs, 8);
+          const int sign_u = (cfl_signs + 1) / 3;
+          const int sign_v = (cfl_signs + 1) % 3;
+          if (sign_u != 0) code(cdf_cfl_alpha[cfl_signs - 2], cfl_au, 16);
+          if (sign_v != 0)
+            code(cdf_cfl_alpha[sign_v * 3 + sign_u - 3], cfl_av, 16);
+        }
         if (uv_mode >= V_PRED && uv_mode <= D67 && mind >= 2)
           code(cdf_angle[uv_mode - V_PRED], uv_delta + 3, 7);
       }
@@ -1192,6 +1209,7 @@ static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
 static const int MODE_H_ADST[13] = {0, 0, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1};
 
 struct BlockPipe {
+  int cfl_search = 0;
   const int32_t* src;  // (P, Hp, Wp) plane-major padded source
   int32_t* recon;      // same shape, scratch owned by caller or us
   std::vector<int32_t> recon_store;
@@ -1513,17 +1531,36 @@ struct BlockPipe {
   // cost of the last compute_txb quantization (coef SSE + lam*rate)
   double last_cost = 0.0;
 
+  // CfL state for compute_txb(mode == 13): block luma AC + fitted alpha
+  const int32_t* cfl_ac = nullptr;
+  int cfl_alpha = 0;
+
+  void predict_cfl(int pl, int px, int py, int txw, int txh) {
+    predict(pl, px, py, txw, txh, 0, 0);  // DC base
+    const int maxv = (1 << bit_depth) - 1;
+    const int n = txw * txh;
+    for (int i = 0; i < n; i++) {
+      long long t = (long long)cfl_alpha * cfl_ac[i];
+      long long a = t < 0 ? -t : t;
+      long long sc = (a + 32) >> 6;  // Round2Signed(alpha * ac, 6)
+      long long v = pred[i] + (t < 0 ? -sc : sc);
+      pred[i] = v < 0 ? 0 : (v > maxv ? maxv : (int32_t)v);
+    }
+  }
+
   void compute_txb(int pl, int px, int py, int txw, int txh, int mode,
                    int delta, bool force_skip, int* out_ch, int* out_cw,
                    bool* any_nz, int try_adst) {
-    predict(pl, px, py, txw, txh, mode, delta);
+    if (mode == 13) predict_cfl(pl, px, py, txw, txh);
+    else predict(pl, px, py, txw, txh, mode, delta);
     int cw = txw < 32 ? txw : 32;
     int ch = txh < 32 ? txh : 32;
     // tx <= 16x16: transform follows the prediction mode — derived
     // (unsignaled) for chroma; for luma the caller RD-selects between
     // DCT_DCT and the mode transform via try_adst
+    // (Mode_To_Txfm_Type[UV_CFL_PRED] is DCT: mode 13 keeps 0)
     int v_adst = 0, h_adst = 0;
-    if ((txw > txh ? txw : txh) <= 16 && !force_skip) {
+    if ((txw > txh ? txw : txh) <= 16 && !force_skip && mode != 13) {
       if (pl > 0 || try_adst) {
         v_adst = MODE_V_ADST[mode];
         h_adst = MODE_H_ADST[mode];
@@ -1663,7 +1700,12 @@ struct BlockPipe {
     static thread_local std::vector<int32_t> all_levels;
     all_levels.clear();
     bool any_nz = false;
-    for (int pl = 0; pl < num_planes; pl++) {
+    // chroma-from-luma: single-txb chroma only (cfl_allowed), decided
+    // jointly for U and V after the luma recon lands
+    const bool try_cfl = cfl_search && cfl_allowed && !force_skip &&
+                         num_planes == 3 && x0 + bw <= Wp && y0 + bh <= Hp;
+    const int n_loop_planes = try_cfl ? 1 : num_planes;
+    for (int pl = 0; pl < n_loop_planes; pl++) {
       int txw = pl == 0 ? (bw < 64 ? bw : 64) : (bw < 32 ? bw : 32);
       int txh = pl == 0 ? (bh < 64 ? bh : 64) : (bh < 32 ? bh : 32);
       int mode = pl == 0 ? y_mode : uv_mode;
@@ -1730,6 +1772,135 @@ struct BlockPipe {
           recs[nrec++] = {pl, px, py, txw, txh, ch, cw, off, va, ha};
         }
     }
+    int cfl_signs = 0, cfl_au = 0, cfl_av = 0;
+    if (try_cfl) {
+      const int txw = bw, txh = bh;  // cfl_allowed -> one chroma txb
+      // luma AC of the block from the just-reconstructed luma (Q3) with
+      // the rounded average (decoder-exact: tests/test_cfl.py)
+      static thread_local std::vector<int32_t> acv;
+      acv.resize((size_t)bw * bh);
+      {
+        const int32_t* lrp = recon;
+        long long sum = 0;
+        for (int yy = 0; yy < bh; yy++)
+          for (int xx = 0; xx < bw; xx++) {
+            int32_t L = lrp[(size_t)(y0 + yy) * Wp + x0 + xx] << 3;
+            acv[(size_t)yy * bw + xx] = L;
+            sum += L;
+          }
+        int shift = 0;
+        while ((1 << shift) < bw * bh) shift++;
+        int avg = (int)((sum + (1 << (shift - 1))) >> shift);
+        for (int i = 0; i < bw * bh; i++) acv[i] -= avg;
+      }
+      double acd = 0.0;
+      for (int i = 0; i < bw * bh; i++)
+        acd += (double)acv[i] * acv[i];
+      int alpha[2] = {0, 0};
+      if (acd > 0.0) {
+        for (int pl = 1; pl <= 2; pl++) {
+          predict(pl, x0, y0, txw, txh, 0, 0);  // DC baseline
+          const int32_t* sp2 = &src[(size_t)pl * Hp * Wp];
+          double num = 0.0;
+          for (int yy = 0; yy < bh; yy++)
+            for (int xx = 0; xx < bw; xx++)
+              num += (double)(sp2[(size_t)(y0 + yy) * Wp + x0 + xx] -
+                              pred[yy * bw + xx]) *
+                     acv[(size_t)yy * bw + xx];
+          double a = 64.0 * num / acd;
+          int ai = (int)std::lround(a);
+          alpha[pl - 1] = ai < -16 ? -16 : (ai > 16 ? 16 : ai);
+        }
+      }
+      // evaluate the batch uv mode and (when any alpha is nonzero) the
+      // CfL candidate for both planes; pick jointly
+      static thread_local std::vector<int32_t> lv_uv[2], lv_cf[2];
+      int ch_ = 0, cw_ = 0;
+      bool nz_uv[2], nz_cf[2] = {false, false};
+      double c_uv = 0.0, c_cf = 0.0;
+      for (int pl = 1; pl <= 2; pl++) {
+        bool nz;
+        compute_txb(pl, x0, y0, txw, txh, uv_mode, uv_delta, false, &ch_,
+                    &cw_, &nz, 1);
+        nz_uv[pl - 1] = nz;
+        c_uv += last_cost;
+        lv_uv[pl - 1].assign(lvbuf.begin(), lvbuf.begin() + ch_ * cw_);
+      }
+      bool use_cfl = false;
+      if (alpha[0] || alpha[1]) {
+        cfl_ac = acv.data();
+        for (int pl = 1; pl <= 2; pl++) {
+          bool nz;
+          cfl_alpha = alpha[pl - 1];
+          compute_txb(pl, x0, y0, txw, txh, 13, 0, false, &ch_, &cw_, &nz,
+                      1);
+          nz_cf[pl - 1] = nz;
+          c_cf += last_cost;
+          lv_cf[pl - 1].assign(lvbuf.begin(), lvbuf.begin() + ch_ * cw_);
+        }
+        cfl_ac = nullptr;
+        use_cfl = c_cf + lam * 4.0 < c_uv;
+      }
+      // recon currently holds the LAST computed path; redo the loser's
+      // planes from the winner's saved levels
+      const int small = (txw > txh ? txw : txh) <= 16;
+      for (int pl = 1; pl <= 2; pl++) {
+        const std::vector<int32_t>& lv =
+            use_cfl ? lv_cf[pl - 1] : lv_uv[pl - 1];
+        bool nz = use_cfl ? nz_cf[pl - 1] : nz_uv[pl - 1];
+        if (!(alpha[0] || alpha[1]) && !use_cfl) {
+          // only the uv path ran: recon already correct
+        } else {
+          int va2 = 0, ha2 = 0;
+          if (!use_cfl && small) {
+            va2 = MODE_V_ADST[uv_mode];
+            ha2 = MODE_H_ADST[uv_mode];
+          }
+          if (use_cfl) {
+            cfl_ac = acv.data();
+            cfl_alpha = alpha[pl - 1];
+            predict_cfl(pl, x0, y0, txw, txh);
+            cfl_ac = nullptr;
+          } else {
+            predict(pl, x0, y0, txw, txh, uv_mode, uv_delta);
+          }
+          int32_t* rp2 = &recon[(size_t)pl * Hp * Wp];
+          const int maxv2 = (1 << bit_depth) - 1;
+          if (!nz) {
+            for (int yy = 0; yy < txh; yy++)
+              for (int xx = 0; xx < txw; xx++)
+                rp2[(size_t)(y0 + yy) * Wp + x0 + xx] =
+                    pred[yy * txw + xx];
+          } else {
+            static thread_local std::vector<int32_t> rsd2;
+            rsd2.resize((size_t)txw * txh);
+            inv_txfm_exact(lv.data(), ch_, cw_, txw, txh, dc_q, ac_q,
+                           bit_depth, va2, ha2, rsd2.data());
+            for (int yy = 0; yy < txh; yy++)
+              for (int xx = 0; xx < txw; xx++) {
+                long long v2 = (long long)pred[yy * txw + xx] +
+                               rsd2[yy * txw + xx];
+                if (v2 < 0) v2 = 0;
+                if (v2 > maxv2) v2 = maxv2;
+                rp2[(size_t)(y0 + yy) * Wp + x0 + xx] = (int32_t)v2;
+              }
+          }
+        }
+        any_nz |= nz;
+        int off = (int)all_levels.size();
+        all_levels.insert(all_levels.end(), lv.begin(), lv.end());
+        recs[nrec++] = {pl, x0, y0, txw, txh, ch_, cw_, off, 0, 0};
+      }
+      if (use_cfl) {
+        uv_mode = 13;
+        uv_delta = 0;
+        int su = alpha[0] == 0 ? 0 : (alpha[0] < 0 ? 1 : 2);
+        int sv = alpha[1] == 0 ? 0 : (alpha[1] < 0 ? 1 : 2);
+        cfl_signs = su * 3 + sv - 1;
+        cfl_au = su ? (alpha[0] < 0 ? -alpha[0] : alpha[0]) - 1 : 0;
+        cfl_av = sv ? (alpha[1] < 0 ? -alpha[1] : alpha[1]) - 1 : 0;
+      }
+    }
     int skip = any_nz ? 0 : 1;
     // mark decoded in the superblock mask (+1 offsets)
     {
@@ -1738,11 +1909,12 @@ struct BlockPipe {
         for (int xx = 0; xx < w4; xx++) mask[sy + 1 + yy][sx + 1 + xx] = 1;
     }
     tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
-                   y_delta, uv_delta);
+                   y_delta, uv_delta, cfl_signs, cfl_au, cfl_av);
     {
-      int32_t row[11] = {OP_BLOCK, rr,       cc,   w4,      h4,     y_mode,
+      int32_t row[14] = {OP_BLOCK, rr,       cc,   w4,      h4,     y_mode,
                          uv_mode,  skip, cfl_allowed, y_delta, uv_delta};
-      rec_row(row, 11);
+      row[11] = cfl_signs; row[12] = cfl_au; row[13] = cfl_av;
+      rec_row(row, 14);
     }
     if (skip) return;
     for (int i = 0; i < nrec; i++) {
@@ -2656,6 +2828,8 @@ int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
     case 16: dst = &T.br; break;
     case 17: dst = &T.dc_sign; break;
     case 18: dst = &T.intra_ext_tx; break;
+    case 19: dst = &T.cfl_sign; break;
+    case 20: dst = &T.cfl_alpha; break;
     default: return -1;
   }
   dst->assign(data, data + n);
@@ -2706,6 +2880,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int base_q, int bit_depth, int num_planes,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
+                   int cfl_search,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
@@ -2716,6 +2891,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
+  bp.cfl_search = cfl_search;
   if (rec_ops) {
     bp.rops = rec_ops;
     bp.rops_cap = rec_ops_cap;
@@ -2825,8 +3001,9 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
       case OP_BLOCK:
         tc.write_block(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                        ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
-                       ops[i + 9], ops[i + 10]);
-        i += 11;
+                       ops[i + 9], ops[i + 10], ops[i + 11], ops[i + 12],
+                       ops[i + 13]);
+        i += 14;
         break;
       case OP_SB_START:
         i += 3;
@@ -3083,7 +3260,7 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
               if (t == 0) skip[mi] = (uint8_t)sk;
             }
         }
-        i += 11;
+        i += 14;
         break;
       }
       default:

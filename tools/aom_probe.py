@@ -21,7 +21,7 @@ def _iface():
     return ctypes.c_void_p.in_dll(_lib, "aom_codec_av1_dx_algo")
 
 
-def probe(payload: bytes) -> Tuple[bool, str, Optional[tuple]]:
+def probe(payload: bytes, want_pixels: bool = False) -> Tuple[bool, str, Optional[tuple]]:
     ctx = (ctypes.c_uint8 * 256)()
     iface = ctypes.addressof(ctypes.c_void_p.in_dll(_lib, "aom_codec_av1_dx_algo"))
     rc = -1
@@ -66,7 +66,39 @@ def probe(payload: bytes) -> Tuple[bool, str, Optional[tuple]]:
             ]
 
         im = ctypes.cast(ctypes.c_void_p(img), ctypes.POINTER(Img)).contents
-        return True, detail, (im.d_w, im.d_h, im.bit_depth, im.monochrome)
+        pixels = None
+        if want_pixels:
+            import numpy as np
+
+            class ImgFull(ctypes.Structure):
+                _fields_ = Img._fields_ + [
+                    ("r_w", ctypes.c_uint),
+                    ("r_h", ctypes.c_uint),
+                    ("x_chroma_shift", ctypes.c_uint),
+                    ("y_chroma_shift", ctypes.c_uint),
+                    ("planes", ctypes.c_void_p * 4),
+                    ("stride", ctypes.c_int * 4),
+                ]
+
+            imf = ctypes.cast(
+                ctypes.c_void_p(img), ctypes.POINTER(ImgFull)
+            ).contents
+            npl = 1 if imf.monochrome else 3
+            pixels = []
+            hb = imf.fmt & 0x800  # AOM_IMG_FMT_HIGHBITDEPTH
+            for pl in range(npl):
+                w_ = imf.d_w >> (imf.x_chroma_shift if pl else 0)
+                h_ = imf.d_h >> (imf.y_chroma_shift if pl else 0)
+                st = imf.stride[pl]
+                n = st * h_
+                raw = (ctypes.c_uint8 * n).from_address(imf.planes[pl])
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if hb:
+                    arr = arr.view(np.uint16).reshape(h_, st // 2)[:, :w_]
+                else:
+                    arr = arr.reshape(h_, st)[:, :w_]
+                pixels.append(arr.astype(np.int32))
+        return True, detail, (im.d_w, im.d_h, im.bit_depth, pixels)
     finally:
         _lib.aom_codec_destroy(ctypes.byref(ctx))
 

@@ -97,7 +97,15 @@ def main() -> None:
         [[1097, 0, 0], [16253, 0, 0], [28192, 0, 0]], dtype=np.uint16
     )  # values at ro16[48576..]; counter slots normalized to 0
     t["cfl_sign_cdf"] = np.append(ro16[48680:48688], 0).astype(np.uint16)
-    t["cfl_alpha_cdf"] = u16(48688, (6, 17))
+    # cfl_alpha: rows 0-4 are clean 17-entry rows at 48688; the binary's
+    # row-5 image carries a duplicated (355, 248) pair (linker artifact) —
+    # drop it to recover the true 15-body row (validated bit-exact against
+    # dav1d for ctx-5 symbols in tests/test_cfl.py)
+    cfl_a = u16(48688, (6, 17)).copy()
+    r5 = list(ro16[48688 + 5 * 17 : 48688 + 5 * 17 + 19])
+    del r5[11:13]
+    cfl_a[5] = np.asarray(r5, np.uint16)
+    t["cfl_alpha_cdf"] = cfl_a
 
     check_cdf_rows(t["kf_y_mode_cdf"], 13)
     assert list(t["intra_ext_tx_cdf"][0, 0, 0, :2]) == [31233, 24733]
