@@ -27,6 +27,10 @@ class AV1Config:
     threads: Optional[int] = None
     # entropy-serializer backend: None = native if built, else python
     ec_backend: Optional[Literal["native", "python"]] = None
+    # spec intra edge filtering/upsampling (7.11.2.9-12): smooths the
+    # directional predictors' neighbor edges like rav1e does; requires
+    # decoder-exact support in the active pass-2 backend
+    intra_edge_filter: bool = False
 
     @property
     def monochrome(self) -> bool:

@@ -60,6 +60,8 @@ class _TileCtx:
     sb: tuple = (0, 0)  # current superblock origin (abs mi)
     mask: Optional[np.ndarray] = None  # BlockDecoded mirror, (18, 18), +1 offset
     end: tuple = (0, 0)  # tile (mi_row_end, mi_col_end): prediction clamp bound
+    ymodes: Optional[np.ndarray] = None  # per-mi y mode (edge filter_type)
+    uvmodes: Optional[np.ndarray] = None
 
 
 class FrameEncoder:
@@ -1047,6 +1049,27 @@ class FrameEncoder:
         y_mode, y_delta, uv_mode, uv_delta = ctx.modes[(r, c, w4, h4)][:4]
         if min(w4, h4) < 2:
             y_delta = uv_delta = 0  # not codeable below 8x8 (use_angle_delta)
+        # intra edge filter_type (spec get_filter_type): smoothness of the
+        # block's above/left neighbor modes, per plane class
+        if self.cfg.intra_edge_filter:
+            if ctx.ymodes is None:
+                shp = (self.mi_rows + 16, self.mi_cols + 16)
+                ctx.ymodes = np.full(shp, -1, np.int16)
+                ctx.uvmodes = np.full(shp, -1, np.int16)
+            SMOOTHS = (9, 10, 11)
+
+            def ftype(grid):
+                sm = 0
+                if rr > 0 and grid[r - 1, c] in SMOOTHS:
+                    sm = 1
+                if cc > 0 and grid[r, c - 1] in SMOOTHS:
+                    sm = 1
+                return sm
+
+            ctx.ftype_y = ftype(ctx.ymodes)
+            ctx.ftype_uv = ftype(ctx.uvmodes)
+            ctx.ymodes[r : r + h4, c : c + w4] = y_mode
+            # uvmodes written after the chroma/CfL decision below
 
         # per-plane tx layout: luma tx = min(block, 64); chroma tx <= 32
         plane_txs = []
@@ -1156,6 +1179,8 @@ class FrameEncoder:
         sy, sx = r - ctx.sb[0], c - ctx.sb[1]
         ctx.mask[sy + 1 : sy + 1 + h4, sx + 1 : sx + 1 + w4] = 1
 
+        if self.cfg.intra_edge_filter and ctx.uvmodes is not None:
+            ctx.uvmodes[r : r + h4, c : c + w4] = uv_mode
         tw.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
                        y_delta=y_delta, uv_delta=uv_delta,
                        cfl_signs=cfl_signs, cfl_au=cfl_au, cfl_av=cfl_av)
@@ -1327,13 +1352,30 @@ class FrameEncoder:
             pred = np.clip(dcp + scaled, 0, maxv)
         elif mode in DIRECTIONAL_MODES and not (
             delta == 0 and mode in (1, 2)
+            and not self.cfg.intra_edge_filter
         ):
             above_ext, left_ext, al, _ha, _hl = self._neighbors_ext(
                 ctx, pl, px, py, txw, txh, rr4, cc4
             )
-            pred = predict_directional(
-                mode, delta, above_ext, left_ext, al, txw, txh
-            )
+            if self.cfg.intra_edge_filter:
+                max_y = ctx.end[0] * 4 - 1
+                max_x = ctx.end[1] * 4 - 1
+                pred = predict_directional(
+                    mode, delta, above_ext, left_ext, al, txw, txh,
+                    edge_filter=True,
+                    filter_type=(
+                        ctx.ftype_y if pl == 0 else ctx.ftype_uv
+                    ),
+                    have_above=rr4 > 0,
+                    have_left=cc4 > 0,
+                    n_top_px=min(txw, max_x - px + 1),
+                    n_left_px=min(txh, max_y - py + 1),
+                    bit_depth=self.bit_depth,
+                )
+            else:
+                pred = predict_directional(
+                    mode, delta, above_ext, left_ext, al, txw, txh
+                )
         else:
             above, left, al = self._neighbors(ctx, pl, px, py, txw, txh,
                                               rr4, cc4)
@@ -1416,6 +1458,7 @@ class FrameEncoder:
             full_range=cfg.full_range,
             enable_cdef=bool(cdef_y),
             enable_restoration=bool(lr_types),
+            enable_intra_edge_filter=cfg.intra_edge_filter,
             color_primaries=1 if cfg.matrix_coefficients is not None else None,
             transfer_characteristics=13 if cfg.matrix_coefficients is not None else None,
             matrix_coefficients=cfg.matrix_coefficients,

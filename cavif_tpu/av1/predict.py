@@ -51,6 +51,102 @@ def _dr(angle: int) -> int:
     return int(tables.get("dr_intra_derivative")[angle])
 
 
+INTRA_EDGE_KERNELS = (
+    (0, 4, 8, 4, 0), (0, 5, 6, 5, 0), (2, 4, 4, 4, 2),
+)
+
+
+def edge_filter_strength(w: int, h: int, filter_type: int, delta: int) -> int:
+    """spec intra_edge_filter_strength (7.11.2.9)."""
+    d = abs(delta)
+    blk_wh = w + h
+    if filter_type == 0:
+        if blk_wh <= 8:
+            if d >= 56:
+                return 1
+        elif blk_wh <= 12:
+            if d >= 40:
+                return 1
+        elif blk_wh <= 16:
+            if d >= 40:
+                return 1
+        elif blk_wh <= 24:
+            if d >= 32:
+                return 3
+            if d >= 16:
+                return 2
+            if d >= 8:
+                return 1
+        elif blk_wh <= 32:
+            if d >= 32:
+                return 3
+            if d >= 4:
+                return 2
+            return 1
+        else:
+            return 3
+        return 0
+    if blk_wh <= 8:
+        if d >= 64:
+            return 2
+        if d >= 40:
+            return 1
+    elif blk_wh <= 16:
+        if d >= 48:
+            return 2
+        if d >= 20:
+            return 1
+    elif blk_wh <= 24:
+        if d >= 4:
+            return 3
+    else:
+        return 3
+    return 0
+
+
+def use_edge_upsample(w: int, h: int, filter_type: int, delta: int) -> bool:
+    """spec use_intra_edge_upsample (7.11.2.10)."""
+    d = abs(delta)
+    blk_wh = w + h
+    if d <= 0 or d >= 40:
+        return False
+    return blk_wh <= 8 if filter_type else blk_wh <= 16
+
+
+def _apply_edge_filter(edge: np.ndarray, sz: int, strength: int) -> None:
+    """spec intra_edge_filter (7.11.2.12): edge[0] is the corner (index
+    -1); smooths entries 1..sz-1 in place from a copy."""
+    if strength == 0 or sz < 2:
+        return
+    k = INTRA_EDGE_KERNELS[strength - 1]
+    orig = edge[:sz].copy()
+    for i in range(1, sz):
+        s = 0
+        for j in range(5):
+            idx = min(max(i - 2 + j, 0), sz - 1)
+            s += k[j] * int(orig[idx])
+        edge[i] = (s + 8) >> 4
+
+
+def _upsample_edge(edge_vals: np.ndarray, sz: int, bit_depth: int):
+    """spec intra_edge_upsample (7.11.2.11): edge_vals[0] is the corner
+    (index -1), 1..sz the edge; returns the upsampled buffer indexed so
+    ret[2 + k] == buf[k] for k in -2..2*sz-2 (buf in spec indexing)."""
+    dup = np.empty(sz + 3, dtype=np.int64)
+    dup[0] = edge_vals[0]
+    dup[1 : sz + 2] = edge_vals[: sz + 1]
+    dup[sz + 2] = edge_vals[sz]
+    maxv = (1 << bit_depth) - 1
+    out = np.empty(2 * sz + 2, dtype=np.int64)  # buf[-2 .. 2*sz-2] at +2
+    out[0] = dup[0]  # buf[-2]
+    for i in range(sz):
+        s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3]
+        s = min(max((s + 8) >> 4, 0), maxv)
+        out[2 + 2 * i - 1] = s        # buf[2i - 1]
+        out[2 + 2 * i] = dup[i + 2]   # buf[2i]
+    return out
+
+
 def predict_directional(
     mode: int,
     angle_delta: int,
@@ -59,10 +155,64 @@ def predict_directional(
     above_left: int,  # AboveRow[-1] == LeftCol[-1]
     w: int,
     h: int,
+    edge_filter: bool = False,
+    filter_type: int = 0,
+    have_above: bool = True,
+    have_left: bool = True,
+    n_top_px: int = 0,  # valid above pixels (min(w, maxX-x+1) etc)
+    n_left_px: int = 0,
+    bit_depth: int = 10,
 ) -> np.ndarray:
-    """Spec 7.11.2.4 directional predictor, no edge filter/upsample (both
-    disabled in the sequence header). Returns (h, w) int32."""
+    """Spec 7.11.2.4 directional predictor. With `edge_filter` the spec's
+    intra edge corner/edge smoothing and upsampling run first (7.11.2.9-12);
+    n_top_px / n_left_px bound the smoothed spans like the decoder's maxX/
+    maxY clamp. Returns (h, w) int32."""
     p_angle = MODE_ANGLE[mode - V_PRED] + angle_delta * 3
+    up_a = up_l = 0
+    if edge_filter and p_angle not in (90, 180):
+        above_ext = above_ext.astype(np.int64).copy()
+        left_ext = left_ext.astype(np.int64).copy()
+        if (90 < p_angle < 180 and (w + h) >= 24
+                and have_left and have_above):
+            above_left = (
+                int(left_ext[0]) * 5 + int(above_left) * 6
+                + int(above_ext[0]) * 5 + 8
+            ) >> 4
+        if have_above:
+            strength = edge_filter_strength(w, h, filter_type, p_angle - 90)
+            n_px = min(w, max(n_top_px, 0)) + (h if p_angle < 90 else 0)
+            buf = np.empty(1 + len(above_ext), dtype=np.int64)
+            buf[0] = above_left
+            buf[1:] = above_ext
+            _apply_edge_filter(buf, n_px + 1, strength)
+            above_left = int(buf[0])
+            above_ext = buf[1:]
+        if have_left:
+            strength = edge_filter_strength(w, h, filter_type, p_angle - 180)
+            n_px = min(h, max(n_left_px, 0)) + (w if p_angle > 180 else 0)
+            buf = np.empty(1 + len(left_ext), dtype=np.int64)
+            buf[0] = above_left
+            buf[1:] = left_ext
+            _apply_edge_filter(buf, n_px + 1, strength)
+            left_ext = buf[1:]
+        up_a = int(use_edge_upsample(w, h, filter_type, p_angle - 90))
+        up_l = int(use_edge_upsample(w, h, filter_type, p_angle - 180))
+    i = np.arange(h, dtype=np.int64)[:, None]
+    j = np.arange(w, dtype=np.int64)[None, :]
+    if p_angle == 90:
+        return np.broadcast_to(above_ext[:w][None, :], (h, w)).astype(np.int32)
+    if p_angle == 180:
+        return np.broadcast_to(left_ext[:h][:, None], (h, w)).astype(np.int32)
+    if up_a:
+        n_px = w + (h if p_angle < 90 else 0)
+        ab_up = _upsample_edge(
+            np.concatenate(([above_left], above_ext)), n_px, bit_depth
+        )
+    if up_l:
+        n_px = h + (w if p_angle > 180 else 0)
+        lc_up = _upsample_edge(
+            np.concatenate(([above_left], left_ext)), n_px, bit_depth
+        )
     i = np.arange(h, dtype=np.int64)[:, None]
     j = np.arange(w, dtype=np.int64)[None, :]
     if p_angle == 90:
@@ -72,6 +222,18 @@ def predict_directional(
     if p_angle < 90:
         dx = _dr(p_angle)
         idx = (i + 1) * dx
+        if up_a:
+            # upsampled AboveRow: buf[k] at ab_up[2 + k]
+            base = (idx >> (6 - 1)) + (j << 1)
+            shift = ((idx << 1) >> 1) & 0x1F
+            max_base = ((w + h - 1) << 1)
+            src = ab_up[2:]
+            b = np.minimum(base, max_base)
+            b1 = np.minimum(base + 1, max_base)
+            val = (src[b] * (32 - shift) + src[b1] * shift + 16) >> 5
+            return np.where(base < max_base, val, src[max_base]).astype(
+                np.int32
+            )
         base = (idx >> 6) + j
         shift = (idx >> 1) & 0x1F
         max_base = w + h - 1
@@ -84,27 +246,56 @@ def predict_directional(
     if p_angle < 180:
         dx = _dr(180 - p_angle)
         dy = _dr(p_angle - 90)
-        idx = (j << 6) - (i + 1) * dx
-        base = idx >> 6
-        shift = (idx >> 1) & 0x1F
-        # AboveRow[-1] is the corner; clamp the gather then patch
-        ab = np.concatenate(([above_left], above_ext))  # index shifted by +1
-        bidx = np.clip(base, -1, w + h - 2)
-        above_val = (
-            ab[bidx + 1] * (32 - shift) + ab[bidx + 2] * shift + 16
-        ) >> 5
-        idx2 = (i << 6) - (j + 1) * dy
-        base2 = idx2 >> 6
-        shift2 = (idx2 >> 1) & 0x1F
-        lc = np.concatenate(([above_left], left_ext))
-        b2 = np.clip(base2, -1, w + h - 2)
-        left_val = (
-            lc[b2 + 1] * (32 - shift2) + lc[b2 + 2] * shift2 + 16
-        ) >> 5
-        return np.where(base >= -1, above_val, left_val).astype(np.int32)
+        if up_a:
+            idx = (j << (6 + 1)) - (i + 1) * (dx << 1)
+            base = idx >> 6
+            shift = (idx >> 1) & 0x1F
+            src_a = ab_up  # buf[k] at [2 + k]; valid k >= -2
+            bidx = np.clip(base, -2, len(src_a) - 4)
+            above_val = (
+                src_a[bidx + 2] * (32 - shift) + src_a[bidx + 3] * shift + 16
+            ) >> 5
+        else:
+            idx = (j << 6) - (i + 1) * dx
+            base = idx >> 6
+            shift = (idx >> 1) & 0x1F
+            ab = np.concatenate(([above_left], above_ext))
+            bidx = np.clip(base, -1, w + h - 2)
+            above_val = (
+                ab[bidx + 1] * (32 - shift) + ab[bidx + 2] * shift + 16
+            ) >> 5
+        if up_l:
+            idx2 = (i << (6 + 1)) - (j + 1) * (dy << 1)
+            base2 = idx2 >> 6
+            shift2 = (idx2 >> 1) & 0x1F
+            src_l = lc_up
+            b2 = np.clip(base2, -2, len(src_l) - 4)
+            left_val = (
+                src_l[b2 + 2] * (32 - shift2) + src_l[b2 + 3] * shift2 + 16
+            ) >> 5
+        else:
+            idx2 = (i << 6) - (j + 1) * dy
+            base2 = idx2 >> 6
+            shift2 = (idx2 >> 1) & 0x1F
+            lc = np.concatenate(([above_left], left_ext))
+            b2 = np.clip(base2, -1, w + h - 2)
+            left_val = (
+                lc[b2 + 1] * (32 - shift2) + lc[b2 + 2] * shift2 + 16
+            ) >> 5
+        return np.where(base >= -(1 << up_a), above_val,
+                        left_val).astype(np.int32)
     # p_angle > 180
     dy = _dr(270 - p_angle)
     idx = (j + 1) * dy
+    if up_l:
+        base = (idx >> (6 - 1)) + (i << 1)
+        shift = ((idx << 1) >> 1) & 0x1F
+        max_base = ((w + h - 1) << 1)
+        src = lc_up[2:]
+        b = np.minimum(base, max_base)
+        b1 = np.minimum(base + 1, max_base)
+        val = (src[b] * (32 - shift) + src[b1] * shift + 16) >> 5
+        return np.where(base < max_base, val, src[max_base]).astype(np.int32)
     base = (idx >> 6) + i
     shift = (idx >> 1) & 0x1F
     max_base = w + h - 1
