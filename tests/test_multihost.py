@@ -1,0 +1,96 @@
+"""Multi-host (2-process) mesh execution via jax.distributed.
+
+The SURVEY's scale-out story (§5.8): the whole-plane mode search runs
+pjit-sharded over a global mesh spanning multiple processes — here two
+local processes with 4 virtual CPU devices each form a (data=2, tile=4)
+global mesh, the ICI/DCN layout the TPU pod build uses. Each process
+verifies its addressable output shards against a single-device reference.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = str(Path(__file__).resolve().parent.parent)
+
+WORKER = """
+import os, sys
+import numpy as np
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from cavif_tpu.ops.block_search import _kernel
+
+assert jax.process_count() == 2, jax.process_count()
+devs = np.array(jax.devices())  # 8 global devices (4 per process)
+assert devs.size == 8, devs
+mesh = Mesh(devs.reshape(2, 4), ("data", "tile"))
+
+n = 32
+rng = np.random.default_rng(0)
+planes = rng.integers(0, 1024, (4, 4 * n, 2 * n)).astype(np.int32)
+
+f = _kernel(n, 10)
+args = (np.float32(499), np.float32(616), np.float32(30.0))
+
+# single-device reference (local)
+ref_modes, ref_costs = f(jnp.asarray(planes), *args)
+ref_modes = np.asarray(ref_modes)
+
+sh = NamedSharding(mesh, P("data", "tile", None))
+arr = jax.device_put(jnp.asarray(planes), sh)
+out_modes, _ = jax.jit(f, in_shardings=(sh, None, None, None),
+                       out_shardings=NamedSharding(mesh, P("data", "tile", None)))(
+    arr, *args)
+# verify the locally addressable shards against the reference
+for s in out_modes.addressable_shards:
+    got = np.asarray(s.data)
+    idx = s.index
+    exp = ref_modes[idx]
+    assert np.array_equal(got, exp), (pid, s.index)
+print(f"proc {pid} ok: {len(out_modes.addressable_shards)} shards verified")
+""" % ROOT
+
+
+def test_two_process_mesh():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        # the axon TPU-tunnel plugin (PYTHONPATH sitecustomize) forces its
+        # own platform; strip it for a pure-CPU multiprocess run
+        "PYTHONPATH": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(i), coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err[-1200:]
+        assert "ok:" in out, out
