@@ -196,6 +196,7 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # vis_w, vis_h, threads
             ctypes.c_int,  # sub (block subsampling 1/2/4)
             ctypes.c_int,  # fast_sec (search secondary {0, 2} only)
+            ctypes.c_int,  # per_sb (per-64x64 accumulators)
             ctypes.POINTER(ctypes.c_double),  # out_y[n_pri*4]
             ctypes.POINTER(ctypes.c_double),  # out_uv (nullable)
         ]
@@ -579,7 +580,7 @@ def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
                 mi_cols: int, bit_depth: int, damping: int,
                 pri_cands: np.ndarray, skip: np.ndarray, dirs: np.ndarray,
                 vars_: np.ndarray, vis: tuple, n_threads: int = 1,
-                sub: int = 1, fast_sec: int = 0):
+                sub: int = 1, fast_sec: int = 0, per_sb: int = 0):
     """SSE deltas (filter vs passthrough, visible crop) for every
     (pri_cands[i], sec[j]) combo with sec in {0, 1, 2, 4}, one threaded
     pass. `sub` subsamples the scored 8x8 blocks (2: checkerboard, 4:
@@ -591,8 +592,10 @@ def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
     P, Hp, Wp = inp.shape
     assert inp.dtype == np.int32 and inp.flags["C_CONTIGUOUS"]
     pc = np.ascontiguousarray(pri_cands, dtype=np.int32)
-    acc_y = np.zeros((len(pc), 4), np.float64)
-    acc_uv = np.zeros((len(pc), 4), np.float64) if P == 3 else None
+    nsb = (((mi_rows + 15) >> 4) * ((mi_cols + 15) >> 4)) if per_sb else 1
+    shape = (nsb, len(pc), 4) if per_sb else (len(pc), 4)
+    acc_y = np.zeros(shape, np.float64)
+    acc_uv = np.zeros(shape, np.float64) if P == 3 else None
     i32 = ctypes.POINTER(ctypes.c_int32)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     f64 = ctypes.POINTER(ctypes.c_double)
@@ -603,7 +606,7 @@ def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,
         skip.ctypes.data_as(u8), dirs.ctypes.data_as(u8),
         vars_.ctypes.data_as(i32),
         int(vis[0]), int(vis[1]), int(n_threads), int(sub),
-        int(fast_sec),
+        int(fast_sec), int(per_sb),
         acc_y.ctypes.data_as(f64),
         acc_uv.ctypes.data_as(f64) if acc_uv is not None else None,
     )

@@ -2630,14 +2630,20 @@ struct SearchPlaneArgs {
   int vis_w, vis_h;
   int sub;  // block subsampling: 1 all, 2 checkerboard, 4 quarter
   int fast_sec;  // 1: drop secondary strength 1 (search {0, 2, 4})
+  int per_sb;  // 1: accumulate per 64x64 superblock (acc[(sb, combo)])
 };
 
 // accumulate SSE deltas for one plane over block rows [br0, br1) into
 // acc[n_pri * 4] (combo (i, j): pri_cands[i] x SEC_ACT[j])
 static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
                               int br1, double* acc) {
-  int64_t iacc[16 * 4];
-  std::memset(iacc, 0, sizeof(iacc));
+  const int sb64c = (a.mi_cols + 15) >> 4;
+  // per-sb64 integer accumulators; flushed to acc at the end (a slab is
+  // whole sb64 rows, so rows [br0, br1) span sb64 rows br0/8 .. )
+  const int sb0 = br0 >> 3;
+  const int nsb = ((br1 + 7) >> 3) - sb0;
+  std::vector<int64_t> iacc((size_t)(a.per_sb ? nsb * sb64c : 1) * 16 * 4,
+                            0);
   const int sb8c = (a.mi_cols + 1) >> 1;
   const int cw = a.mi_cols * 4, ch = a.mi_rows * 4;
   const int cs = a.bit_depth - 8;
@@ -2662,6 +2668,10 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
     const int y0 = br * 8;
     const int fh = (ch - y0) < 8 ? (ch - y0) : 8;
     for (int bc = 0; bc < sb8c; bc++) {
+      int64_t* iac = iacc.data()
+          + (a.per_sb
+                 ? (size_t)(((br >> 3) - sb0) * sb64c + (bc >> 3)) * 16 * 4
+                 : 0);
       if (a.sub == 2 && ((br + bc) & 1)) continue;
       if (a.sub >= 4 && ((br | bc) & 1)) continue;
       const int r1 = (br * 2 + 2) < a.mi_rows ? br * 2 + 2 : a.mi_rows;
@@ -2792,13 +2802,20 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
               if (v < mn) v = mn;
               if (v > mx) v = mx;
               const int32_t nd = v - sref;
-              iacc[i * 4 + j] += (int64_t)nd * nd - base_err;
+              iac[i * 4 + j] += (int64_t)nd * nd - base_err;
             }
           }
         }
     }
   }
-  for (int i = 0; i < a.n_pri * 4; i++) acc[i] += (double)iacc[i];
+  if (a.per_sb) {
+    for (int b = 0; b < nsb * sb64c; b++)
+      for (int i = 0; i < a.n_pri * 4; i++)
+        acc[(size_t)((sb0 * sb64c) + b) * (a.n_pri * 4) + i] +=
+            (double)iacc[(size_t)b * 16 * 4 + i];
+  } else {
+    for (int i = 0; i < a.n_pri * 4; i++) acc[i] += (double)iacc[i];
+  }
 }
 
 }  // namespace cdefns
@@ -3397,10 +3414,12 @@ int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
                    int damping, const int32_t* pri_cands, int n_pri,
                    const uint8_t* skip, const uint8_t* dirs,
                    const int32_t* vars, int vis_w, int vis_h, int n_threads,
-                   int sub, int fast_sec, double* out_y, double* out_uv) {
+                   int sub, int fast_sec, int per_sb, double* out_y,
+                   double* out_uv) {
   if (n_pri < 1 || n_pri > 16) return 1;
   const int sb8r = (mi_rows + 1) >> 1;
-  const int NC = n_pri * 4;
+  const int n_sb64 = ((mi_rows + 15) >> 4) * ((mi_cols + 15) >> 4);
+  const size_t NC = (size_t)n_pri * 4 * (per_sb ? n_sb64 : 1);
   std::memset(out_y, 0, NC * sizeof(double));
   if (out_uv) std::memset(out_uv, 0, NC * sizeof(double));
   // work items: (plane, block-row slab)
@@ -3434,6 +3453,7 @@ int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
     a.vis_h = vis_h;
     a.sub = sub < 1 ? 1 : sub;
     a.fast_sec = fast_sec;
+    a.per_sb = per_sb;
     for (;;) {
       const int it = next.fetch_add(1);
       if (it >= (int)items.size()) break;
@@ -3452,9 +3472,9 @@ int of_cdef_search(const int32_t* in, const int32_t* src, int P, int Hp,
     for (auto& th : ths) th.join();
   }
   for (int t = 0; t < n_threads; t++) {
-    for (int c = 0; c < NC; c++) out_y[c] += accs[t][c];
+    for (size_t c = 0; c < NC; c++) out_y[c] += accs[t][c];
     if (out_uv)
-      for (int c = 0; c < NC; c++) out_uv[c] += accs[t][NC + c];
+      for (size_t c = 0; c < NC; c++) out_uv[c] += accs[t][NC + c];
   }
   return 0;
 }
