@@ -584,17 +584,19 @@ class FrameEncoder:
             K = 4
         else:
             K = 2
-        groups: dict = {}  # (bw, bh) -> [(block_idx, plane), ...]
+        groups: dict = {}  # (bw, bh, plane-class) -> [(idx, plane), ...]
         for idx, (r, c, w4b, h4b) in enumerate(blocks):
             bw, bh = w4b * 4, h4b * 4
-            g = groups.setdefault((bw, bh), [])
-            g.append((idx, 0))
+            groups.setdefault((bw, bh, 0), []).append((idx, 0))
             if self.num_planes > 1 and not luma_only:
-                g.append((idx, 1))
+                groups.setdefault((bw, bh, 1), []).append((idx, 1))
         planes = self._src_stack()
         nthr = getattr(self, "_search_threads", 1)
         modes: dict = {}
-        for (bw, bh), items in groups.items():
+        for (bw, bh, plc), items in groups.items():
+            # chroma is smoother and CfL competes in pass 2: half the RD
+            # width at the fast tiers
+            Kp = K if plc == 0 else (2 if sp >= 3 and K > 2 else K)
             force_skip = max(bw, bh) == 64
             refine = (
                 tweaks.fine_directional_intra
@@ -608,7 +610,7 @@ class FrameEncoder:
             bm, bd_, bc = native.mode_search_planes(
                 planes, arr, bw, bh, (r0 * 4, c0 * 4),
                 self.dc_q, self.ac_q, self.bit_depth, lam,
-                float(transforms.get_gain(bw, bh)), K, refine, force_skip,
+                float(transforms.get_gain(bw, bh)), Kp, refine, force_skip,
                 nthr,
             )
             for i, (idx, pl) in enumerate(items):
