@@ -602,6 +602,7 @@ class FrameEncoder:
                 tweaks.fine_directional_intra
                 and not force_skip
                 and min(bw, bh) >= 8
+                and (plc == 0 or sp <= 2)  # chroma deltas: slow tiers only
             )
             arr = np.empty((len(items), 3), dtype=np.int32)
             for i, (idx, pl) in enumerate(items):
