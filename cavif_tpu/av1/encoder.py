@@ -581,7 +581,11 @@ class FrameEncoder:
         if tweaks.complex_prediction_modes:
             K = 13
         elif sp <= 6:
-            K = 4
+            # RD width after the SAD prefilter: the 4->5 step measured
+            # +0.175 dB at +0.4% bytes and ~no time on the A/B corpus
+            # (the SAD ordering misses the RD winner often at 4);
+            # diminishing returns past 5 (13 costs +40% time for +0.04)
+            K = 5
         else:
             K = 2
         groups: dict = {}  # (bw, bh, plane-class) -> [(idx, plane), ...]
@@ -596,7 +600,7 @@ class FrameEncoder:
         for (bw, bh, plc), items in groups.items():
             # chroma is smoother and CfL competes in pass 2: half the RD
             # width at the fast tiers
-            Kp = K if plc == 0 else (2 if sp >= 3 and K > 2 else K)
+            Kp = K if plc == 0 else (3 if sp >= 3 and K > 3 else K)
             force_skip = max(bw, bh) == 64
             refine = (
                 tweaks.fine_directional_intra
