@@ -687,7 +687,7 @@ class FrameEncoder:
     # rate proxies (in the same units as the |level| rate proxy of the
     # block cost): per-leaf mode/skip/tx_type overhead and per-partition
     # symbol overhead. Larger OVH_BLOCK biases toward larger blocks.
-    OVH_BLOCK = 12.0
+    OVH_BLOCK = 15.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
     # per-half block-overhead factor in the HORZ/VERT cost proxy; high on
