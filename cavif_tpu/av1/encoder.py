@@ -461,7 +461,7 @@ class FrameEncoder:
                         (B, preds.shape[1]), np.inf, dtype=np.float64
                     )
                     np.put_along_axis(cost, keep, cost_k, axis=1)
-                cost[:, 7:] += lam * 2.0  # angle-delta symbol rate proxy
+                cost[:, 7:] += lam * 7.0  # diag angle+mode rate proxy (A/B-tuned)
                 best = np.argmin(cost, axis=1)
                 deltas = np.zeros(B, dtype=np.int32)
                 if (

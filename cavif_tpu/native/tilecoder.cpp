@@ -3110,7 +3110,7 @@ static void search_one(const int32_t* s_, const int32_t* ae,
     int m = keep[ki];
     double c = rd_cost(s_, sc.pred.data() + (size_t)m * n, bw, bh, P.dc_q,
                        P.ac_q, P.bit_depth, lam, P.gain, sc);
-    if (m >= 7) c += lam * 2.0;  // diag angle-symbol rate proxy
+    if (m >= 7) c += lam * 7.0;  // diag angle+mode rate proxy (A/B-tuned)
     if (c < bc) { bc = c; best = m; }
   }
   int bdelta = 0;

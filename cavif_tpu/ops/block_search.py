@@ -255,7 +255,7 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
             axis=(-2, -1)
         )
         cost = (errc * errc).sum(axis=(-2, -1)) + lam * rate
-        cost = cost.at[..., 7:].add(lam * 2.0)  # angle-delta rate proxy
+        cost = cost.at[..., 7:].add(lam * 7.0)  # diag rate proxy (A/B-tuned)
         return (
             jnp.argmin(cost, axis=-1).astype(jnp.int8),
             jnp.min(cost, axis=-1).astype(jnp.float32),

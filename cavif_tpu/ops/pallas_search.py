@@ -226,8 +226,8 @@ def _pallas_kernel(n: int, bit_depth: int, chunk: int, interpret: bool):
             acc = (errc * errc + lam * jnp.abs(lv)
                    + (2.0 * lam) * (lv != 0.0).astype(jnp.float32))
             costs.append(
-                jnp.sum(acc, axis=1, keepdims=True) + lam * 2.0
-            )  # + angle-delta rate proxy
+                jnp.sum(acc, axis=1, keepdims=True) + lam * 7.0
+            )  # + diag rate proxy (A/B-tuned)
         cost = jnp.concatenate(costs, axis=1)  # (CH, 13)
         # pad the mode axis to 16 lanes; argmin runs outside the kernel
         # (dynamic-lane stores of a (CH, 1) argmin column don't lower)
