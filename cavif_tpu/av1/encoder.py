@@ -676,7 +676,7 @@ class FrameEncoder:
             dbest = np.argmin(c, axis=1)
             cmin = np.take_along_axis(c, dbest[:, None], axis=1)[:, 0]
             cur = cost[sel, best[sel]]
-            win = cmin < cur
+            win = cmin + lam * 6.0 < cur
             dvals = np.asarray([-3, -2, -1, 1, 2, 3])[dbest]
             deltas[sel[win]] = dvals[win]
             cost[sel[win], best[sel[win]]] = cmin[win]

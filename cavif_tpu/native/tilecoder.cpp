@@ -3121,7 +3121,7 @@ static void search_one(const int32_t* s_, const int32_t* ae,
       predict_into(bmode_id, DELTAS[di], ae, le, alv, hav_a, hav_l, bw, bh,
                    P.bit_depth, sc.pred.data());
       double c = rd_cost(s_, sc.pred.data(), bw, bh, P.dc_q, P.ac_q,
-                         P.bit_depth, lam, P.gain, sc) + lam * 2.0;
+                         P.bit_depth, lam, P.gain, sc) + lam * 6.0;
       if (c < bc) { bc = c; bdelta = DELTAS[di]; }
     }
   }
