@@ -352,15 +352,15 @@ class FrameEncoder:
         CAND_MODES = NONDIRECTIONAL_MODES + DIAG_MODES
         r0, c0 = origin
         lam = self._lambda()
-        groups: dict = {}  # (bw, bh) -> list of (block_idx, plane)
+        groups: dict = {}  # (bw, bh, plane-class) -> [(idx, plane), ...]
         for idx, (r, c, w4b, h4b) in enumerate(blocks):
             bw, bh = w4b * 4, h4b * 4
-            groups.setdefault((bw, bh), []).append((idx, 0))
+            groups.setdefault((bw, bh, 0), []).append((idx, 0))
             if self.num_planes > 1 and not luma_only:
-                groups[(bw, bh)].append((idx, 1))
+                groups.setdefault((bw, bh, 1), []).append((idx, 1))
         modes: dict = {}
         CHUNK = 1024  # bounds temporaries to ~200 MB at 32x32
-        for (bw, bh), all_items in groups.items():
+        for (bw, bh, pl_cls), all_items in groups.items():
             force_skip = max(bw, bh) == 64
             for c0i in range(0, len(all_items), CHUNK):
                 items = all_items[c0i : c0i + CHUNK]
@@ -426,7 +426,7 @@ class FrameEncoder:
                     if self.cfg.tweaks.complex_prediction_modes:
                         K = preds.shape[1]
                     elif sp <= 6:
-                        K = 4
+                        K = 5 if pl_cls == 0 else 3  # mirror native widths
                     else:
                         K = 2
                     sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
