@@ -277,6 +277,7 @@ class FrameEncoder:
                 self.num_planes == 3
                 and self.cfg.tweaks.speed_preset <= 6
             ),
+            edge_filter=self.cfg.intra_edge_filter,
         )
         if record:
             out, rops, rlvl = out

@@ -1270,7 +1270,15 @@ struct BlockPipe {
     fbuf.resize(64 * 64); tbuf.resize(64 * 64);
     cbuf.resize(64 * 64); rbuf.resize(64 * 64);
     lvbuf.resize(32 * 32); pred.resize(64 * 64);
+    // per-mi mode grids over the tile (edge-filter neighbor smoothness)
+    tile_w4 = (c1 - c0) + 16;
+    tile_h4 = (r1 - r0) + 16;
+    ymg.assign((size_t)tile_h4 * tile_w4, -1);
+    uvmg.assign((size_t)tile_h4 * tile_w4, -1);
   }
+
+  int tile_w4 = 0, tile_h4 = 0;
+  std::vector<int16_t> ymg, uvmg;
 
   // intra predict into pred[] (txh x txw), reading recon neighbors
   void predict(int pl, int px, int py, int txw, int txh, int mode, int delta) {
@@ -1405,6 +1413,85 @@ struct BlockPipe {
   // with spec neighbor extension: AboveRow/LeftCol length w+h, real pixels
   // up to the availability bound (above-right / below-left from the
   // BlockDecoded mirror), frame-edge-clamped reads, replication beyond.
+  // --- intra edge filtering (spec 7.11.2.9-12), decoder-exact ---------
+  static int edge_strength(int w, int h, int ftype, int delta) {
+    int d = delta < 0 ? -delta : delta;
+    int wh = w + h;
+    if (ftype == 0) {
+      if (wh <= 8) { if (d >= 56) return 1; }
+      else if (wh <= 12) { if (d >= 40) return 1; }
+      else if (wh <= 16) { if (d >= 40) return 1; }
+      else if (wh <= 24) {
+        if (d >= 32) return 3;
+        if (d >= 16) return 2;
+        if (d >= 8) return 1;
+      } else if (wh <= 32) {
+        if (d >= 32) return 3;
+        if (d >= 4) return 2;
+        return 1;
+      } else return 3;
+      return 0;
+    }
+    if (wh <= 8) { if (d >= 64) return 2; if (d >= 40) return 1; }
+    else if (wh <= 16) { if (d >= 48) return 2; if (d >= 20) return 1; }
+    else if (wh <= 24) { if (d >= 4) return 3; }
+    else return 3;
+    return 0;
+  }
+
+  static bool use_upsample(int w, int h, int ftype, int delta) {
+    int d = delta < 0 ? -delta : delta;
+    if (d <= 0 || d >= 40) return false;
+    return ftype ? (w + h <= 8) : (w + h <= 16);
+  }
+
+  // smooth e[0..n_px-1] (the edge) with the corner as virtual index -1;
+  // rounded kernel shift, clamped window reads from a copy
+  static void edge_smooth(int64_t corner, int64_t* e, int n_px,
+                          int strength) {
+    if (!strength || n_px < 1) return;
+    static const int KER[3][5] = {
+        {0, 4, 8, 4, 0}, {0, 5, 6, 5, 0}, {2, 4, 4, 4, 2}};
+    const int* k = KER[strength - 1];
+    const int sz = n_px + 1;
+    int64_t orig[132];
+    orig[0] = corner;
+    for (int i = 0; i < n_px; i++) orig[i + 1] = e[i];
+    for (int i = 1; i < sz; i++) {
+      long long sum = 0;
+      for (int j = 0; j < 5; j++) {
+        int idx = i - 2 + j;
+        idx = idx < 0 ? 0 : (idx > sz - 1 ? sz - 1 : idx);
+        sum += k[j] * orig[idx];
+      }
+      e[i - 1] = (sum + 8) >> 4;
+    }
+  }
+
+  // 2x upsample of [corner, e0..e_{sz-1}] into out such that the spec's
+  // buf[k] lives at out[2 + k] (k from -2); returns entries written
+  static int upsample_edge(int64_t corner, const int64_t* e, int sz,
+                           int maxv, int64_t* out) {
+    int64_t dup[262];
+    dup[0] = corner;
+    dup[1] = corner;
+    for (int i = 0; i < sz; i++) dup[2 + i] = e[i];
+    dup[sz + 2] = e[sz - 1];
+    out[0] = dup[0];
+    for (int i = 0; i < sz; i++) {
+      long long v = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3];
+      v = (v + 8) >> 4;
+      v = v < 0 ? 0 : (v > maxv ? maxv : v);
+      out[2 + 2 * i - 1] = v;
+      out[2 + 2 * i] = dup[i + 2];
+    }
+    return 2 * sz + 2;
+  }
+
+  int edge_filter = 0;   // cfg.intra_edge_filter
+  int cur_ftype_y = 0;   // per-block neighbor-smoothness filter types
+  int cur_ftype_uv = 0;
+
   void predict_directional(int pl, int px, int py, int txw, int txh, int mode,
                            int delta, bool have_a, bool have_l) {
     static const int MODE_ANGLE[8] = {90, 180, 45, 135, 113, 157, 203, 67};
@@ -1457,6 +1544,37 @@ struct BlockPipe {
       al = rp[(size_t)(py - 1) * Wp + px - 1];
     }
     int p_angle = MODE_ANGLE[mode - 1] + delta * 3;
+    int up_a = 0, up_l = 0;
+    int64_t ab_up[262], lc_up[262];
+    if (edge_filter && p_angle != 90 && p_angle != 180) {
+      const int ftype = pl == 0 ? cur_ftype_y : cur_ftype_uv;
+      if (p_angle > 90 && p_angle < 180 && (w + h) >= 24 && have_l &&
+          have_a)
+        al = (left_ext[0] * 5 + al * 6 + above_ext[0] * 5 + 8) >> 4;
+      if (have_a) {
+        int strength = edge_strength(w, h, ftype, p_angle - 90);
+        int n_top = w < (max_x - px + 1) ? w : (max_x - px + 1);
+        if (n_top < 0) n_top = 0;
+        edge_smooth(al, above_ext, n_top + (p_angle < 90 ? h : 0),
+                    strength);
+      }
+      if (have_l) {
+        int strength = edge_strength(w, h, ftype, p_angle - 180);
+        int n_left = h < (max_y - py + 1) ? h : (max_y - py + 1);
+        if (n_left < 0) n_left = 0;
+        edge_smooth(al, left_ext, n_left + (p_angle > 180 ? w : 0),
+                    strength);
+      }
+      up_a = use_upsample(w, h, ftype, p_angle - 90) ? 1 : 0;
+      up_l = use_upsample(w, h, ftype, p_angle - 180) ? 1 : 0;
+      const int maxv = (1 << bit_depth) - 1;
+      if (up_a)
+        upsample_edge(al, above_ext, w + (p_angle < 90 ? h : 0), maxv,
+                      ab_up);
+      if (up_l)
+        upsample_edge(al, left_ext, h + (p_angle > 180 ? w : 0), maxv,
+                      lc_up);
+    }
     int32_t* out = pred.data();
     const int32_t* dr = g_tables.dr.data();
     if (p_angle == 90) {
@@ -1472,6 +1590,22 @@ struct BlockPipe {
     int max_base = w + h - 1;
     if (p_angle < 90) {
       int dx = dr[p_angle];
+      if (up_a) {
+        const int64_t* src = ab_up + 2;  // buf[k] for k >= 0
+        const int mb = (w + h - 1) << 1;
+        for (int i = 0; i < h; i++) {
+          int64_t idx = (int64_t)(i + 1) * dx;
+          for (int j = 0; j < w; j++) {
+            int64_t b = (idx >> 5) + ((int64_t)j << 1);
+            int shift = (int)(((idx << 1) >> 1) & 0x1F);
+            int64_t v = b < mb
+                ? (src[b] * (32 - shift) + src[b + 1] * shift + 16) >> 5
+                : src[mb];
+            out[i * w + j] = (int32_t)v;
+          }
+        }
+        return;
+      }
       for (int i = 0; i < h; i++) {
         int64_t idx = (int64_t)(i + 1) * dx;
         for (int j = 0; j < w; j++) {
@@ -1488,28 +1622,65 @@ struct BlockPipe {
     } else if (p_angle < 180) {
       int dx = dr[180 - p_angle];
       int dy = dr[p_angle - 90];
+      const int lim = -(1 << up_a);
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t idx = ((int64_t)j << 6) - (int64_t)(i + 1) * dx;
-          int64_t b = idx >> 6;
+          int64_t b, av;
+          int shift;
+          if (up_a) {
+            int64_t idx = ((int64_t)j << 7) - (int64_t)(i + 1) * (dx << 1);
+            b = idx >> 6;
+            shift = (int)((idx >> 1) & 0x1F);
+            int64_t bi = b < -2 ? -2 : b;
+            av = (ab_up[bi + 2] * (32 - shift) + ab_up[bi + 3] * shift +
+                  16) >> 5;
+          } else {
+            int64_t idx = ((int64_t)j << 6) - (int64_t)(i + 1) * dx;
+            b = idx >> 6;
+            shift = (int)((idx >> 1) & 0x1F);
+            int64_t bi = b < -1 ? -1 : b;
+            int64_t a0 = bi < 0 ? al : above_ext[bi];
+            int64_t a1 = above_ext[bi + 1];
+            av = (a0 * (32 - shift) + a1 * shift + 16) >> 5;
+          }
           int64_t v;
-          if (b >= -1) {
-            int shift = (int)((idx >> 1) & 0x1F);
-            int64_t a0 = b < 0 ? al : above_ext[b];
-            int64_t a1 = above_ext[b + 1];
-            v = (a0 * (32 - shift) + a1 * shift + 16) >> 5;
+          if (b >= lim) {
+            v = av;
+          } else if (up_l) {
+            int64_t idx2 = ((int64_t)i << 7) - (int64_t)(j + 1) * (dy << 1);
+            int64_t b2 = idx2 >> 6;
+            int shift2 = (int)((idx2 >> 1) & 0x1F);
+            int64_t bi = b2 < -2 ? -2 : b2;
+            v = (lc_up[bi + 2] * (32 - shift2) + lc_up[bi + 3] * shift2 +
+                 16) >> 5;
           } else {
             int64_t idx2 = ((int64_t)i << 6) - (int64_t)(j + 1) * dy;
             int64_t b2 = idx2 >> 6;
             int shift2 = (int)((idx2 >> 1) & 0x1F);
-            int64_t l0 = b2 < 0 ? al : left_ext[b2];
-            int64_t l1 = b2 + 1 < 0 ? al : left_ext[b2 + 1];
+            int64_t bi = b2 < -1 ? -1 : b2;
+            int64_t l0 = bi < 0 ? al : left_ext[bi];
+            int64_t l1 = bi + 1 < 0 ? al : left_ext[bi + 1];
             v = (l0 * (32 - shift2) + l1 * shift2 + 16) >> 5;
           }
           out[i * w + j] = (int32_t)v;
         }
     } else {
       int dy = dr[270 - p_angle];
+      if (up_l) {
+        const int64_t* src = lc_up + 2;
+        const int mb = (w + h - 1) << 1;
+        for (int i = 0; i < h; i++)
+          for (int j = 0; j < w; j++) {
+            int64_t idx = (int64_t)(j + 1) * dy;
+            int64_t b = (idx >> 5) + ((int64_t)i << 1);
+            int shift = (int)(((idx << 1) >> 1) & 0x1F);
+            int64_t v = b < mb
+                ? (src[b] * (32 - shift) + src[b + 1] * shift + 16) >> 5
+                : src[mb];
+            out[i * w + j] = (int32_t)v;
+          }
+        return;
+      }
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int64_t idx = (int64_t)(j + 1) * dy;
@@ -1693,6 +1864,25 @@ struct BlockPipe {
     int mx = bw > bh ? bw : bh;
     bool force_skip = mx == 64;
     int cfl_allowed = mx <= 32;
+    if (edge_filter) {
+      auto smooth_of = [&](const std::vector<int16_t>& g) {
+        int sm = 0;
+        if (rr > 0) {
+          int m_ = g[(size_t)(rr - 1) * tile_w4 + cc];
+          if (m_ >= 9 && m_ <= 11) sm = 1;
+        }
+        if (cc > 0) {
+          int m_ = g[(size_t)rr * tile_w4 + (cc - 1)];
+          if (m_ >= 9 && m_ <= 11) sm = 1;
+        }
+        return sm;
+      };
+      cur_ftype_y = smooth_of(ymg);
+      cur_ftype_uv = smooth_of(uvmg);
+      for (int yy = 0; yy < h4 && rr + yy < tile_h4; yy++)
+        for (int xx = 0; xx < w4 && cc + xx < tile_w4; xx++)
+          ymg[(size_t)(rr + yy) * tile_w4 + cc + xx] = (int16_t)y_mode;
+    }
 
     struct TxbRec { int pl, px, py, txw, txh, ch, cw, lvl_off, va, ha; };
     TxbRec recs[32];
@@ -1902,6 +2092,11 @@ struct BlockPipe {
       }
     }
     int skip = any_nz ? 0 : 1;
+    if (edge_filter) {
+      for (int yy = 0; yy < h4 && rr + yy < tile_h4; yy++)
+        for (int xx = 0; xx < w4 && cc + xx < tile_w4; xx++)
+          uvmg[(size_t)(rr + yy) * tile_w4 + cc + xx] = (int16_t)uv_mode;
+    }
     // mark decoded in the superblock mask (+1 offsets)
     {
       int sy = r - sb_r, sx = c - sb_c;
@@ -2897,7 +3092,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int base_q, int bit_depth, int num_planes,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
-                   int cfl_search,
+                   int cfl_search, int edge_filter,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
@@ -2909,6 +3104,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
   bp.cfl_search = cfl_search;
+  bp.edge_filter = edge_filter;
   if (rec_ops) {
     bp.rops = rec_ops;
     bp.rops_cap = rec_ops_cap;

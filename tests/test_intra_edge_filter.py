@@ -24,7 +24,8 @@ from cavif_tpu.ops.quality import quality_to_quantizer
 import cavif_tpu.av1.encoder as em
 
 
-def _encode(planes, chroma, q_, speed=1, force=None, leaf_px=None):
+def _encode(planes, chroma, q_, speed=1, force=None, leaf_px=None,
+            backend="python"):
     h, w = planes.shape[:2] if planes.ndim == 3 else planes.shape
     q = quality_to_quantizer(q_)
     cfg = AV1Config(
@@ -32,7 +33,7 @@ def _encode(planes, chroma, q_, speed=1, force=None, leaf_px=None):
         tweaks=SpeedTweaks.from_preset(speed, q), chroma_sampling=chroma,
         full_range=True,
         matrix_coefficients=6 if chroma == "444" else None,
-        threads=1, ec_backend="python", intra_edge_filter=True,
+        threads=1, ec_backend=backend, intra_edge_filter=True,
     )
     fe = FrameEncoder(planes, cfg)
     if leaf_px:
@@ -64,24 +65,30 @@ def _encode(planes, chroma, q_, speed=1, force=None, leaf_px=None):
     return fe, b
 
 
-def _check(fe, b, h, w, npl):
+def _check(fe, b, h, w, npl, backend="python"):
     import dav1d_probe
 
     ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
     assert ok, logs
+    rf = fe._recon_full() if backend is None else [
+        p.recon for p in fe.planes
+    ]
     for pl in range(npl):
         np.testing.assert_array_equal(
             desc[3][pl].astype(np.int64),
-            fe.planes[pl].recon[:h, :w].astype(np.int64),
+            rf[pl][:h, :w].astype(np.int64),
             err_msg=f"plane {pl}",
         )
 
 
 @pytest.mark.parametrize(
-    "mode,delta,leaf", [(3, 0, 8), (5, -3, 8), (1, 3, 16), (8, 2, 32),
-                        (4, 1, 16), (7, -2, 8)]
+    "mode,delta,leaf,backend",
+    [(3, 0, 8, "python"), (5, -3, 8, "python"), (1, 3, 16, "python"),
+     (8, 2, 32, "python"), (4, 1, 16, "python"), (7, -2, 8, "python"),
+     (3, 0, 8, None), (5, -3, 8, None), (1, 3, 16, None),
+     (8, 2, 32, None), (4, 1, 16, None), (7, -2, 8, None)]
 )
-def test_edge_filter_forced_modes(mode, delta, leaf):
+def test_edge_filter_forced_modes(mode, delta, leaf, backend):
     rng = np.random.default_rng(9)
     h = w = leaf * 2
     lum = np.clip(
@@ -90,16 +97,18 @@ def test_edge_filter_forced_modes(mode, delta, leaf):
         + rng.integers(-40, 41, (h, w)), 0, 1023
     ).astype(np.int32)
     fe, b = _encode(lum, "400", 75.0, speed=4, force=(mode, delta),
-                    leaf_px=leaf)
-    _check(fe, b, h, w, 1)
+                    leaf_px=leaf, backend=backend)
+    _check(fe, b, h, w, 1, backend)
 
 
 @pytest.mark.parametrize(
-    "seed,h,w,chroma,speed",
-    [(1, 128, 128, "400", 1), (2, 101, 129, "400", 1),
-     (3, 128, 128, "444", 1), (4, 96, 160, "444", 2)],
+    "seed,h,w,chroma,speed,backend",
+    [(1, 128, 128, "400", 1, "python"), (2, 101, 129, "400", 1, "python"),
+     (3, 128, 128, "444", 1, "python"), (4, 96, 160, "444", 2, "python"),
+     (2, 101, 129, "400", 1, None), (3, 128, 128, "444", 1, None),
+     (4, 96, 160, "444", 4, None)],
 )
-def test_edge_filter_end_to_end(seed, h, w, chroma, speed):
+def test_edge_filter_end_to_end(seed, h, w, chroma, speed, backend):
     rng = np.random.default_rng(seed)
     y, x = np.mgrid[0:h, 0:w]
     lum = np.clip(
@@ -115,5 +124,5 @@ def test_edge_filter_end_to_end(seed, h, w, chroma, speed):
     else:
         planes = lum.astype(np.int32)
         npl = 1
-    fe, b = _encode(planes, chroma, 70.0, speed=speed)
-    _check(fe, b, h, w, npl)
+    fe, b = _encode(planes, chroma, 70.0, speed=speed, backend=backend)
+    _check(fe, b, h, w, npl, backend)
