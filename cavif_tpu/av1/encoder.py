@@ -1640,6 +1640,8 @@ class FrameEncoder:
         lam = self._lambda()
         units = {}
         types = []
+        from ..native import lr_wiener_plane
+
         for pl in range(self.num_planes):
             src_i = self.planes[pl].src[:h, :w]
             rec_full = stack[pl][:h, :w]
@@ -1649,6 +1651,14 @@ class FrameEncoder:
                 np.ascontiguousarray(rec_full, dtype=np.int32)
                 if try_sgr and pl == 0 else None
             )
+            # all wiener units of the plane in one native call (the padded
+            # plane arrays pass by stride, no copies); signaling margin:
+            # ~40 rate-proxy units for wiener taps / ~30 for sgr, doubled
+            # to absorb the float-vs-integer filter model error
+            wu, wtaps, wsse, wbase = lr_wiener_plane(
+                self.planes[pl].src, stack[pl], h, w, u, rows, cols,
+                ntaps=2 if pl > 0 else 3, margin=2.0 * lam * 40.0,
+            )
             kinds = set()
             for ur in range(rows):
                 y0 = ur * u
@@ -1656,19 +1666,11 @@ class FrameEncoder:
                 for uc in range(cols):
                     x0 = uc * u
                     x1 = w if uc == cols - 1 else (uc + 1) * u
-                    d = (
-                        src_i[y0:y1, x0:x1].astype(np.int64)
-                        - rec_full[y0:y1, x0:x1]
-                    )
-                    base = float((d * d).sum())
-                    # unit signaling cost in SSE units: ~40 rate-proxy
-                    # units for wiener taps / ~30 for sgr, doubled to
-                    # absorb the float-vs-integer filter model error
-                    use_w, taps, sse_w = _wiener_unit(
-                        src_i[y0:y1, x0:x1], rec_full[y0:y1, x0:x1],
-                        margin=2.0 * lam * 40.0, chroma=pl > 0,
-                        base_sse=base,
-                    )
+                    ui = ur * cols + uc
+                    base = float(wbase[ui])
+                    use_w = int(wu[ui])
+                    taps = tuple(int(t) for t in wtaps[ui])
+                    sse_w = float(wsse[ui])
                     best = (1, sse_w) if use_w else (0, base)
                     sgr = None
                     if try_sgr and pl == 0:
@@ -1870,81 +1872,6 @@ class FrameEncoder:
             return list(
                 ex.map(lambda t: self._encode_tile_native(*t), tiles_rc)
             )
-
-
-_WIENER_MIN = (-5, -23, -17)
-_WIENER_MAX = (10, 8, 46)
-
-
-def _wiener_solve_1d(src, rec, axis, ntaps=3):
-    """LS solve of the free symmetric taps (offsets 3, 2, 1) of the
-    7-tap filter f = [t0,t1,t2, 128-2*(t0+t1+t2), t2,t1,t0]/128 applied
-    along `axis`, minimizing ||src - filter(rec)||^2. Edge-replicated.
-    ntaps=2 forces t0 = 0 (the chroma 5-tap filter: plane > 0 codes only
-    taps 1..2, spec read_wiener_filter). f32 arithmetic with BLAS dots:
-    the taps round to small ints and the gain margins dwarf the f32
-    accumulation error."""
-    src = np.asarray(src, np.float32)
-    rec = np.asarray(rec, np.float32)
-    pad = np.pad(rec, [(3, 3) if a == axis else (0, 0) for a in (0, 1)],
-                 mode="edge")
-    def sh(k):
-        if axis == 0:
-            lo = 3 + k
-            return pad[lo : lo + rec.shape[0], :]
-        lo = 3 + k
-        return pad[:, lo : lo + rec.shape[1]]
-    lo = 3 - ntaps
-    offs = (3, 2, 1)[lo:]
-    g = [(sh(-k) + sh(k) - 2.0 * rec).ravel() for k in offs]
-    d = (src - rec).ravel()
-    A = np.empty((ntaps, ntaps))
-    b = np.empty(ntaps)
-    for i in range(ntaps):
-        b[i] = 128.0 * float(np.dot(g[i], d))
-        for j in range(i, ntaps):
-            A[i, j] = A[j, i] = float(np.dot(g[i], g[j]))
-    A += np.eye(ntaps) * (1e-4 * max(A[0, 0], 1.0))
-    try:
-        t = np.linalg.solve(A, b)
-    except np.linalg.LinAlgError:
-        return (0, 0, 0), rec
-    taps = (0,) * lo + tuple(
-        int(np.clip(round(t[i]), _WIENER_MIN[lo + i], _WIENER_MAX[lo + i]))
-        for i in range(ntaps)
-    )
-    acc = None
-    for i in range(ntaps):
-        if taps[lo + i]:
-            term = np.float32(taps[lo + i]) * g[i]
-            acc = term if acc is None else acc + term
-    if acc is None:
-        return taps, rec
-    out = rec + (acc * np.float32(1.0 / 128.0)).reshape(rec.shape)
-    return taps, out
-
-
-def _wiener_unit(src, rec, margin=64.0, chroma=False, base_sse=None):
-    """One restoration unit: vertical+horizontal tap solve; returns
-    (use, taps6, sse) with taps6 = (t0v, t1v, t2v, t0h, t1h, t2h).
-    `margin` is the SSE-equivalent signaling cost of the unit: the filter
-    turns on only when the predicted gain beats it (the prediction is a
-    float model of the integer filter, so the margin also absorbs model
-    error). `chroma` solves the 5-tap variant (t0 = 0)."""
-    ntaps = 2 if chroma else 3
-    if base_sse is None:
-        d = np.asarray(src, np.int64) - np.asarray(rec, np.int64)
-        base_sse = float((d * d).sum())
-    src = np.asarray(src, np.float32)
-    rec = np.asarray(rec, np.float32)
-    taps_h, mid = _wiener_solve_1d(src, rec, axis=1, ntaps=ntaps)
-    taps_v, out = _wiener_solve_1d(src, mid, axis=0, ntaps=ntaps)
-    d2 = src - out
-    sse = float(np.dot(d2.ravel(), d2.ravel()))
-    use = int(sse < base_sse - margin)
-    if not use or (taps_v == (0, 0, 0) and taps_h == (0, 0, 0)):
-        return 0, (0, 0, 0, 0, 0, 0), base_sse
-    return 1, (*taps_v, *taps_h), sse
 
 
 def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:

@@ -161,6 +161,20 @@ def _load():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.bs_search2.restype = ctypes.c_int
+        lib.lr_wiener_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # src plane
+            ctypes.POINTER(ctypes.c_int32),  # rec plane
+            ctypes.c_int, ctypes.c_int,      # h, w
+            ctypes.c_int, ctypes.c_int,      # sstride, rstride
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # unit, rows, cols
+            ctypes.c_int, ctypes.c_double,   # ntaps, margin
+            ctypes.c_int,                    # n_threads
+            ctypes.POINTER(ctypes.c_int32),  # out use
+            ctypes.POINTER(ctypes.c_int32),  # out taps (U, 6)
+            ctypes.POINTER(ctypes.c_double),  # out sse
+            ctypes.POINTER(ctypes.c_double),  # out base sse
+        ]
+        lib.lr_wiener_plane.restype = ctypes.c_int
         _u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.of_build_maps.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # ops
@@ -576,6 +590,43 @@ def cdef_apply(inp: np.ndarray, out, mi_rows: int, mi_cols: int,
     if rc != 0:
         raise RuntimeError("of_cdef_apply failed")
     return sse
+
+
+def lr_wiener_plane(
+    src: np.ndarray,
+    rec: np.ndarray,
+    h: int,
+    w: int,
+    unit: int,
+    rows: int,
+    cols: int,
+    ntaps: int,
+    margin: float,
+    n_threads: int = 1,
+):
+    """Per-unit separable Wiener LS solve over one plane's restoration
+    grid (C++ mirror of encoder._wiener_unit). Returns (use, taps, sse,
+    base) arrays of shape (rows*cols,) / (rows*cols, 6)."""
+    lib = _load()
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    rec = np.ascontiguousarray(rec, dtype=np.int32)
+    U = rows * cols
+    use = np.empty(U, dtype=np.int32)
+    taps = np.empty((U, 6), dtype=np.int32)
+    sse = np.empty(U, dtype=np.float64)
+    base = np.empty(U, dtype=np.float64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    rc = lib.lr_wiener_plane(
+        src.ctypes.data_as(i32), rec.ctypes.data_as(i32),
+        h, w, src.shape[1], rec.shape[1], unit, rows, cols,
+        ntaps, float(margin), n_threads,
+        use.ctypes.data_as(i32), taps.ctypes.data_as(i32),
+        sse.ctypes.data_as(f64), base.ctypes.data_as(f64),
+    )
+    if rc != 0:
+        raise RuntimeError("lr_wiener_plane failed")
+    return use, taps, sse, base
 
 
 def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,

@@ -3501,6 +3501,168 @@ int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
   return 0;
 }
 
+// ---- loop-restoration Wiener solve (decision-only float model) ----
+// Mirror of the python _wiener_unit: per-axis least squares on the three
+// free symmetric taps of the 7-tap filter (ntaps=2 zeroes t0 for the
+// chroma 5-tap variant), horizontal pass first, then vertical on the
+// filtered intermediate. The serialized filter is applied decoder-exact
+// elsewhere; this only picks taps, so double-precision dots replacing the
+// python f32 BLAS dots shift decisions at most at exact ties.
+
+static const int WIENER_TAP_MIN[3] = {-5, -23, -17};
+static const int WIENER_TAP_MAX[3] = {10, 8, 46};
+
+static void wiener_axis_solve(const float* M, const float* srcf, int uh,
+                              int uw, int axis, int ntaps, float* gbuf,
+                              int* taps3, float* out) {
+  int lo = 3 - ntaps, n = uh * uw;
+  for (int t = 0; t < 3; t++) taps3[t] = 0;
+  for (int ti = 0; ti < ntaps; ti++) {
+    int k = 3 - lo - ti;  // offsets (3,2,1)[lo:]
+    float* g = gbuf + (size_t)ti * n;
+    if (axis == 1) {
+      for (int r = 0; r < uh; r++) {
+        const float* mr = &M[(size_t)r * uw];
+        float* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) {
+          int cm = c - k < 0 ? 0 : c - k;
+          int cp = c + k >= uw ? uw - 1 : c + k;
+          gr[c] = mr[cm] + mr[cp] - 2.0f * mr[c];
+        }
+      }
+    } else {
+      for (int r = 0; r < uh; r++) {
+        int rm = r - k < 0 ? 0 : r - k;
+        int rp = r + k >= uh ? uh - 1 : r + k;
+        const float* ma = &M[(size_t)rm * uw];
+        const float* mb = &M[(size_t)rp * uw];
+        const float* mr = &M[(size_t)r * uw];
+        float* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0f * mr[c];
+      }
+    }
+  }
+  double A[3][3], b[3];
+  for (int i = 0; i < ntaps; i++) {
+    const float* gi = gbuf + (size_t)i * n;
+    double bi = 0.0;
+    for (int x = 0; x < n; x++) bi += (double)gi[x] * (srcf[x] - M[x]);
+    b[i] = 128.0 * bi;
+    for (int j = i; j < ntaps; j++) {
+      const float* gj = gbuf + (size_t)j * n;
+      double a = 0.0;
+      for (int x = 0; x < n; x++) a += (double)gi[x] * gj[x];
+      A[i][j] = A[j][i] = a;
+    }
+  }
+  double reg = 1e-4 * (A[0][0] > 1.0 ? A[0][0] : 1.0);
+  for (int i = 0; i < ntaps; i++) A[i][i] += reg;
+  // gaussian elimination with partial pivoting
+  double t[3] = {0, 0, 0};
+  {
+    double m[3][4];
+    for (int i = 0; i < ntaps; i++) {
+      for (int j = 0; j < ntaps; j++) m[i][j] = A[i][j];
+      m[i][ntaps] = b[i];
+    }
+    bool ok = true;
+    for (int col = 0; col < ntaps && ok; col++) {
+      int piv = col;
+      for (int r = col + 1; r < ntaps; r++)
+        if (std::fabs(m[r][col]) > std::fabs(m[piv][col])) piv = r;
+      if (std::fabs(m[piv][col]) < 1e-30) { ok = false; break; }
+      if (piv != col)
+        for (int j = 0; j <= ntaps; j++) std::swap(m[piv][j], m[col][j]);
+      for (int r = 0; r < ntaps; r++) {
+        if (r == col) continue;
+        double f = m[r][col] / m[col][col];
+        for (int j = col; j <= ntaps; j++) m[r][j] -= f * m[col][j];
+      }
+    }
+    if (ok)
+      for (int i = 0; i < ntaps; i++) t[i] = m[i][ntaps] / m[i][i];
+  }
+  bool any = false;
+  for (int i = 0; i < ntaps; i++) {
+    int v = (int)std::nearbyint(t[i]);
+    if (v < WIENER_TAP_MIN[lo + i]) v = WIENER_TAP_MIN[lo + i];
+    if (v > WIENER_TAP_MAX[lo + i]) v = WIENER_TAP_MAX[lo + i];
+    taps3[lo + i] = v;
+    any |= v != 0;
+  }
+  if (!any) {
+    for (int x = 0; x < n; x++) out[x] = M[x];
+    return;
+  }
+  const float inv128 = 1.0f / 128.0f;
+  for (int x = 0; x < n; x++) {
+    float acc = 0.0f;
+    for (int i = 0; i < ntaps; i++)
+      acc += (float)taps3[lo + i] * gbuf[(size_t)i * n + x];
+    out[x] = M[x] + acc * inv128;
+  }
+}
+
+// All restoration units of one plane: unit x unit grid, last row/col
+// absorbing the remainder. out_taps (rows*cols, 6) = (t0v,t1v,t2v,
+// t0h,t1h,t2h); out_use/out_sse/out_base (rows*cols).
+int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
+                    int sstride, int rstride, int unit, int rows, int cols,
+                    int ntaps, double margin, int n_threads,
+                    int32_t* out_use, int32_t* out_taps, double* out_sse,
+                    double* out_base) {
+  using namespace search;
+  auto worker = [&](int u0, int u1) {
+    std::vector<float> srcf, recf, mid, fin, gbuf;
+    for (int ui = u0; ui < u1; ui++) {
+      int ur = ui / cols, uc = ui % cols;
+      int y0 = ur * unit, y1 = ur == rows - 1 ? h : (ur + 1) * unit;
+      int x0 = uc * unit, x1 = uc == cols - 1 ? w : (uc + 1) * unit;
+      int uh = y1 - y0, uw = x1 - x0, n = uh * uw;
+      srcf.resize(n); recf.resize(n); mid.resize(n); fin.resize(n);
+      gbuf.resize((size_t)3 * n);
+      int64_t base = 0;
+      for (int r = 0; r < uh; r++) {
+        const int32_t* sr = &src[(size_t)(y0 + r) * sstride + x0];
+        const int32_t* rr_ = &rec[(size_t)(y0 + r) * rstride + x0];
+        float* sf = &srcf[(size_t)r * uw];
+        float* rf = &recf[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) {
+          int64_t d = (int64_t)sr[c] - rr_[c];
+          base += d * d;
+          sf[c] = (float)sr[c];
+          rf[c] = (float)rr_[c];
+        }
+      }
+      int th[3], tv[3];
+      wiener_axis_solve(recf.data(), srcf.data(), uh, uw, 1, ntaps,
+                        gbuf.data(), th, mid.data());
+      wiener_axis_solve(mid.data(), srcf.data(), uh, uw, 0, ntaps,
+                        gbuf.data(), tv, fin.data());
+      double sse = 0.0;
+      for (int x = 0; x < n; x++) {
+        double d = (double)srcf[x] - fin[x];
+        sse += d * d;
+      }
+      bool zero = !(th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2]);
+      int use = sse < (double)base - margin && !zero;
+      out_use[ui] = use;
+      out_base[ui] = (double)base;
+      int32_t* tp = &out_taps[(size_t)ui * 6];
+      if (use) {
+        out_sse[ui] = sse;
+        tp[0] = tv[0]; tp[1] = tv[1]; tp[2] = tv[2];
+        tp[3] = th[0]; tp[4] = th[1]; tp[5] = th[2];
+      } else {
+        out_sse[ui] = (double)base;
+        for (int i = 0; i < 6; i++) tp[i] = 0;
+      }
+    }
+  };
+  run_threaded(rows * cols, n_threads, worker);
+  return 0;
+}
+
 // Build per-mi filter maps from a tile's concrete replay op stream:
 // skip flag, tx dims log2(px) and txb start-edge flags per {luma, chroma}
 // grid. Arrays are full-frame (mi_rows x mi_cols); (r0, c0) is the tile
