@@ -57,8 +57,11 @@ def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops",
         "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO), "-lpthread",
     ]
+    if os.environ.get("CAVIF_TPU_BP_PROF"):
+        # stage-profiling build (block-pipeline timers; ~6% slower)
+        cmd.append("-DCAVIF_BP_PROF")
+    cmd += [str(_SRC), "-o", str(_SO), "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

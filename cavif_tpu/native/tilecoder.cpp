@@ -19,6 +19,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 #include <thread>
@@ -271,6 +274,24 @@ int txsize_ctx(int w, int h) {
   int t = (a + b + 1) >> 1;
   return t < 4 ? t : 4;
 }
+
+// Optional stage profiler for the block pipeline: rebuild with
+// -DCAVIF_BP_PROF (native/__init__.py env CAVIF_TPU_BP_PROF=1 at first
+// build) to print per-stage accumulators per bp_encode_tile call. Not
+// compiled by default: the instrumented write_coeffs epilogue costs ~6%
+// encode time even when disabled at runtime.
+#ifdef CAVIF_BP_PROF
+static thread_local double g_bpt[4];  // predict, fwd+quant, inv+recon, ec
+static inline double bp_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+#define BP_PROF_MARK(slot, t0) \
+  { double t1_ = bp_now(); g_bpt[slot] += t1_ - (t0); (t0) = t1_; }
+#else
+#define BP_PROF_MARK(slot, t0)
+#endif
 
 struct TileCoder {
   RangeEncoder enc;
@@ -626,6 +647,10 @@ struct TileCoder {
   void write_coeffs(int plane, int r4, int c4, int txw, int txh,
                     int eq_block, int ch, int cw, const int32_t* lv,
                     int y_mode, int v_adst, int h_adst) {
+#ifdef CAVIF_BP_PROF
+    struct EcT { double t0 = bp_now();
+                 ~EcT() { g_bpt[3] += bp_now() - t0; } } ect;
+#endif
     int ptype = plane > 0 ? 1 : 0;
     int bw4 = txw >> 2;
     int bh4 = txh >> 2;
@@ -1808,8 +1833,12 @@ struct BlockPipe {
   void compute_txb(int pl, int px, int py, int txw, int txh, int mode,
                    int delta, bool force_skip, int* out_ch, int* out_cw,
                    bool* any_nz, int try_adst) {
+#ifdef CAVIF_BP_PROF
+    double tp0 = bp_now();
+#endif
     if (mode == 13) predict_cfl(pl, px, py, txw, txh);
     else predict(pl, px, py, txw, txh, mode, delta);
+    BP_PROF_MARK(0, tp0)
     int cw = txw < 32 ? txw : 32;
     int ch = txh < 32 ? txh : 32;
     // tx <= 16x16: transform follows the prediction mode — derived
@@ -1918,7 +1947,10 @@ struct BlockPipe {
           if (lvbuf[i]) { nz = true; break; }
       }
     }
-    // RD cost of this quantization (for the luma DCT-vs-ADST choice)
+    // RD cost of this quantization (for the luma DCT-vs-ADST choice and
+    // the CfL joint decision). Deliberately a separate pass: it has no
+    // deadzone/floor branches so it vectorizes, which measured faster
+    // than fusing it into the quant loop above.
     {
       double cst = 0.0;
       double s_ac2 = (double)ac_q * gsz, s_dc2 = (double)dc_q * gsz;
@@ -1933,6 +1965,7 @@ struct BlockPipe {
         }
       last_cost = cst;
     }
+    BP_PROF_MARK(1, tp0)
     *any_nz = nz;
     if (!nz) {
       for (int y = 0; y < txh; y++)
@@ -1952,6 +1985,7 @@ struct BlockPipe {
         if (v > maxv) v = maxv;
         rp[(size_t)(py + y) * Wp + px + x] = (int32_t)v;
       }
+    BP_PROF_MARK(2, tp0)
   }
 
   // Full leaf block: compute all txbs, then emit skip/modes/coeffs.
@@ -3214,6 +3248,13 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
     rec_sizes[0] = bp.rec_overflow ? -1 : bp.rops_n;
     rec_sizes[1] = bp.rec_overflow ? -1 : bp.rlvl_n;
   }
+#ifdef CAVIF_BP_PROF
+  fprintf(stderr,
+          "[bp prof] predict %.1fms fwd+quant %.1fms inv+recon %.1fms "
+          "ec %.1fms\n",
+          g_bpt[0] * 1e3, g_bpt[1] * 1e3, g_bpt[2] * 1e3, g_bpt[3] * 1e3);
+  for (int i = 0; i < 4; i++) g_bpt[i] = 0.0;
+#endif
   if (recon_out) {
     // copy this tile's pixel region into the caller's (P, Hp, Wp) buffer
     int y0 = mi_r0 * 4, y1 = (mi_r1 < mi_rows ? mi_r1 : mi_rows) * 4;
