@@ -1536,6 +1536,7 @@ class FrameEncoder:
         h, w = self.cfg.height, self.cfg.width
         src = self._src_stack()
         vis = (w, h)
+        nthr = self.cfg.threads or (os.cpu_count() or 1)
         args = (self.mi_rows, self.mi_cols, self.bit_depth)
         cands = sorted(
             {max(1, hint // 2), max(1, hint), hint + 2, min(63, 2 * hint + 4)}
@@ -1546,7 +1547,8 @@ class FrameEncoder:
         by = (0.0, 0)
         for c in cands:
             t[0] = rec[0]
-            d = deblock_frame(t, *args, (c, c, 0, 0), maps, src, vis)
+            d = deblock_frame(t, *args, (c, c, 0, 0), maps, src, vis,
+                              n_threads=nthr)
             if d[0] < by[0]:
                 by = (d[0], c)
         y = by[1]
@@ -1558,7 +1560,8 @@ class FrameEncoder:
             for c in cands:
                 t[1] = rec[1]
                 t[2] = rec[2]
-                d = deblock_frame(t, *args, (0, 0, c, c), maps, src, vis)
+                d = deblock_frame(t, *args, (0, 0, c, c), maps, src, vis,
+                                  n_threads=nthr)
                 if d[1] < bu[0]:
                     bu = (d[1], c)
                 if d[2] < bv[0]:
@@ -1567,7 +1570,7 @@ class FrameEncoder:
         levels = (y, y, u, v)
         t[:] = rec
         if any(levels):
-            deblock_frame(t, *args, levels, maps)
+            deblock_frame(t, *args, levels, maps, n_threads=nthr)
         self._filtered_stack = t
         self._lf_levels = levels
         return levels
@@ -1658,6 +1661,7 @@ class FrameEncoder:
             wu, wtaps, wsse, wbase = lr_wiener_plane(
                 self.planes[pl].src, stack[pl], h, w, u, rows, cols,
                 ntaps=2 if pl > 0 else 3, margin=2.0 * lam * 40.0,
+                n_threads=self.cfg.threads or (os.cpu_count() or 1),
             )
             kinds = set()
             for ur in range(rows):

@@ -195,6 +195,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # src (nullable)
             ctypes.c_int, ctypes.c_int,      # vis_w, vis_h
             ctypes.POINTER(ctypes.c_double),  # sse_out[P] (nullable)
+            ctypes.c_int,                    # n_threads
         ]
         lib.of_deblock.restype = ctypes.c_int
         lib.of_cdef_dirs.argtypes = [
@@ -509,7 +510,7 @@ def build_filter_maps(tile_ops, mi_rows: int, mi_cols: int, num_planes: int):
 
 def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
                   bit_depth: int, levels, maps, src: np.ndarray = None,
-                  vis: tuple = (0, 0)):
+                  vis: tuple = (0, 0), n_threads: int = 1):
     """Decoder-exact deblocking in place on the padded (P, Hp, Wp) int32
     reconstruction. levels: (y_vert, y_horz, u, v); maps from
     build_filter_maps. With src (same shape) set, returns the per-plane
@@ -533,6 +534,7 @@ def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
         int(vis[0]), int(vis[1]),
         sse.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         if sse is not None else None,
+        int(n_threads),
     )
     if rc != 0:
         raise RuntimeError("of_deblock failed")

@@ -3768,14 +3768,21 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
 // With src != null, accumulates the per-plane SSE *delta* (filtered vs
 // unfiltered, against src, over the visible vis_w x vis_h crop) into
 // sse_out[P] — the filter-level search metric, computed for free here.
+// Threading: the vertical-edge pass only reads/writes within each pixel
+// row (edges are filtered left-to-right per row), the horizontal pass
+// only within each pixel column (top-to-bottom) — so row bands / column
+// bands run concurrently with the per-row/column edge order preserved
+// exactly; a join between the passes keeps the spec's v-then-h order.
 int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
                int mi_cols, int bit_depth, const int32_t* levels,
                const uint8_t* txw_l2, const uint8_t* txh_l2,
                const uint8_t* edge_v, const uint8_t* edge_h,
-               const int32_t* src, int vis_w, int vis_h, double* sse_out) {
+               const int32_t* src, int vis_w, int vis_h, double* sse_out,
+               int n_threads) {
   using namespace deblock;
+  using search::run_threaded;
   const size_t grid = (size_t)mi_rows * mi_cols;
-  int32_t keep[14];
+  std::mutex acc_mu;
   for (int pl = 0; pl < P; pl++) {
     const int t = pl == 0 ? 0 : 1;
     const uint8_t* tw = txw_l2 + t * grid;
@@ -3787,72 +3794,90 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
     double acc = 0.0;
     const int lvl_v = pl == 0 ? levels[0] : levels[pl + 1];
     const int lvl_h = pl == 0 ? levels[1] : levels[pl + 1];
-    LineCtx c;
     if (lvl_v > 0) {
+      LineCtx c;
       make_ctx(c, lvl_v, bit_depth);
-      for (int mc = 1; mc < mi_cols; mc++) {
-        const int x = mc * 4;
-        for (int mr = 0; mr < mi_rows; mr++) {
-          const size_t mi = (size_t)mr * mi_cols + mc;
-          if (!ev[mi]) continue;
-          const int mw = 1 << (tw[mi - 1] < tw[mi] ? tw[mi - 1] : tw[mi]);
-          const int size =
-              pl == 0 ? (mw >= 16 ? 14 : mw >= 8 ? 8 : 4) : (mw >= 8 ? 6 : 4);
-          const int reach = size / 2;
-          for (int dy = 0; dy < 4; dy++) {
-            const int y = mr * 4 + dy;
-            int32_t* px = base + (size_t)y * Wp + x;
-            if (sp && y < vis_h) {
-              for (int k = -reach; k < reach; k++) keep[k + reach] = px[k];
-              filter_line(px, 1, size, c);
-              const int32_t* srow = sp + (size_t)y * Wp;
-              for (int k = -reach; k < reach; k++) {
-                if ((unsigned)(x + k) >= (unsigned)vis_w) continue;
-                if (px[k] == keep[k + reach]) continue;
-                const double dn = px[k] - srow[x + k];
-                const double od = keep[k + reach] - srow[x + k];
-                acc += dn * dn - od * od;
+      auto vworker = [&](int r0, int r1) {
+        int32_t keep[14];
+        double lacc = 0.0;
+        for (int mr = r0; mr < r1; mr++) {
+          for (int mc = 1; mc < mi_cols; mc++) {
+            const int x = mc * 4;
+            const size_t mi = (size_t)mr * mi_cols + mc;
+            if (!ev[mi]) continue;
+            const int mw = 1 << (tw[mi - 1] < tw[mi] ? tw[mi - 1] : tw[mi]);
+            const int size =
+                pl == 0 ? (mw >= 16 ? 14 : mw >= 8 ? 8 : 4)
+                        : (mw >= 8 ? 6 : 4);
+            const int reach = size / 2;
+            for (int dy = 0; dy < 4; dy++) {
+              const int y = mr * 4 + dy;
+              int32_t* px = base + (size_t)y * Wp + x;
+              if (sp && y < vis_h) {
+                for (int k = -reach; k < reach; k++) keep[k + reach] = px[k];
+                filter_line(px, 1, size, c);
+                const int32_t* srow = sp + (size_t)y * Wp;
+                for (int k = -reach; k < reach; k++) {
+                  if ((unsigned)(x + k) >= (unsigned)vis_w) continue;
+                  if (px[k] == keep[k + reach]) continue;
+                  const double dn = px[k] - srow[x + k];
+                  const double od = keep[k + reach] - srow[x + k];
+                  lacc += dn * dn - od * od;
+                }
+              } else {
+                filter_line(px, 1, size, c);
               }
-            } else {
-              filter_line(px, 1, size, c);
             }
           }
         }
-      }
+        std::lock_guard<std::mutex> g(acc_mu);
+        acc += lacc;
+      };
+      run_threaded(mi_rows, n_threads, vworker);
     }
     if (lvl_h > 0) {
+      LineCtx c;
       make_ctx(c, lvl_h, bit_depth);
-      for (int mr = 1; mr < mi_rows; mr++) {
-        const int y = mr * 4;
-        for (int mc = 0; mc < mi_cols; mc++) {
-          const size_t mi = (size_t)mr * mi_cols + mc;
-          if (!eh[mi]) continue;
-          const size_t up = mi - mi_cols;
-          const int mh = 1 << (th[up] < th[mi] ? th[up] : th[mi]);
-          const int size =
-              pl == 0 ? (mh >= 16 ? 14 : mh >= 8 ? 8 : 4) : (mh >= 8 ? 6 : 4);
-          const int reach = size / 2;
-          for (int dx = 0; dx < 4; dx++) {
-            const int x = mc * 4 + dx;
-            int32_t* px = base + (size_t)y * Wp + x;
-            if (sp && x < vis_w) {
-              for (int k = -reach; k < reach; k++)
-                keep[k + reach] = px[(ptrdiff_t)k * Wp];
-              filter_line(px, Wp, size, c);
-              for (int k = -reach; k < reach; k++) {
-                if ((unsigned)(y + k) >= (unsigned)vis_h) continue;
-                const int32_t nv = px[(ptrdiff_t)k * Wp];
-                if (nv == keep[k + reach]) continue;
-                const double dn = nv - sp[(size_t)(y + k) * Wp + x];
-                const double od = keep[k + reach] - sp[(size_t)(y + k) * Wp + x];
-                acc += dn * dn - od * od;
+      auto hworker = [&](int c0, int c1) {
+        int32_t keep[14];
+        double lacc = 0.0;
+        for (int mc = c0; mc < c1; mc++) {
+          for (int mr = 1; mr < mi_rows; mr++) {
+            const int y = mr * 4;
+            const size_t mi = (size_t)mr * mi_cols + mc;
+            if (!eh[mi]) continue;
+            const size_t up = mi - mi_cols;
+            const int mh = 1 << (th[up] < th[mi] ? th[up] : th[mi]);
+            const int size =
+                pl == 0 ? (mh >= 16 ? 14 : mh >= 8 ? 8 : 4)
+                        : (mh >= 8 ? 6 : 4);
+            const int reach = size / 2;
+            for (int dx = 0; dx < 4; dx++) {
+              const int x = mc * 4 + dx;
+              int32_t* px = base + (size_t)y * Wp + x;
+              if (sp && x < vis_w) {
+                for (int k = -reach; k < reach; k++)
+                  keep[k + reach] = px[(ptrdiff_t)k * Wp];
+                filter_line(px, Wp, size, c);
+                for (int k = -reach; k < reach; k++) {
+                  if ((unsigned)(y + k) >= (unsigned)vis_h) continue;
+                  const int32_t nv = px[(ptrdiff_t)k * Wp];
+                  if (nv == keep[k + reach]) continue;
+                  const double dn = nv - sp[(size_t)(y + k) * Wp + x];
+                  const double od =
+                      keep[k + reach] - sp[(size_t)(y + k) * Wp + x];
+                  lacc += dn * dn - od * od;
+                }
+              } else {
+                filter_line(px, Wp, size, c);
               }
-            } else {
-              filter_line(px, Wp, size, c);
             }
           }
         }
-      }
+        std::lock_guard<std::mutex> g(acc_mu);
+        acc += lacc;
+      };
+      run_threaded(mi_cols, n_threads, hworker);
     }
     if (sse_out) sse_out[pl] = acc;
   }
