@@ -54,6 +54,15 @@ _SCAN_SIZES = [
 
 
 def _build() -> None:
+    # colorconv.cpp is a separate object ONLY for -ffp-contract=off: its
+    # f32 pipeline must round exactly like numpy (no FMA contraction)
+    cc = _DIR / "colorconv.cpp"
+    obj = _DIR / "_colorconv.o"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-c",
+         "-fPIC", "-std=c++17", str(cc), "-o", str(obj)],
+        check=True, capture_output=True,
+    )
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops",
         "-shared", "-fPIC", "-std=c++17",
@@ -61,7 +70,7 @@ def _build() -> None:
     if os.environ.get("CAVIF_TPU_BP_PROF"):
         # stage-profiling build (block-pipeline timers; ~6% slower)
         cmd.append("-DCAVIF_BP_PROF")
-    cmd += [str(_SRC), "-o", str(_SO), "-lpthread"]
+    cmd += [str(_SRC), str(obj), "-o", str(_SO), "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -72,7 +81,10 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        _cc = _DIR / "colorconv.cpp"
+        if (not _SO.exists()
+                or _SO.stat().st_mtime < _SRC.stat().st_mtime
+                or _SO.stat().st_mtime < _cc.stat().st_mtime):
             _build()
         lib = ctypes.CDLL(str(_SO))
         lib.tc_set_cdf_table.argtypes = [
@@ -178,6 +190,14 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # out base sse
         ]
         lib.lr_wiener_plane.restype = ctypes.c_int
+        lib.cs_rgb_to_ycbcr.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # rgb (N, 3) uint8
+            ctypes.c_longlong, ctypes.c_int,  # n_px, depth
+            ctypes.c_double, ctypes.c_double,  # kr, kb
+            ctypes.c_int,                    # n_threads
+            ctypes.POINTER(ctypes.c_int32),  # out (N, 3)
+        ]
+        lib.cs_rgb_to_ycbcr.restype = ctypes.c_int
         _u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.of_build_maps.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # ops
@@ -632,6 +652,25 @@ def lr_wiener_plane(
     if rc != 0:
         raise RuntimeError("lr_wiener_plane failed")
     return use, taps, sse, base
+
+
+def rgb_to_ycbcr(rgb: np.ndarray, depth: int, kr: float, kb: float,
+                  n_threads: int = 1) -> np.ndarray:
+    """Threaded RGB->YCbCr, bit-identical to the numpy host path
+    (colorspace.rgb_to_ycbcr_host; f32 op-order preserved, contraction
+    off)."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    out = np.empty(rgb.shape, dtype=np.int32)
+    n = rgb.size // 3
+    rc = lib.cs_rgb_to_ycbcr(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, depth, float(kr), float(kb), int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError("cs_rgb_to_ycbcr failed")
+    return out
 
 
 def cdef_search(inp: np.ndarray, src: np.ndarray, mi_rows: int,

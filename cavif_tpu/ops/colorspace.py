@@ -107,8 +107,22 @@ def _build_jax() -> None:
 # ---------------------------------------------------------------------------
 
 
-def rgb_to_ycbcr_host(rgb, depth: int = 10, matrix=BT601):
+def rgb_to_ycbcr_host(rgb, depth: int = 10, matrix=BT601, threads: int = 0):
+    """Exact-f32 conversion. Dispatches to the threaded C++ mirror when
+    the native runtime is available (bit-identical; pinned in
+    tests/test_colorspace.py), else the numpy pipeline below."""
     kr, kg, kb = matrix
+    if rgb.dtype == np.uint8:
+        try:
+            from ..native import rgb_to_ycbcr as native_convert
+            import os as _os
+
+            return native_convert(
+                rgb, depth, kr, kb,
+                n_threads=threads or (_os.cpu_count() or 1),
+            )
+        except Exception:
+            pass
     max_value = np.float32((1 << depth) - 1)
     scale = np.float32(max_value / np.float32(255.0))
     shift = np.float32(np.round(max_value * np.float32(0.5)))

@@ -77,3 +77,16 @@ def test_alpha_plane_depth():
     a = np.array([[0, 255, 128]], dtype=np.uint8)
     assert list(np.asarray(colorspace.alpha_plane(a, depth=8))[0]) == [0, 255, 128]
     assert list(np.asarray(colorspace.alpha_plane(a, depth=10))[0]) == [0, 1023, (128 << 2) | 2]
+
+
+def test_native_ycbcr_matches_numpy_exactly():
+    """The threaded C++ conversion is bit-identical to the numpy f32
+    pipeline (FMA contraction disabled in the native function)."""
+    from cavif_tpu.native import rgb_to_ycbcr as native_convert
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(257, 131, 3), dtype=np.uint8)
+    for depth in (8, 10):
+        want = _ref_ycbcr(rgb, depth)
+        got = native_convert(rgb, depth, 0.2990, 0.1140, n_threads=3)
+        assert np.array_equal(got, want), (depth, np.argwhere(got != want)[:4])
