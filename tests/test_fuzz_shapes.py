@@ -47,3 +47,41 @@ def test_option_matrix(opt):
     res = e.encode_rgba(img) if ch == 4 else e.encode_rgb(img)
     dec = Image.open(io.BytesIO(res.avif_file))
     assert dec.size == (56, 40)
+
+
+def test_random_config_fuzz():
+    """Seeded sweep of random shape x option combinations: every encode
+    must produce a Pillow-decodable AVIF with the right dimensions, and
+    non-degenerate images must clear a sanity PSNR floor."""
+    rng = np.random.default_rng(2024)
+    speeds = [1, 3, 4, 6, 8, 10]
+    depths = [BitDepth.Eight, BitDepth.Ten, BitDepth.Auto]
+    colors = [ColorModel.YCbCr, ColorModel.RGB]
+    alphas = [AlphaColorMode.UnassociatedClean,
+              AlphaColorMode.UnassociatedDirty,
+              AlphaColorMode.Premultiplied]
+    for it in range(18):
+        h = int(rng.integers(1, 180))
+        w = int(rng.integers(1, 180))
+        ch = int(rng.choice([3, 4]))
+        q = float(rng.integers(5, 101))
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if ch == 4 and rng.random() < 0.5:
+            img[..., 3] = 255  # opaque: alpha stream must drop
+        e = (Encoder.new().with_quality(q)
+             .with_speed(int(rng.choice(speeds)))
+             .with_bit_depth(depths[int(rng.integers(3))])
+             .with_internal_color_model(colors[int(rng.integers(2))]))
+        if ch == 4:
+            e = e.with_alpha_color_mode(alphas[int(rng.integers(3))])
+        res = e.encode_rgba(img) if ch == 4 else e.encode_rgb(img)
+        dec = Image.open(io.BytesIO(res.avif_file))
+        assert dec.size == (w, h), (it, h, w)
+        px = np.asarray(dec.convert("RGB")).astype(np.float64)
+        if ch == 4 and bool((img[..., 3] != 255).any()):
+            continue  # alpha-weighted rgb comparison is out of scope here
+        ref = img[..., :3].astype(np.float64)
+        if h * w >= 64 and q >= 60:
+            mse = ((px - ref) ** 2).mean()
+            psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+            assert psnr > 18.0, (it, h, w, q, psnr)
