@@ -278,6 +278,11 @@ class FrameEncoder:
                 and self.cfg.tweaks.speed_preset <= 6
             ),
             edge_filter=self.cfg.intra_edge_filter,
+            # all-four-DCT/ADST-combo search exists in the pipe but is
+            # off at every preset: measured 0.01% bytes / +0.000 dB at
+            # speed 1 on the A/B corpus (the spec's mode-derived combo is
+            # already near-optimal; distortion dominates at lambda << q^2)
+            tx_exhaustive=False,
         )
         if record:
             out, rops, rlvl = out

@@ -136,6 +136,7 @@ def _load():
             ctypes.c_double, ctypes.c_double,  # gain, lam
             ctypes.c_int,                    # cfl_search
             ctypes.c_int,                    # edge_filter
+            ctypes.c_int,                    # tx_exhaustive
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),  # recon out (nullable)
@@ -317,6 +318,7 @@ def encode_tile_bp(
     record: bool = False,
     cfl_search: bool = False,
     edge_filter: bool = False,
+    tx_exhaustive: bool = False,
 ):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -352,7 +354,7 @@ def encode_tile_bp(
             p.mi_row_start, p.mi_row_end, p.mi_col_start, p.mi_col_end,
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
             int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
-            int(cfl_search), int(edge_filter),
+            int(cfl_search), int(edge_filter), int(tx_exhaustive),
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
             recon_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))

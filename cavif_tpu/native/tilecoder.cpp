@@ -1321,6 +1321,8 @@ static const int MODE_H_ADST[13] = {0, 0, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1};
 
 struct BlockPipe {
   int cfl_search = 0;
+  int tx_exhaustive = 0;   // slow presets: RD over all 4 DCT/ADST combos
+  int tx_override = -1;    // compute_txb: force (va | ha<<1) when >= 0
   const int32_t* src;  // (P, Hp, Wp) plane-major padded source
   int32_t* recon;      // same shape, scratch owned by caller or us
   std::vector<int32_t> recon_store;
@@ -1847,7 +1849,10 @@ struct BlockPipe {
     // (Mode_To_Txfm_Type[UV_CFL_PRED] is DCT: mode 13 keeps 0)
     int v_adst = 0, h_adst = 0;
     if ((txw > txh ? txw : txh) <= 16 && !force_skip && mode != 13) {
-      if (pl > 0 || try_adst) {
+      if (pl == 0 && tx_override >= 0) {
+        v_adst = tx_override & 1;
+        h_adst = (tx_override >> 1) & 1;
+      } else if (pl > 0 || try_adst) {
         v_adst = MODE_V_ADST[mode];
         h_adst = MODE_H_ADST[mode];
       }
@@ -2040,23 +2045,45 @@ struct BlockPipe {
           int ch, cw; bool nz;
           int va = 0, ha = 0;
           bool small = (txw > txh ? txw : txh) <= 16 && !force_skip;
-          bool mode_has_adst =
-              small && (MODE_V_ADST[mode] || MODE_H_ADST[mode]);
-          if (pl == 0 && mode_has_adst) {
-            // RD-select: DCT first, then the mode transform; keep the better
-            compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
-                        &cw, &nz, 0);
-            double c_dct = last_cost;
-            static thread_local std::vector<int32_t> lv_dct;
-            lv_dct.assign(lvbuf.begin(), lvbuf.begin() + ch * cw);
-            bool nz_dct = nz;
-            compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
-                        &cw, &nz, 1);
-            if (c_dct <= last_cost + lam * 2.0) {
-              // redo recon with the DCT choice (recon was overwritten)
-              std::copy(lv_dct.begin(), lv_dct.end(), lvbuf.begin());
-              nz = nz_dct;
-              // recompute recon from stored levels
+          int mode_combo =
+              MODE_V_ADST[mode] | (MODE_H_ADST[mode] << 1);
+          if (pl == 0 && small && (mode_combo || tx_exhaustive)) {
+            // RD-select the signaled luma transform. Fast presets: DCT
+            // vs the spec mode-derived combo. tx_exhaustive (bottom-up
+            // presets): all four DCT/ADST combos — the symbol codes any
+            // of them (write_coeffs tx sets 1/2).
+            int combos[4] = {0, mode_combo, 0, 0};
+            int ncomb = mode_combo ? 2 : 1;
+            if (tx_exhaustive) {
+              ncomb = 0;
+              for (int cb = 0; cb < 4; cb++) combos[ncomb++] = cb;
+            }
+            static thread_local std::vector<int32_t> lv_best;
+            double c_best = 0.0;
+            int best_cb = 0;
+            bool nz_best = false;
+            for (int ci = 0; ci < ncomb; ci++) {
+              tx_override = combos[ci];
+              compute_txb(pl, px, py, txw, txh, mode, delta, force_skip,
+                          &ch, &cw, &nz, 1);
+              // DCT is the cheapest symbol in both tx sets: bias the
+              // non-DCT combos by a small signaling term (A/B-tuned for
+              // the 2-candidate fast path; reused for the exhaustive one)
+              double c = last_cost + (combos[ci] ? lam * 2.0 : 0.0);
+              if (ci == 0 || c < c_best) {
+                c_best = c;
+                best_cb = combos[ci];
+                nz_best = nz;
+                lv_best.assign(lvbuf.begin(), lvbuf.begin() + ch * cw);
+              }
+            }
+            tx_override = -1;
+            va = best_cb & 1;
+            ha = (best_cb >> 1) & 1;
+            if (best_cb != combos[ncomb - 1]) {
+              // recon holds the last-evaluated combo; redo for the winner
+              std::copy(lv_best.begin(), lv_best.end(), lvbuf.begin());
+              nz = nz_best;
               predict(pl, px, py, txw, txh, mode, delta);
               int32_t* rp2 = &recon[(size_t)pl * Hp * Wp];
               int maxv2 = (1 << bit_depth) - 1;
@@ -2069,7 +2096,7 @@ struct BlockPipe {
                 static thread_local std::vector<int32_t> rsd;
                 rsd.resize((size_t)txw * txh);
                 inv_txfm_exact(lvbuf.data(), ch, cw, txw, txh, dc_q, ac_q,
-                               bit_depth, 0, 0, rsd.data());
+                               bit_depth, va, ha, rsd.data());
                 for (int yy = 0; yy < txh; yy++)
                   for (int xx = 0; xx < txw; xx++) {
                     long long v2 = (long long)pred[yy * txw + xx] +
@@ -2079,10 +2106,8 @@ struct BlockPipe {
                     rp2[(size_t)(py + yy) * Wp + px + xx] = (int32_t)v2;
                   }
               }
-              va = ha = 0;
             } else {
-              va = MODE_V_ADST[mode];
-              ha = MODE_H_ADST[mode];
+              nz = nz_best;
             }
           } else {
             compute_txb(pl, px, py, txw, txh, mode, delta, force_skip, &ch,
@@ -3180,7 +3205,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int base_q, int bit_depth, int num_planes,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
-                   int cfl_search, int edge_filter,
+                   int cfl_search, int edge_filter, int tx_exhaustive,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
@@ -3193,6 +3218,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
   bp.cfl_search = cfl_search;
   bp.edge_filter = edge_filter;
+  bp.tx_exhaustive = tx_exhaustive;
   if (rec_ops) {
     bp.rops = rec_ops;
     bp.rops_cap = rec_ops_cap;
