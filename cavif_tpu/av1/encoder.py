@@ -1633,32 +1633,33 @@ class FrameEncoder:
 
     def _lr_solve(self) -> bool:
         """Per-unit loop-restoration solve: separable Wiener least squares
-        always; self-guided (SGRPROJ) search at the slow presets
-        (sgr_complexity_full tier — the numpy SGR search is too heavy for
-        the fast tiers; the reference searches SGR with reduced complexity
-        there, a documented deviation). Sets _lr_units / _lr_frame_type
+        always; self-guided (SGRPROJ) search on luma at every `lrf` tier
+        via the native threaded search (full 16-set tier when
+        `sgr_complexity_full`, the reduced 6-set tier otherwise — matching
+        the reference's sgr_complexity policy, SURVEY.md §2.2). The numpy
+        SGR search remains as the no-native fallback (full tier only; it
+        is too slow for the fast presets). Sets _lr_units / _lr_frame_type
         and returns True when any unit gains."""
         from .sgr import search_unit
 
         h, w = self.cfg.height, self.cfg.width
         stack = self._lr_recon_stack()
-        try_sgr = self.cfg.tweaks.sgr_complexity_full
+        sgr_full = self.cfg.tweaks.sgr_complexity_full
         u = self.LR_UNIT
         rows, cols = self._lr_grid()
         lam = self._lambda()
         units = {}
         types = []
-        from ..native import lr_wiener_plane
+        from ..native import lr_sgr_plane, lr_wiener_plane
+        from .opstream import _native_available
+
+        native_sgr = _native_available()
+        try_sgr = self.cfg.tweaks.lrf if native_sgr else sgr_full
 
         for pl in range(self.num_planes):
             src_i = self.planes[pl].src[:h, :w]
             rec_full = stack[pl][:h, :w]
-            # per-unit f32 conversion below: whole-plane f64 copies cost
-            # seconds at 8K; the SGR search needs a contiguous int32 view
-            rec_i = (
-                np.ascontiguousarray(rec_full, dtype=np.int32)
-                if try_sgr and pl == 0 else None
-            )
+            nthr = self.cfg.threads or (os.cpu_count() or 1)
             # all wiener units of the plane in one native call (the padded
             # plane arrays pass by stride, no copies); signaling margin:
             # ~40 rate-proxy units for wiener taps / ~30 for sgr, doubled
@@ -1666,8 +1667,21 @@ class FrameEncoder:
             wu, wtaps, wsse, wbase = lr_wiener_plane(
                 self.planes[pl].src, stack[pl], h, w, u, rows, cols,
                 ntaps=2 if pl > 0 else 3, margin=2.0 * lam * 40.0,
-                n_threads=self.cfg.threads or (os.cpu_count() or 1),
+                n_threads=nthr,
             )
+            ssets = sxqd = ssse = None
+            rec_i = None
+            if try_sgr and pl == 0:
+                if native_sgr:
+                    ssets, sxqd, ssse = lr_sgr_plane(
+                        self.planes[pl].src, stack[pl], h, w, u, rows,
+                        cols, self.bit_depth, sgr_full, n_threads=nthr,
+                    )
+                else:
+                    # per-unit f32 conversion below: whole-plane f64 copies
+                    # cost seconds at 8K; the numpy SGR search needs a
+                    # contiguous int32 view
+                    rec_i = np.ascontiguousarray(rec_full, dtype=np.int32)
             kinds = set()
             for ur in range(rows):
                 y0 = ur * u
@@ -1683,10 +1697,17 @@ class FrameEncoder:
                     best = (1, sse_w) if use_w else (0, base)
                     sgr = None
                     if try_sgr and pl == 0:
-                        sgr = search_unit(
-                            src_i, rec_i, y0, y1, x0, x1,
-                            self.bit_depth, True,
-                        )
+                        if ssse is not None:
+                            sgr = (
+                                int(ssets[ui]),
+                                (int(sxqd[ui, 0]), int(sxqd[ui, 1])),
+                                float(ssse[ui]),
+                            )
+                        else:
+                            sgr = search_unit(
+                                src_i, rec_i, y0, y1, x0, x1,
+                                self.bit_depth, sgr_full,
+                            )
                         # exact integer SSE: only the signaling margin
                         if (sgr[2] < base - 2.0 * lam * 30.0
                                 and sgr[2] < best[1]):

@@ -191,6 +191,15 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # out base sse
         ]
         lib.lr_wiener_plane.restype = ctypes.c_int
+        lib.lr_sgr_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.lr_sgr_plane.restype = ctypes.c_int
         lib.cs_rgb_to_ycbcr.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),  # rgb (N, 3) uint8
             ctypes.c_longlong, ctypes.c_int,  # n_px, depth
@@ -654,6 +663,44 @@ def lr_wiener_plane(
     if rc != 0:
         raise RuntimeError("lr_wiener_plane failed")
     return use, taps, sse, base
+
+
+def lr_sgr_plane(
+    src: np.ndarray,
+    rec: np.ndarray,
+    h: int,
+    w: int,
+    unit: int,
+    rows: int,
+    cols: int,
+    bit_depth: int,
+    full: bool,
+    n_threads: int = 1,
+):
+    """Per-unit self-guided (SGRPROJ) restoration search over one plane's
+    grid (C++ mirror of av1/sgr.search_unit: decoder-exact integer filter,
+    LS projection solve, exact integer SSE). Returns (set (U,), xqd (U, 2),
+    sse (U,)) for the best searched set per unit; `full` selects the
+    16-set tier vs the reduced 6-set tier."""
+    lib = _load()
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    rec = np.ascontiguousarray(rec, dtype=np.int32)
+    U = rows * cols
+    sets = np.empty(U, dtype=np.int32)
+    xqd = np.empty((U, 2), dtype=np.int32)
+    sse = np.empty(U, dtype=np.float64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    rc = lib.lr_sgr_plane(
+        src.ctypes.data_as(i32), rec.ctypes.data_as(i32),
+        h, w, src.shape[1], rec.shape[1], unit, rows, cols,
+        bit_depth, int(full), n_threads,
+        sets.ctypes.data_as(i32), xqd.ctypes.data_as(i32),
+        sse.ctypes.data_as(f64),
+    )
+    if rc != 0:
+        raise RuntimeError("lr_sgr_plane failed")
+    return sets, xqd, sse
 
 
 def rgb_to_ycbcr(rgb: np.ndarray, depth: int, kr: float, kb: float,

@@ -3730,6 +3730,286 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
   return 0;
 }
 
+// -- self-guided (SGRPROJ) loop-restoration search --------------------------
+// C++ mirror of av1/sgr.py: decoder-exact integer filter (spec 7.17.3),
+// double-precision least-squares projection solve, exact-integer-SSE best-set
+// search per restoration unit. Parameter tables match libaom av1_sgr_params /
+// one_by_x / x_by_xplus1 (validated bit-exact vs dav1d by tests/test_sgr.py).
+// Reference behavior: rav1e's SGR search under the `lrf`/`sgr_complexity`
+// preset toggles (/root/reference/ravif/src/av1encoder.rs:573,589,623).
+int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
+                 int sstride, int rstride, int unit, int rows, int cols,
+                 int bit_depth, int full, int n_threads, int32_t* out_set,
+                 int32_t* out_xqd, double* out_sse) {
+  struct SgrParams { int r0, r1, s0, s1; };
+  static const SgrParams kSets[16] = {
+      {2, 1, 140, 3236}, {2, 1, 112, 2158}, {2, 1, 93, 1618},
+      {2, 1, 80, 1438},  {2, 1, 70, 1295},  {2, 1, 58, 1177},
+      {2, 1, 47, 1079},  {2, 1, 37, 996},   {2, 1, 30, 925},
+      {2, 1, 25, 863},   {0, 1, -1, 2589},  {0, 1, -1, 1618},
+      {0, 1, -1, 1177},  {0, 1, -1, 925},   {2, 0, 56, -1},
+      {2, 0, 22, -1}};
+  static const int kReduced[6] = {0, 3, 6, 9, 11, 14};
+  // x_by_xplus1[z] = ((z<<8) + z/2) / (z+1), [0] = 1, [255] = 256
+  static int32_t xby[256];
+  static int32_t oneby[25];
+  static std::once_flag once;
+  std::call_once(once, [] {
+    xby[0] = 1;
+    for (int z = 1; z < 255; z++)
+      xby[z] = (int32_t)((((int64_t)z << 8) + z / 2) / (z + 1));
+    xby[255] = 256;
+    for (int n = 1; n <= 25; n++) oneby[n - 1] = (4096 + n / 2) / n;
+  });
+  const int maxv = (1 << bit_depth) - 1;
+  const int d = bit_depth - 8;
+  auto rpot = [](int64_t x, int n) {  // x >= 0
+    return n == 0 ? x : (x + ((int64_t)1 << (n - 1))) >> n;
+  };
+  const int nsets = full ? 16 : 6;
+
+  auto worker = [&](int u0, int u1) {
+    std::vector<int64_t> ii1, ii2;
+    std::vector<int32_t> a2g, b2g, ext;
+    std::vector<int32_t> fltbuf;  // cached filter passes, keyed below
+    for (int ui = u0; ui < u1; ui++) {
+      const int ur = ui / cols, uc = ui % cols;
+      const int y0 = ur * unit, y1 = ur == rows - 1 ? h : (ur + 1) * unit;
+      const int x0 = uc * unit, x1 = uc == cols - 1 ? w : (uc + 1) * unit;
+      const int uh = y1 - y0, uw = x1 - x0;
+      const size_t n = (size_t)uh * uw;
+      const int eh = uh + 6, ew = uw + 6;
+      const int gw = uw + 2;  // A/B grid covers unit rows/cols -1..uh
+      ext.resize((size_t)eh * ew);
+      for (int er = 0; er < eh; er++) {
+        int sr = y0 - 3 + er;
+        sr = sr < 0 ? 0 : (sr >= h ? h - 1 : sr);
+        const int32_t* rr_ = &rec[(size_t)sr * rstride];
+        int32_t* xr = &ext[(size_t)er * ew];
+        for (int ec = 0; ec < ew; ec++) {
+          int sc = x0 - 3 + ec;
+          sc = sc < 0 ? 0 : (sc >= w ? w - 1 : sc);
+          xr[ec] = rr_[sc];
+        }
+      }
+      // integral images over ext (shared by every radius/strength pass)
+      ii1.assign((size_t)(eh + 1) * (ew + 1), 0);
+      ii2.assign((size_t)(eh + 1) * (ew + 1), 0);
+      for (int r = 0; r < eh; r++) {
+        int64_t run1 = 0, run2 = 0;
+        const int32_t* xr = &ext[(size_t)r * ew];
+        int64_t* i1 = &ii1[(size_t)(r + 1) * (ew + 1)];
+        int64_t* i2 = &ii2[(size_t)(r + 1) * (ew + 1)];
+        const int64_t* p1 = &ii1[(size_t)r * (ew + 1)];
+        const int64_t* p2 = &ii2[(size_t)r * (ew + 1)];
+        for (int c = 0; c < ew; c++) {
+          run1 += xr[c];
+          run2 += (int64_t)xr[c] * xr[c];
+          i1[c + 1] = run1 + p1[c + 1];
+          i2[c + 1] = run2 + p2[c + 1];
+        }
+      }
+      // one filter pass (radius r, strength s) -> flt (uh*uw, x16 domain)
+      auto pass = [&](int r, int s, int32_t* flt) {
+        const int k = 2 * r + 1, nn = k * k, off = 2 - r;
+        const int gh = uh + 2;
+        a2g.resize((size_t)gh * gw);
+        b2g.resize((size_t)gh * gw);
+        for (int gi = 0; gi < gh; gi++) {
+          const int64_t* iA = &ii1[(size_t)(gi + off) * (ew + 1)];
+          const int64_t* iB = &ii1[(size_t)(gi + off + k) * (ew + 1)];
+          const int64_t* jA = &ii2[(size_t)(gi + off) * (ew + 1)];
+          const int64_t* jB = &ii2[(size_t)(gi + off + k) * (ew + 1)];
+          int32_t* ar = &a2g[(size_t)gi * gw];
+          int32_t* br = &b2g[(size_t)gi * gw];
+          for (int gj = 0; gj < gw; gj++) {
+            const int c0 = gj + off, c1 = gj + off + k;
+            const int64_t bsum = iB[c1] - iA[c1] - iB[c0] + iA[c0];
+            const int64_t asum = jB[c1] - jA[c1] - jB[c0] + jA[c0];
+            const int64_t a = rpot(asum, 2 * d);
+            const int64_t bd = rpot(bsum, d);
+            int64_t p = a * nn - bd * bd;
+            if (p < 0) p = 0;
+            int64_t z = rpot(p * s, 20);
+            if (z > 255) z = 255;
+            const int32_t a2 = xby[z];
+            ar[gj] = a2;
+            br[gj] = (int32_t)rpot((int64_t)(256 - a2) * bsum * oneby[nn - 1],
+                                   12);
+          }
+        }
+        for (int rr_ = 0; rr_ < uh; rr_++) {
+          const int32_t* gU = &a2g[(size_t)rr_ * gw];        // row rr_-1
+          const int32_t* gC = &a2g[(size_t)(rr_ + 1) * gw];  // row rr_
+          const int32_t* gD = &a2g[(size_t)(rr_ + 2) * gw];  // row rr_+1
+          const int32_t* bU = &b2g[(size_t)rr_ * gw];
+          const int32_t* bC = &b2g[(size_t)(rr_ + 1) * gw];
+          const int32_t* bD = &b2g[(size_t)(rr_ + 2) * gw];
+          const int32_t* dg = &ext[(size_t)(rr_ + 3) * ew + 3];
+          int32_t* fr = &flt[(size_t)rr_ * uw];
+          if (r == 2) {
+            if ((rr_ & 1) == 0) {  // even rows: U/D rows + corners, nb=5
+              for (int cc = 0; cc < uw; cc++) {
+                const int64_t a = 6 * ((int64_t)gU[cc + 1] + gD[cc + 1]) +
+                                  5 * ((int64_t)gU[cc] + gU[cc + 2] +
+                                       gD[cc] + gD[cc + 2]);
+                const int64_t b = 6 * ((int64_t)bU[cc + 1] + bD[cc + 1]) +
+                                  5 * ((int64_t)bU[cc] + bU[cc + 2] +
+                                       bD[cc] + bD[cc + 2]);
+                fr[cc] = (int32_t)rpot(a * dg[cc] + b, 9);
+              }
+            } else {  // odd rows: own row, nb=4
+              for (int cc = 0; cc < uw; cc++) {
+                const int64_t a =
+                    6 * (int64_t)gC[cc + 1] + 5 * ((int64_t)gC[cc] + gC[cc + 2]);
+                const int64_t b =
+                    6 * (int64_t)bC[cc + 1] + 5 * ((int64_t)bC[cc] + bC[cc + 2]);
+                fr[cc] = (int32_t)rpot(a * dg[cc] + b, 8);
+              }
+            }
+          } else {
+            for (int cc = 0; cc < uw; cc++) {
+              const int64_t a =
+                  4 * ((int64_t)gC[cc + 1] + gC[cc] + gC[cc + 2] +
+                       gU[cc + 1] + gD[cc + 1]) +
+                  3 * ((int64_t)gU[cc] + gU[cc + 2] + gD[cc] + gD[cc + 2]);
+              const int64_t b =
+                  4 * ((int64_t)bC[cc + 1] + bC[cc] + bC[cc + 2] +
+                       bU[cc + 1] + bD[cc + 1]) +
+                  3 * ((int64_t)bU[cc] + bU[cc + 2] + bD[cc] + bD[cc + 2]);
+              fr[cc] = (int32_t)rpot(a * dg[cc] + b, 9);
+            }
+          }
+        }
+      };
+      // lazily-computed pass cache: (r, s) -> slot in fltbuf
+      int cache_r[24], cache_s[24], ncache = 0;
+      auto get_pass = [&](int r, int s) -> const int32_t* {
+        for (int i = 0; i < ncache; i++)
+          if (cache_r[i] == r && cache_s[i] == s)
+            return fltbuf.data() + (size_t)i * n;
+        if ((size_t)(ncache + 1) * n > fltbuf.size())
+          fltbuf.resize((size_t)(ncache + 1) * n);
+        int32_t* slot = fltbuf.data() + (size_t)ncache * n;
+        pass(r, s, slot);
+        cache_r[ncache] = r;
+        cache_s[ncache] = s;
+        ncache++;
+        return slot;
+      };
+      int best_set = -1, best_x0 = 0, best_x1 = 0;
+      double best_sse = 0.0;
+      for (int si = 0; si < nsets; si++) {
+        const int set = full ? si : kReduced[si];
+        const SgrParams& P = kSets[set];
+        const int32_t* flt0 = P.r0 > 0 ? get_pass(2, P.s0) : nullptr;
+        const int32_t* flt1 = P.r1 > 0 ? get_pass(1, P.s1) : nullptr;
+        // least squares on (flt - u) vs (src<<4 - u), double accumulation
+        double h00 = 0, h11 = 0, h01 = 0, c0_ = 0, c1_ = 0;
+        for (int rr_ = 0; rr_ < uh; rr_++) {
+          const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
+          const int32_t* dr_ = &rec[(size_t)(y0 + rr_) * rstride + x0];
+          const size_t o = (size_t)rr_ * uw;
+          for (int cc = 0; cc < uw; cc++) {
+            const int32_t u = dr_[cc] << 4;
+            const double t = (double)((sr[cc] << 4) - u);
+            if (flt0) {
+              const double f0 = (double)(flt0[o + cc] - u);
+              h00 += f0 * f0;
+              c0_ += f0 * t;
+              if (flt1) {
+                const double f1 = (double)(flt1[o + cc] - u);
+                h01 += f0 * f1;
+              }
+            }
+            if (flt1) {
+              const double f1 = (double)(flt1[o + cc] - u);
+              h11 += f1 * f1;
+              c1_ += f1 * t;
+            }
+          }
+        }
+        const double scale = 128.0;  // 1 << SGRPROJ_PRJ_BITS
+        double b0 = 0.0, b1 = 0.0;
+        if (flt0 && flt1) {
+          const double det = h00 * h11 - h01 * h01;
+          if (det > 0) {
+            b0 = scale * (h11 * c0_ - h01 * c1_) / det;
+            b1 = scale * (h00 * c1_ - h01 * c0_) / det;
+          }
+        } else if (flt0) {
+          b0 = h00 > 0 ? scale * c0_ / h00 : 0.0;
+        } else {
+          b1 = h11 > 0 ? scale * c1_ / h11 : 0.0;
+        }
+        auto clipi = [](double v, int lo, int hi) {
+          const double r_ = std::nearbyint(v);
+          return (int)(r_ < lo ? lo : (r_ > hi ? hi : r_));
+        };
+        const int xq0 = P.r0 ? clipi(b0, -96, 31) : 0;
+        const int xqd1 =
+            P.r1 ? clipi(128.0 - xq0 - std::nearbyint(b1), -32, 95)
+                 : clipi(128.0 - xq0, -32, 95);
+        // decode_xq (libaom av1_decode_xq)
+        int dq0, dq1;
+        if (P.r0 == 0) {
+          dq0 = 0;
+          dq1 = 128 - dq0 - xqd1;
+        } else if (P.r1 == 0) {
+          dq0 = xq0;
+          dq1 = 0;
+        } else {
+          dq0 = xq0;
+          dq1 = 128 - dq0 - xqd1;
+        }
+        // exact integer output SSE
+        int64_t sse = 0;
+        for (int rr_ = 0; rr_ < uh; rr_++) {
+          const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
+          const int32_t* dr_ = &rec[(size_t)(y0 + rr_) * rstride + x0];
+          const size_t o = (size_t)rr_ * uw;
+          for (int cc = 0; cc < uw; cc++) {
+            const int64_t u = (int64_t)(dr_[cc] << 4);
+            int64_t v = u << 7;
+            if (flt0) v += (int64_t)dq0 * (flt0[o + cc] - u);
+            if (flt1) v += (int64_t)dq1 * (flt1[o + cc] - u);
+            int64_t wv = (v + (1 << 10)) >> 11;  // PRJ+RST rounding shift
+            if (wv < 0) wv = 0;
+            if (wv > maxv) wv = maxv;
+            const int64_t dd = wv - sr[cc];
+            sse += dd * dd;
+          }
+        }
+        if (best_set < 0 || (double)sse < best_sse) {
+          best_set = set;
+          best_x0 = xq0;
+          best_x1 = xqd1;
+          best_sse = (double)sse;
+        }
+      }
+      out_set[ui] = best_set;
+      out_xqd[(size_t)ui * 2] = best_x0;
+      out_xqd[(size_t)ui * 2 + 1] = best_x1;
+      out_sse[ui] = best_sse;
+    }
+  };
+  const int B = rows * cols;
+  int nth = n_threads < B ? n_threads : B;
+  if (nth <= 1) {
+    worker(0, B);
+  } else {
+    std::vector<std::thread> ths;
+    const int per = (B + nth - 1) / nth;
+    for (int t = 0; t < nth; t++) {
+      const int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
+      if (b0 >= b1) break;
+      ths.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
 // Build per-mi filter maps from a tile's concrete replay op stream:
 // skip flag, tx dims log2(px) and txb start-edge flags per {luma, chroma}
 // grid. Arrays are full-frame (mi_rows x mi_cols); (r0, c0) is the tile

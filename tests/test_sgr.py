@@ -168,3 +168,44 @@ def test_sgr_selected_end_to_end():
     p = np.asarray(dec).astype(np.float64)
     psnr = 10 * np.log10(255**2 / ((p - img) ** 2).mean())
     assert psnr > 28, psnr
+
+
+def test_native_sgr_search_matches_numpy():
+    """The threaded C++ SGR search (native.lr_sgr_plane) must agree with
+    the numpy reference (sgr.search_unit) exactly: same selected set, same
+    coded xqd, same exact-integer output SSE — both tiers."""
+    from cavif_tpu.av1.opstream import _native_available
+
+    if not _native_available():
+        pytest.skip("native library unavailable")
+    from cavif_tpu.native import lr_sgr_plane
+
+    rng = np.random.default_rng(7)
+    for h, w, depth in ((256, 256, 8), (300, 290, 10), (96, 160, 8)):
+        maxv = (1 << depth) - 1
+        y, x = np.mgrid[0:h, 0:w]
+        src = np.clip(
+            (np.sin(x / 19.0) * (maxv // 8) + maxv // 2 + y * 0.3), 0, maxv
+        ).astype(np.int32)
+        rec = np.clip(
+            src + rng.normal(0, maxv / 100.0, size=(h, w)).astype(np.int32),
+            0, maxv,
+        ).astype(np.int32)
+        unit = 256
+        rows = max(1, (h + unit - 1) // unit)
+        cols = max(1, (w + unit - 1) // unit)
+        for full in (False, True):
+            sets, xqd, sse = lr_sgr_plane(
+                src, rec, h, w, unit, rows, cols, depth, full, 2
+            )
+            for ur in range(rows):
+                y0 = ur * unit
+                y1 = h if ur == rows - 1 else (ur + 1) * unit
+                for uc in range(cols):
+                    x0 = uc * unit
+                    x1 = w if uc == cols - 1 else (uc + 1) * unit
+                    ref = search_unit(src, rec, y0, y1, x0, x1, depth, full)
+                    ui = ur * cols + uc
+                    assert int(sets[ui]) == ref[0]
+                    assert (int(xqd[ui, 0]), int(xqd[ui, 1])) == ref[1]
+                    assert float(sse[ui]) == ref[2]
