@@ -1633,10 +1633,11 @@ class FrameEncoder:
 
     def _lr_solve(self) -> bool:
         """Per-unit loop-restoration solve: separable Wiener least squares
-        always; self-guided (SGRPROJ) search on every plane at every `lrf`
-        tier via the native threaded search (full 16-set tier when
+        always; self-guided (SGRPROJ) search via the native threaded
+        search: luma at every `lrf` tier (full 16-set tier when
         `sgr_complexity_full`, the reduced 6-set tier otherwise — matching
-        the reference's sgr_complexity policy, SURVEY.md §2.2). The numpy
+        the reference's sgr_complexity policy, SURVEY.md §2.2), chroma at
+        the slow tiers only (marginal gain, 2x cost). The numpy
         SGR search remains as the no-native fallback (luma at the full
         tier only; it is too slow for the fast presets). Sets _lr_units /
         _lr_frame_type and returns True when any unit gains."""
@@ -1671,7 +1672,9 @@ class FrameEncoder:
             )
             ssets = sxqd = ssse = None
             rec_i = None
-            if try_sgr and (pl == 0 or native_sgr):
+            # chroma SGR gains are marginal (+0.002 dB on the A/B corpus)
+            # for ~2x the search cost: slow tiers only
+            if try_sgr and (pl == 0 or (native_sgr and sgr_full)):
                 if native_sgr:
                     ssets, sxqd, ssse = lr_sgr_plane(
                         self.planes[pl].src, stack[pl], h, w, u, rows,
@@ -1696,7 +1699,7 @@ class FrameEncoder:
                     sse_w = float(wsse[ui])
                     best = (1, sse_w) if use_w else (0, base)
                     sgr = None
-                    if try_sgr and (pl == 0 or native_sgr):
+                    if try_sgr and (ssse is not None or pl == 0):
                         if ssse is not None:
                             sgr = (
                                 int(ssets[ui]),

@@ -3815,7 +3815,10 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
         const int gh = uh + 2;
         a2g.resize((size_t)gh * gw);
         b2g.resize((size_t)gh * gw);
-        for (int gi = 0; gi < gh; gi++) {
+        // r == 2 subsampled fast path: only the odd unit positions
+        // (-1, 1, 3, ...) = even grid rows are ever read below
+        const int gstep = r == 2 ? 2 : 1;
+        for (int gi = 0; gi < gh; gi += gstep) {
           const int64_t* iA = &ii1[(size_t)(gi + off) * (ew + 1)];
           const int64_t* iB = &ii1[(size_t)(gi + off + k) * (ew + 1)];
           const int64_t* jA = &ii2[(size_t)(gi + off) * (ew + 1)];
