@@ -614,6 +614,12 @@ class FrameEncoder:
                 and min(bw, bh) >= 8
                 and (plc == 0 or sp <= 2)  # chroma deltas: slow tiers only
             )
+            # joint U+V chroma decision: one shared uv mode scored by the
+            # summed U+V RD (the U-only proxy picks a joint-suboptimal
+            # mode for 17-38% of chroma blocks, 0.5-3.7% excess chroma RD)
+            joint = plc == 1 and self.num_planes > 2 and not os.environ.get(
+                "CAVIF_TPU_UV_PROXY"
+            )
             arr = np.empty((len(items), 3), dtype=np.int32)
             for i, (idx, pl) in enumerate(items):
                 r, c, _, _ = blocks[idx]
@@ -622,7 +628,7 @@ class FrameEncoder:
                 planes, arr, bw, bh, (r0 * 4, c0 * 4),
                 self.dc_q, self.ac_q, self.bit_depth, lam,
                 float(transforms.get_gain(bw, bh)), Kp, refine, force_skip,
-                nthr,
+                nthr, joint_uv=joint,
             )
             for i, (idx, pl) in enumerate(items):
                 key = blocks[idx]
@@ -634,8 +640,10 @@ class FrameEncoder:
                     modes[key] = (CAND_MODES_SEARCH[mi], dlt, uvm, uvd,
                                   tot + cv, cv)
                 else:
+                    # joint search returns U+V; the proxy path doubles U
+                    uvc = cv if joint else 2.0 * cv
                     modes[key] = (ym, yd, CAND_MODES_SEARCH[mi], dlt,
-                                  tot + 2.0 * cv, lc)
+                                  tot + uvc, lc)
         return modes
 
     def _refine_deltas(self, best, cost, src, above_ext, left_ext, al,

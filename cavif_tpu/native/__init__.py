@@ -171,7 +171,7 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # dc_q, ac_q, bd
             ctypes.c_double, ctypes.c_double,          # lam, gain
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # K, refine, force_skip
-            ctypes.c_int,                              # n_threads
+            ctypes.c_int, ctypes.c_int,                # joint_uv, n_threads
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
@@ -458,11 +458,14 @@ def mode_search_planes(
     refine: bool,
     force_skip: bool,
     n_threads: int = 1,
+    joint_uv: bool = False,
 ):
     """bs_search2: like mode_search but the neighbor gather happens in the
     C++ worker threads. planes: (P, Hp, Wp) contiguous int32 padded source;
     items: (B, 3) int32 rows (plane, py, px) in pixels; origin_px: tile
-    origin (py0, px0) for the availability rules."""
+    origin (py0, px0) for the availability rules. With joint_uv, plane-1
+    items co-decide the same block of plane 2 (one shared uv mode, summed
+    RD costs — the cost out is U+V)."""
     lib = _load()
     planes = np.ascontiguousarray(planes, dtype=np.int32)
     items = np.ascontiguousarray(items, dtype=np.int32)
@@ -477,7 +480,7 @@ def mode_search_planes(
         items.ctypes.data_as(i32), B, bw, bh,
         int(origin_px[0]), int(origin_px[1]),
         dc_q, ac_q, bit_depth, lam, gain,
-        K, int(refine), int(force_skip), n_threads,
+        K, int(refine), int(force_skip), int(joint_uv), n_threads,
         out_mode.ctypes.data_as(i32),
         out_delta.ctypes.data_as(i32),
         out_cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -3377,37 +3377,48 @@ struct Params {
   double lam, gain;
 };
 
-// one block: SAD prefilter (DC kept) -> RD on top-K -> delta refinement
-static void search_one(const int32_t* s_, const int32_t* ae,
-                       const int32_t* le, int alv, int hav_a, int hav_l,
-                       const Params& P, Scratch& sc, int32_t* out_mode,
-                       int32_t* out_delta, double* out_cost) {
+// one block, ns co-decided sources (ns=1: a single plane; ns=2: the joint
+// U+V chroma search — one shared uv mode, per-plane predictions/neighbors,
+// costs summed; mode-rate proxies counted once since the mode is coded
+// once): SAD prefilter (DC kept) -> RD on top-K -> delta refinement
+static void search_one_multi(const int32_t* const* s_, const int32_t* const* ae,
+                             const int32_t* const* le, const int* alv, int ns,
+                             int hav_a, int hav_l, const Params& P,
+                             Scratch& sc, int32_t* out_mode,
+                             int32_t* out_delta, double* out_cost) {
   int bw = P.bw, bh = P.bh, n = bw * bh;
   double lam = P.lam;
   double sad[13];
+  sc.pred.resize((size_t)13 * ns * n);
   for (int m = 0; m < 13; m++) {
-    int32_t* p = sc.pred.data() + (size_t)m * n;
-    predict_into(CAND_MODES[m], 0, ae, le, alv, hav_a, hav_l, bw, bh,
-                 P.bit_depth, p);
     int32_t sd = 0;
-    for (int i = 0; i < n; i++) {
-      int d = s_[i] - p[i];
-      sd += d < 0 ? -d : d;
+    for (int s = 0; s < ns; s++) {
+      int32_t* p = sc.pred.data() + (size_t)(m * ns + s) * n;
+      predict_into(CAND_MODES[m], 0, ae[s], le[s], alv[s], hav_a, hav_l,
+                   bw, bh, P.bit_depth, p);
+      const int32_t* sp = s_[s];
+      for (int i = 0; i < n; i++) {
+        int d = sp[i] - p[i];
+        sd += d < 0 ? -d : d;
+      }
     }
-    sad[m] = (double)sd + (m >= 7 ? lam * 0.5 : 0.0);
+    sad[m] = (double)sd + (m >= 7 ? lam * 0.5 * ns : 0.0);
   }
   if (P.force_skip) {
     int best = 0;
     double bc = 1e300;
     for (int m = 0; m < 13; m++) {
-      const int32_t* p = sc.pred.data() + (size_t)m * n;
       int64_t ssi = 0;
-      for (int i = 0; i < n; i++) {
-        int32_t d = s_[i] - p[i];
-        ssi += (int64_t)d * d;
+      for (int s = 0; s < ns; s++) {
+        const int32_t* p = sc.pred.data() + (size_t)(m * ns + s) * n;
+        const int32_t* sp = s_[s];
+        for (int i = 0; i < n; i++) {
+          int32_t d = sp[i] - p[i];
+          ssi += (int64_t)d * d;
+        }
       }
       double ss = (double)ssi;
-      if (m >= 7) ss += lam * 2.0;
+      if (m >= 7) ss += lam * 2.0 * ns;
       if (ss < bc) { bc = ss; best = m; }
     }
     *out_mode = best; *out_delta = 0; *out_cost = bc;
@@ -3425,9 +3436,13 @@ static void search_one(const int32_t* s_, const int32_t* ae,
   double bc = 1e300;
   for (int ki = 0; ki < nk; ki++) {
     int m = keep[ki];
-    double c = rd_cost(s_, sc.pred.data() + (size_t)m * n, bw, bh, P.dc_q,
-                       P.ac_q, P.bit_depth, lam, P.gain, sc);
-    if (m >= 7) c += lam * 7.0;  // diag angle+mode rate proxy (A/B-tuned)
+    double c = 0.0;
+    for (int s = 0; s < ns; s++)
+      c += rd_cost(s_[s], sc.pred.data() + (size_t)(m * ns + s) * n, bw, bh,
+                   P.dc_q, P.ac_q, P.bit_depth, lam, P.gain, sc);
+    // diag angle+mode rate proxy (A/B-tuned); x ns keeps the proxy's
+    // relative weight vs the summed distortion of the joint search
+    if (m >= 7) c += lam * 7.0 * ns;
     if (c < bc) { bc = c; best = m; }
   }
   int bdelta = 0;
@@ -3440,13 +3455,16 @@ static void search_one(const int32_t* s_, const int32_t* ae,
     static const int DELTAS[6] = {-3, -2, -1, 1, 2, 3};
     double dsad[6];
     for (int di = 0; di < 6; di++) {
-      int32_t* p = sc.pred.data() + (size_t)di * n;
-      predict_into(bmode_id, DELTAS[di], ae, le, alv, hav_a, hav_l, bw, bh,
-                   P.bit_depth, p);
       int32_t sd = 0;
-      for (int i = 0; i < n; i++) {
-        int d = s_[i] - p[i];
-        sd += d < 0 ? -d : d;
+      for (int s = 0; s < ns; s++) {
+        int32_t* p = sc.pred.data() + (size_t)(di * ns + s) * n;
+        predict_into(bmode_id, DELTAS[di], ae[s], le[s], alv[s], hav_a,
+                     hav_l, bw, bh, P.bit_depth, p);
+        const int32_t* sp = s_[s];
+        for (int i = 0; i < n; i++) {
+          int d = sp[i] - p[i];
+          sd += d < 0 ? -d : d;
+        }
       }
       dsad[di] = (double)sd;
     }
@@ -3455,15 +3473,28 @@ static void search_one(const int32_t* s_, const int32_t* ae,
               [&](int a_, int b_) { return dsad[a_] < dsad[b_]; });
     for (int oi = 0; oi < 2; oi++) {
       int di = dorder[oi];
-      double c = rd_cost(s_, sc.pred.data() + (size_t)di * n, bw, bh,
-                         P.dc_q, P.ac_q, P.bit_depth, lam, P.gain, sc) +
-                 lam * 6.0;
+      double c = lam * 6.0 * ns;
+      for (int s = 0; s < ns; s++)
+        c += rd_cost(s_[s], sc.pred.data() + (size_t)(di * ns + s) * n, bw,
+                     bh, P.dc_q, P.ac_q, P.bit_depth, lam, P.gain, sc);
       if (c < bc) { bc = c; bdelta = DELTAS[di]; }
     }
   }
   *out_mode = best;
   *out_delta = bdelta;
   *out_cost = bc;
+}
+
+static void search_one(const int32_t* s_, const int32_t* ae,
+                       const int32_t* le, int alv, int hav_a, int hav_l,
+                       const Params& P, Scratch& sc, int32_t* out_mode,
+                       int32_t* out_delta, double* out_cost) {
+  const int32_t* ss[1] = {s_};
+  const int32_t* aes[1] = {ae};
+  const int32_t* les[1] = {le};
+  const int alvs[1] = {alv};
+  search_one_multi(ss, aes, les, alvs, 1, hav_a, hav_l, P, sc, out_mode,
+                   out_delta, out_cost);
 }
 
 static void run_threaded(int B, int n_threads,
@@ -3514,54 +3545,70 @@ int bs_search(const int32_t* src, const int32_t* above_ext,
 int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
                const int32_t* items, int B, int bw, int bh, int py0, int px0,
                int dc_q, int ac_q, int bit_depth, double lam, double gain,
-               int K, int refine, int force_skip, int n_threads,
-               int32_t* out_mode, int32_t* out_delta, double* out_cost) {
+               int K, int refine, int force_skip, int joint_uv,
+               int n_threads, int32_t* out_mode, int32_t* out_delta,
+               double* out_cost) {
   using namespace search;
-  (void)nP;
   Params P{bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip, lam, gain};
   int ext = bw + bh;
   int n = bw * bh;
   int base_px = 1 << (bit_depth - 1);
   auto worker = [&](int b0, int b1) {
     Scratch sc;
-    sc.pred.resize((size_t)13 * n);
-    std::vector<int32_t> src(n), ae(ext), le(ext);
+    std::vector<int32_t> src(2 * (size_t)n), ae(2 * (size_t)ext),
+        le(2 * (size_t)ext);
     for (int b = b0; b < b1; b++) {
       int pl = items[3 * b], py = items[3 * b + 1], px = items[3 * b + 2];
-      const int32_t* sp = planes + (size_t)pl * Hp * Wp;
-      for (int i = 0; i < bh; i++)
-        for (int j = 0; j < bw; j++)
-          src[(size_t)i * bw + j] = sp[(size_t)(py + i) * Wp + px + j];
+      // joint U+V: a plane-1 item co-decides the same block of plane 2
+      // (one coded uv mode; per-plane neighbors; summed costs)
+      const int ns = (joint_uv && pl == 1 && nP > 2) ? 2 : 1;
       int hav_a = py > py0, hav_l = px > px0;
-      int alv;
-      if (hav_a) {
-        const int32_t* row = sp + (size_t)(py - 1) * Wp;
-        for (int i = 0; i < ext; i++) {
-          int c = px + i;
-          ae[i] = row[c < Wp ? c : Wp - 1];
+      const int32_t* ss[2];
+      const int32_t* aes[2];
+      const int32_t* les[2];
+      int alvs[2];
+      for (int s = 0; s < ns; s++) {
+        const int32_t* sp = planes + (size_t)(pl + s) * Hp * Wp;
+        int32_t* sd = src.data() + (size_t)s * n;
+        int32_t* aed = ae.data() + (size_t)s * ext;
+        int32_t* led = le.data() + (size_t)s * ext;
+        for (int i = 0; i < bh; i++)
+          for (int j = 0; j < bw; j++)
+            sd[(size_t)i * bw + j] = sp[(size_t)(py + i) * Wp + px + j];
+        int alv;
+        if (hav_a) {
+          const int32_t* row = sp + (size_t)(py - 1) * Wp;
+          for (int i = 0; i < ext; i++) {
+            int c = px + i;
+            aed[i] = row[c < Wp ? c : Wp - 1];
+          }
         }
-      }
-      if (hav_l) {
-        for (int i = 0; i < ext; i++) {
-          int r = py + i;
-          le[i] = sp[(size_t)(r < Hp ? r : Hp - 1) * Wp + px - 1];
+        if (hav_l) {
+          for (int i = 0; i < ext; i++) {
+            int r = py + i;
+            led[i] = sp[(size_t)(r < Hp ? r : Hp - 1) * Wp + px - 1];
+          }
         }
+        if (hav_a && hav_l) {
+          alv = sp[(size_t)(py - 1) * Wp + px - 1];
+        } else if (!hav_a && !hav_l) {
+          for (int i = 0; i < ext; i++) aed[i] = base_px - 1;
+          for (int i = 0; i < ext; i++) led[i] = base_px + 1;
+          alv = base_px;
+        } else if (!hav_a) {
+          for (int i = 0; i < ext; i++) aed[i] = led[0];
+          alv = led[0];
+        } else {
+          for (int i = 0; i < ext; i++) led[i] = aed[0];
+          alv = aed[0];
+        }
+        ss[s] = sd;
+        aes[s] = aed;
+        les[s] = led;
+        alvs[s] = alv;
       }
-      if (hav_a && hav_l) {
-        alv = sp[(size_t)(py - 1) * Wp + px - 1];
-      } else if (!hav_a && !hav_l) {
-        for (int i = 0; i < ext; i++) ae[i] = base_px - 1;
-        for (int i = 0; i < ext; i++) le[i] = base_px + 1;
-        alv = base_px;
-      } else if (!hav_a) {
-        for (int i = 0; i < ext; i++) ae[i] = le[0];
-        alv = le[0];
-      } else {
-        for (int i = 0; i < ext; i++) le[i] = ae[0];
-        alv = ae[0];
-      }
-      search_one(src.data(), ae.data(), le.data(), alv, hav_a, hav_l, P, sc,
-                 out_mode + b, out_delta + b, out_cost + b);
+      search_one_multi(ss, aes, les, alvs, ns, hav_a, hav_l, P, sc,
+                       out_mode + b, out_delta + b, out_cost + b);
     }
   };
   run_threaded(B, n_threads, worker);

@@ -102,3 +102,46 @@ def test_mode_search_direct_agreement():
     )
     assert (m == m1).all() and (d == d1).all()
     assert np.allclose(c, c1)
+
+
+def test_joint_uv_search_beats_proxy_on_divergent_chroma():
+    """Joint U+V chroma mode selection: when U and V pull in different
+    directions, the joint search must pick the mode minimizing the summed
+    RD, where the U-only proxy picks U's favorite. Construct planes where
+    U prefers V_PRED (vertical gradient continuation) and V prefers
+    H_PRED, and check the joint choice flips relative to the proxy."""
+    import numpy as np
+
+    from cavif_tpu import native
+
+    n = 32
+    Hp = Wp = 3 * n
+    # U: strong vertical edges (V_PRED is near-perfect, H_PRED bad)
+    rng = np.random.default_rng(11)
+    col = np.arange(Wp, dtype=np.int32) * 7 % 256
+    U = np.broadcast_to(col, (Hp, Wp)).copy()
+    U = np.clip(U + rng.integers(-2, 3, U.shape), 0, 255).astype(np.int32)
+    # V: strong horizontal stripes (H_PRED near-perfect), higher energy so
+    # the joint decision is dominated by V
+    row = (np.arange(Hp, dtype=np.int32) * 23) % 256
+    V = np.broadcast_to(row[:, None], (Hp, Wp)).copy()
+    V = np.clip(V + rng.integers(-2, 3, V.shape), 0, 255).astype(np.int32)
+    Y = np.zeros((Hp, Wp), np.int32)
+    planes = np.stack([Y, U, V]).astype(np.int32)
+    items = np.asarray([[1, n, n]], np.int32)  # interior block of plane 1
+    args = dict(bw=n, bh=n, origin_px=(0, 0), dc_q=500, ac_q=600,
+                bit_depth=8, lam=30.0, gain=1.0, K=5, refine=False,
+                force_skip=False, n_threads=1)
+    m_proxy, _, c_proxy = native.mode_search_planes(
+        planes, items, joint_uv=False, **args
+    )
+    m_joint, _, c_joint = native.mode_search_planes(
+        planes, items, joint_uv=True, **args
+    )
+    CAND = [0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8]
+    assert CAND[int(m_proxy[0])] == 1  # V_PRED wins on U alone
+    # jointly, U's favorite loses to a mode serving V's horizontal
+    # structure too (H_PRED or PAETH, which adapts per pixel)
+    assert CAND[int(m_joint[0])] in (2, 12)
+    # the joint cost is U+V: it must exceed the U-only cost
+    assert c_joint[0] > c_proxy[0]
