@@ -18,6 +18,7 @@ SURVEY.md section 2.2.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -346,6 +347,13 @@ class FrameEncoder:
         (V approximated by U's cost). With luma_only, chroma is not
         searched (uv fields stay DC; the caller inherits the parent's
         choice) and total == luma."""
+        if self._device_search and not luma_only:
+            # opt-in TPU/XLA path: grid-aligned square tiers run on the
+            # device; returns None when nothing is device-coverable (and
+            # routes the remainder through the host paths itself)
+            out = self._batch_search_device(blocks, origin)
+            if out is not None:
+                return out
         if self._native_search:
             return self._batch_search_native(blocks, origin, luma_only)
         from .predict import (
@@ -539,6 +547,11 @@ class FrameEncoder:
             (grids.setdefault(w4b, []) if covered else rest).append(b)
         if not grids:
             return None
+        if os.environ.get("CAVIF_TPU_DEVICE_SEARCH_MARK"):
+            # test hook: prove the device path actually engaged
+            print("[device-search] tiers=%s blocks=%d"
+                  % (sorted(grids), sum(map(len, grids.values()))),
+                  file=sys.stderr)
         for w4b, cand in grids.items():
             n = w4b * 4
             gh, gw = (th // n) * n, (tw // n) * n

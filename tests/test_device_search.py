@@ -38,9 +38,14 @@ sys.stdout.buffer.write(res.avif_file)
             [sys.executable, "-c", code, f.name],
             capture_output=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu",
-                 "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache", **env},
+                 "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+                 "CAVIF_TPU_DEVICE_SEARCH_MARK": "1", **env},
         )
     assert out.returncode == 0, out.stderr[-800:]
+    # the engagement marker proves the env toggle actually routed pass 1
+    # through the device path (a dead dispatch once made this test vacuous)
+    engaged = b"[device-search]" in out.stderr
+    assert engaged == bool(env.get("CAVIF_TPU_DEVICE_SEARCH")), out.stderr[-800:]
     return out.stdout
 
 
