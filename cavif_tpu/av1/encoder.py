@@ -756,6 +756,64 @@ class FrameEncoder:
                 out.append(best)
         return out
 
+    def _rdo_partition_native(self, partials, mi_r0, mi_r1, mi_c0, mi_c1):
+        """Whole-tile pass-1 in one native call (bs_partition_tile): the
+        tier cascade, gating, chroma-cost spreading, rect-half candidates,
+        and the bottom-up partition DP run in C++ worker threads.
+        Decision-identical to the python cascade below (byte-equality
+        pinned by tests/test_native_search.py); CAVIF_TPY_PY_CASCADE=1
+        forces the python orchestration."""
+        from .. import native
+
+        tweaks = self.cfg.tweaks
+        sp = tweaks.speed_preset
+        if tweaks.complex_prediction_modes:
+            K = 13
+        elif sp <= 6:
+            K = 5
+        else:
+            K = 2
+        Kp = 3 if sp >= 3 and K > 3 else K
+        joint = self.num_planes > 2 and not os.environ.get(
+            "CAVIF_TPU_UV_PROXY"
+        )
+        gain_tab = np.asarray(
+            [[transforms.get_gain(4 << i, 4 << j) for j in range(4)]
+             for i in range(4)]
+        )
+        part_arr = np.asarray(
+            [list(b) for b in partials], dtype=np.int32
+        ).reshape(-1, 4)
+        blocks, costs, parts = native.partition_tile(
+            self._src_stack(), self.mi_rows, self.mi_cols,
+            (mi_r0, mi_r1, mi_c0, mi_c1), self.min_leaf_mi,
+            self.max_leaf_mi, part_arr, self.dc_q, self.ac_q,
+            self.bit_depth, self._lambda(), gain_tab, K, Kp,
+            tweaks.fine_directional_intra, sp <= 2, self.num_planes,
+            joint, tweaks.encode_bottomup, self.OVH_BLOCK, self.OVH_SPLIT,
+            self.BOTTOM_KAPPA, self.RECT_OVH,
+            n_threads=getattr(self, "_search_threads", 1),
+        )
+        # dict assembly at C speed: vectorized candidate-index -> mode-id
+        # mapping, zip-built tuple keys/values (a python-level row loop
+        # here costs ~3us/row at ~20k rows)
+        codes = np.asarray(
+            (PARTITION_NONE, PARTITION_SPLIT, PARTITION_HORZ,
+             PARTITION_VERT), dtype=np.int32,
+        )[parts[:, 3]]
+        part = dict(zip(
+            zip(parts[:, 0].tolist(), parts[:, 1].tolist(),
+                parts[:, 2].tolist()),
+            codes.tolist(),
+        ))
+        cand = np.asarray(CAND_MODES_SEARCH, dtype=np.int32)
+        keys = zip(blocks[:, 0].tolist(), blocks[:, 1].tolist(),
+                   blocks[:, 2].tolist(), blocks[:, 3].tolist())
+        vals = zip(cand[blocks[:, 4]].tolist(), blocks[:, 5].tolist(),
+                   cand[blocks[:, 6]].tolist(), blocks[:, 7].tolist(),
+                   costs[:, 0].tolist(), costs[:, 1].tolist())
+        return part, dict(zip(keys, vals))
+
     def _rdo_partition(self, partials, origin, mi_r0, mi_r1, mi_c0, mi_c1):
         """Bottom-up NONE/SPLIT decision per full block.
 
@@ -765,6 +823,11 @@ class FrameEncoder:
         total (plus a partition-rate proxy) beats coding the block whole.
         `partials` (edge slivers from the geometry walk) are searched too.
         Returns (part_decisions, modes)."""
+        if (self._native_search and not self._device_search
+                and not os.environ.get("CAVIF_TPU_PY_CASCADE")):
+            return self._rdo_partition_native(
+                partials, mi_r0, mi_r1, mi_c0, mi_c1
+            )
         sizes = []
         n4 = self.min_leaf_mi
         while n4 <= self.max_leaf_mi:

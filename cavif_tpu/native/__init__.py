@@ -177,6 +177,29 @@ def _load():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.bs_search2.restype = ctypes.c_int
+        lib.bs_partition_tile.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # planes (P, Hp, Wp)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # P, Hp, Wp
+            ctypes.c_int, ctypes.c_int,      # mi_rows, mi_cols
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tile
+            ctypes.c_int, ctypes.c_int,      # min/max leaf mi
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # partials, n
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # dc_q, ac_q, bd
+            ctypes.c_double,                 # lam
+            ctypes.POINTER(ctypes.c_double),  # gain_tab 4x4
+            ctypes.c_int, ctypes.c_int,      # K_luma, K_chroma
+            ctypes.c_int, ctypes.c_int,      # fine_dir, chroma_refine
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_planes, joint, exh
+            ctypes.c_double, ctypes.c_double,  # ovh_block, ovh_split
+            ctypes.c_double, ctypes.c_double,  # kappa, rect_ovh_blocks
+            ctypes.c_int,                    # n_threads
+            ctypes.POINTER(ctypes.c_int32),  # out_blocks (cap, 8)
+            ctypes.POINTER(ctypes.c_double),  # out_costs (cap, 2)
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),  # cap, n_blocks
+            ctypes.POINTER(ctypes.c_int32),  # out_parts (cap, 4)
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),  # cap, n_parts
+        ]
+        lib.bs_partition_tile.restype = ctypes.c_int
         lib.lr_wiener_plane.argtypes = [
             ctypes.POINTER(ctypes.c_int32),  # src plane
             ctypes.POINTER(ctypes.c_int32),  # rec plane
@@ -488,6 +511,82 @@ def mode_search_planes(
     if rc != 0:
         raise RuntimeError("bs_search2 failed")
     return out_mode, out_delta, out_cost
+
+
+def partition_tile(
+    planes: np.ndarray,
+    mi_rows: int,
+    mi_cols: int,
+    tile: tuple,
+    min_leaf_mi: int,
+    max_leaf_mi: int,
+    partials: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int,
+    lam: float,
+    gain_tab: np.ndarray,
+    K_luma: int,
+    K_chroma: int,
+    fine_dir: bool,
+    chroma_refine: bool,
+    num_planes: int,
+    joint_uv: bool,
+    exhaustive: bool,
+    ovh_block: float,
+    ovh_split: float,
+    kappa: float,
+    rect_ovh_blocks: float,
+    n_threads: int = 1,
+):
+    """Whole-tile pass-1 (bs_partition_tile): the tier cascade, chroma-cost
+    spreading, rect-half candidates, and the bottom-up partition DP all run
+    natively; returns (blocks, costs, parts) arrays. Decision-identical to
+    the python cascade (FrameEncoder._rdo_partition); pinned by
+    tests/test_native_search.py byte-equality."""
+    lib = _load()
+    planes = np.ascontiguousarray(planes, dtype=np.int32)
+    partials = np.ascontiguousarray(
+        partials.reshape(-1, 4), dtype=np.int32
+    )
+    gain_tab = np.ascontiguousarray(gain_tab, dtype=np.float64)
+    P, Hp, Wp = planes.shape
+    mi_r0, mi_r1, mi_c0, mi_c1 = tile
+    # capacity: every full square of every tier + 4 rect halves per parent
+    # cell of the tiers above min + the edge partials
+    cap = len(partials) + 16
+    parts_cap = 16
+    s4 = min_leaf_mi
+    while s4 <= max_leaf_mi:
+        nr = -(-(mi_r1 - mi_r0) // s4)
+        nc = -(-(mi_c1 - mi_c0) // s4)
+        cap += nr * nc * (1 if s4 == min_leaf_mi else 5)
+        if s4 != min_leaf_mi:
+            parts_cap += nr * nc
+        s4 *= 2
+    out_blocks = np.empty((cap, 8), dtype=np.int32)
+    out_costs = np.empty((cap, 2), dtype=np.float64)
+    out_parts = np.empty((parts_cap, 4), dtype=np.int32)
+    nb = np.zeros(1, dtype=np.int32)
+    npt = np.zeros(1, dtype=np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    rc = lib.bs_partition_tile(
+        planes.ctypes.data_as(i32), P, Hp, Wp, mi_rows, mi_cols,
+        mi_r0, mi_r1, mi_c0, mi_c1, min_leaf_mi, max_leaf_mi,
+        partials.ctypes.data_as(i32), len(partials),
+        dc_q, ac_q, bit_depth, lam, gain_tab.ctypes.data_as(f64),
+        K_luma, K_chroma, int(fine_dir), int(chroma_refine),
+        num_planes, int(joint_uv), int(exhaustive),
+        ovh_block, ovh_split, kappa, rect_ovh_blocks, n_threads,
+        out_blocks.ctypes.data_as(i32), out_costs.ctypes.data_as(f64),
+        cap, nb.ctypes.data_as(i32),
+        out_parts.ctypes.data_as(i32), parts_cap, npt.ctypes.data_as(i32),
+    )
+    if rc != 0:
+        raise RuntimeError(f"bs_partition_tile failed (rc={rc})")
+    n, p = int(nb[0]), int(npt[0])
+    return out_blocks[:n], out_costs[:n], out_parts[:p]
 
 
 def encode_tile_native(p, ops: np.ndarray, levels: np.ndarray) -> bytes:

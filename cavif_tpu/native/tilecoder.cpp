@@ -3497,6 +3497,77 @@ static void search_one(const int32_t* s_, const int32_t* ae,
                    out_delta, out_cost);
 }
 
+// Gather source + neighbor rows/cols for one plane block from the padded
+// (Hp, Wp) plane (tile-top/left availability; source-synthesis rules for
+// missing sides — mirrors the python _batch_search gather exactly).
+static void gather_neighbors(const int32_t* sp, int Hp, int Wp, int py,
+                             int px, int bw, int bh, int hav_a, int hav_l,
+                             int base_px, int32_t* sd, int32_t* aed,
+                             int32_t* led, int* alv_out) {
+  int ext = bw + bh;
+  for (int i = 0; i < bh; i++)
+    for (int j = 0; j < bw; j++)
+      sd[(size_t)i * bw + j] = sp[(size_t)(py + i) * Wp + px + j];
+  int alv = 0;
+  if (hav_a) {
+    const int32_t* row = sp + (size_t)(py - 1) * Wp;
+    for (int i = 0; i < ext; i++) {
+      int c = px + i;
+      aed[i] = row[c < Wp ? c : Wp - 1];
+    }
+  }
+  if (hav_l) {
+    for (int i = 0; i < ext; i++) {
+      int r = py + i;
+      led[i] = sp[(size_t)(r < Hp ? r : Hp - 1) * Wp + px - 1];
+    }
+  }
+  if (hav_a && hav_l) {
+    alv = sp[(size_t)(py - 1) * Wp + px - 1];
+  } else if (!hav_a && !hav_l) {
+    for (int i = 0; i < ext; i++) aed[i] = base_px - 1;
+    for (int i = 0; i < ext; i++) led[i] = base_px + 1;
+    alv = base_px;
+  } else if (!hav_a) {
+    for (int i = 0; i < ext; i++) aed[i] = led[0];
+    alv = led[0];
+  } else {
+    for (int i = 0; i < ext; i++) led[i] = aed[0];
+    alv = aed[0];
+  }
+  *alv_out = alv;
+}
+
+// Gather + search one block of plane `pl` (ns=2: joint U+V co-decision).
+// bufs must hold 2*n / 2*ext each.
+static void search_item(const int32_t* planes, int nP, int Hp, int Wp,
+                        int pl, int py, int px, int py0, int px0, int joint,
+                        const Params& P, Scratch& sc, int32_t* buf_src,
+                        int32_t* buf_ae, int32_t* buf_le, int32_t* out_mode,
+                        int32_t* out_delta, double* out_cost) {
+  int n = P.bw * P.bh, ext = P.bw + P.bh;
+  int base_px = 1 << (P.bit_depth - 1);
+  const int ns = (joint && pl == 1 && nP > 2) ? 2 : 1;
+  int hav_a = py > py0, hav_l = px > px0;
+  const int32_t* ss[2];
+  const int32_t* aes[2];
+  const int32_t* les[2];
+  int alvs[2];
+  for (int s = 0; s < ns; s++) {
+    const int32_t* sp = planes + (size_t)(pl + s) * Hp * Wp;
+    int32_t* sd = buf_src + (size_t)s * n;
+    int32_t* aed = buf_ae + (size_t)s * ext;
+    int32_t* led = buf_le + (size_t)s * ext;
+    gather_neighbors(sp, Hp, Wp, py, px, P.bw, P.bh, hav_a, hav_l, base_px,
+                     sd, aed, led, &alvs[s]);
+    ss[s] = sd;
+    aes[s] = aed;
+    les[s] = led;
+  }
+  search_one_multi(ss, aes, les, alvs, ns, hav_a, hav_l, P, sc, out_mode,
+                   out_delta, out_cost);
+}
+
 static void run_threaded(int B, int n_threads,
                          const std::function<void(int, int)>& worker) {
   if (n_threads <= 1 || B < 64) {
@@ -3552,7 +3623,6 @@ int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
   Params P{bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip, lam, gain};
   int ext = bw + bh;
   int n = bw * bh;
-  int base_px = 1 << (bit_depth - 1);
   auto worker = [&](int b0, int b1) {
     Scratch sc;
     std::vector<int32_t> src(2 * (size_t)n), ae(2 * (size_t)ext),
@@ -3561,57 +3631,347 @@ int bs_search2(const int32_t* planes, int nP, int Hp, int Wp,
       int pl = items[3 * b], py = items[3 * b + 1], px = items[3 * b + 2];
       // joint U+V: a plane-1 item co-decides the same block of plane 2
       // (one coded uv mode; per-plane neighbors; summed costs)
-      const int ns = (joint_uv && pl == 1 && nP > 2) ? 2 : 1;
-      int hav_a = py > py0, hav_l = px > px0;
-      const int32_t* ss[2];
-      const int32_t* aes[2];
-      const int32_t* les[2];
-      int alvs[2];
-      for (int s = 0; s < ns; s++) {
-        const int32_t* sp = planes + (size_t)(pl + s) * Hp * Wp;
-        int32_t* sd = src.data() + (size_t)s * n;
-        int32_t* aed = ae.data() + (size_t)s * ext;
-        int32_t* led = le.data() + (size_t)s * ext;
-        for (int i = 0; i < bh; i++)
-          for (int j = 0; j < bw; j++)
-            sd[(size_t)i * bw + j] = sp[(size_t)(py + i) * Wp + px + j];
-        int alv;
-        if (hav_a) {
-          const int32_t* row = sp + (size_t)(py - 1) * Wp;
-          for (int i = 0; i < ext; i++) {
-            int c = px + i;
-            aed[i] = row[c < Wp ? c : Wp - 1];
-          }
-        }
-        if (hav_l) {
-          for (int i = 0; i < ext; i++) {
-            int r = py + i;
-            led[i] = sp[(size_t)(r < Hp ? r : Hp - 1) * Wp + px - 1];
-          }
-        }
-        if (hav_a && hav_l) {
-          alv = sp[(size_t)(py - 1) * Wp + px - 1];
-        } else if (!hav_a && !hav_l) {
-          for (int i = 0; i < ext; i++) aed[i] = base_px - 1;
-          for (int i = 0; i < ext; i++) led[i] = base_px + 1;
-          alv = base_px;
-        } else if (!hav_a) {
-          for (int i = 0; i < ext; i++) aed[i] = led[0];
-          alv = led[0];
-        } else {
-          for (int i = 0; i < ext; i++) led[i] = aed[0];
-          alv = aed[0];
-        }
-        ss[s] = sd;
-        aes[s] = aed;
-        les[s] = led;
-        alvs[s] = alv;
-      }
-      search_one_multi(ss, aes, les, alvs, ns, hav_a, hav_l, P, sc,
-                       out_mode + b, out_delta + b, out_cost + b);
+      search_item(planes, nP, Hp, Wp, pl, py, px, py0, px0, joint_uv, P, sc,
+                  src.data(), ae.data(), le.data(), out_mode + b,
+                  out_delta + b, out_cost + b);
     }
   };
   run_threaded(B, n_threads, worker);
+  return 0;
+}
+
+// ---- whole-tile pass-1: tier cascade + partition DP --------------------
+// Native twin of FrameEncoder._rdo_partition + _batch_search_native (the
+// python cascade stays as the differential reference and the device-search
+// path). One call per tile replaces ~12 marshaled bs_search2 calls plus
+// the python grid/dict bookkeeping. Decision-identical to the python
+// orchestration: same candidate sets, same double-precision cost algebra,
+// same first-wins argmin tie-breaks.
+//
+// outputs: blocks rows (r, c, w4, h4, ym_idx, yd, uvm_idx, uvd) +
+// per-row (cost, lcost) doubles; parts rows (r, c, s4, code) with code
+// 0=NONE 1=SPLIT 2=HORZ 3=VERT (the python caller maps to spec codes).
+int bs_partition_tile(
+    const int32_t* planes, int nP, int Hp, int Wp, int mi_rows, int mi_cols,
+    int mi_r0, int mi_r1, int mi_c0, int mi_c1, int min_leaf_mi,
+    int max_leaf_mi, const int32_t* partials, int n_partials, int dc_q,
+    int ac_q, int bit_depth, double lam, const double* gain_tab, int K_luma,
+    int K_chroma, int fine_dir, int chroma_refine, int num_planes,
+    int joint_uv, int exhaustive, double ovh_block, double ovh_split,
+    double kappa, double rect_ovh_blocks, int n_threads, int32_t* out_blocks,
+    double* out_costs, int blocks_cap, int32_t* n_blocks_out,
+    int32_t* out_parts, int parts_cap, int32_t* n_parts_out) {
+  using namespace search;
+  const double INF = std::numeric_limits<double>::infinity();
+  int sizes[8];
+  int nsz = 0;
+  for (int s4 = min_leaf_mi; s4 <= max_leaf_mi; s4 *= 2) sizes[nsz++] = s4;
+  if (nsz == 0) return 1;
+  const int py0 = mi_r0 * 4, px0 = mi_c0 * 4;
+  const double ovh_b = lam * ovh_block, ovh_s = lam * ovh_split;
+  const double floor_c = kappa * lam * (ovh_split + 3.0 * ovh_block);
+  const double rect_ovh = lam * (ovh_split + rect_ovh_blocks * ovh_block);
+
+  struct Item { int32_t r, c, w4, h4; };
+  int n_rows = 0;  // rows appended to out_blocks/out_costs so far
+
+  // one threaded batch: search items (luma + optional chroma), append rows
+  auto search_batch = [&](const std::vector<Item>& its, bool luma_only,
+                          int row_base) {
+    int B = (int)its.size();
+    auto worker = [&](int b0, int b1) {
+      Scratch sc;
+      std::vector<int32_t> src, ae, le;
+      for (int b = b0; b < b1; b++) {
+        const Item& it = its[b];
+        int bw = it.w4 * 4, bh = it.h4 * 4;
+        int n = bw * bh, ext = bw + bh;
+        if ((int)src.size() < 2 * n) src.resize(2 * (size_t)n);
+        if ((int)ae.size() < 2 * ext) ae.resize(2 * (size_t)ext);
+        if ((int)le.size() < 2 * ext) le.resize(2 * (size_t)ext);
+        int lgw = 0, lgh = 0;
+        while ((4 << lgw) < bw) lgw++;
+        while ((4 << lgh) < bh) lgh++;
+        double gain = gain_tab[lgw * 4 + lgh];
+        int force_skip = (bw > bh ? bw : bh) == 64;
+        int small = (bw < bh ? bw : bh) < 8;
+        int py = it.r * 4, px = it.c * 4;
+        int32_t* row = out_blocks + (size_t)8 * (row_base + b);
+        double* cst = out_costs + (size_t)2 * (row_base + b);
+        row[0] = it.r; row[1] = it.c; row[2] = it.w4; row[3] = it.h4;
+        int32_t ym, yd, uvm = 0, uvd = 0;
+        double lcost;
+        {
+          Params P{bw, bh, dc_q, ac_q, bit_depth, K_luma,
+                   fine_dir && !force_skip && !small, force_skip, lam, gain};
+          search_item(planes, nP, Hp, Wp, 0, py, px, py0, px0, 0, P, sc,
+                      src.data(), ae.data(), le.data(), &ym, &yd, &lcost);
+        }
+        double cost = lcost;
+        if (!luma_only && num_planes > 1) {
+          Params P{bw, bh, dc_q, ac_q, bit_depth, K_chroma,
+                   fine_dir && !force_skip && !small && chroma_refine,
+                   force_skip, lam, gain};
+          int joint = joint_uv && num_planes > 2;
+          double ccost;
+          search_item(planes, nP, Hp, Wp, 1, py, px, py0, px0, joint, P, sc,
+                      src.data(), ae.data(), le.data(), &uvm, &uvd, &ccost);
+          cost += joint ? ccost : 2.0 * ccost;
+        }
+        row[4] = ym; row[5] = yd; row[6] = uvm; row[7] = uvd;
+        cst[0] = cost; cst[1] = lcost;
+      }
+    };
+    run_threaded(B, n_threads, worker);
+  };
+
+  // tier grids: row id per full-square cell (-1 absent)
+  auto nr_of = [&](int s4) { return (mi_r1 - mi_r0 + s4 - 1) / s4; };
+  auto nc_of = [&](int s4) { return (mi_c1 - mi_c0 + s4 - 1) / s4; };
+  std::vector<std::vector<int>> grid(nsz);
+  for (int t = 0; t < nsz; t++)
+    grid[t].assign((size_t)nr_of(sizes[t]) * nc_of(sizes[t]), -1);
+  auto tier_of = [&](int s4) {
+    for (int t = 0; t < nsz; t++)
+      if (sizes[t] == s4) return t;
+    return -1;
+  };
+  auto cost_at = [&](int t, int i, int j) -> double {
+    // out-of-grid reads are "absent" (python quad_sum pads with inf)
+    if (i >= nr_of(sizes[t]) || j >= nc_of(sizes[t])) return INF;
+    int id = grid[t][(size_t)i * nc_of(sizes[t]) + j];
+    return id < 0 ? INF : out_costs[2 * (size_t)id];
+  };
+  // register a batch's square rows into their tier grids (later writes
+  // overwrite, matching dict.update)
+  auto register_rows = [&](int row_base, int count) {
+    for (int b = 0; b < count; b++) {
+      const int32_t* row = out_blocks + (size_t)8 * (row_base + b);
+      if (row[2] != row[3]) continue;
+      int t = tier_of(row[2]);
+      if (t < 0) continue;
+      int i = (row[0] - mi_r0) / row[2], j = (row[1] - mi_c0) / row[2];
+      grid[t][(size_t)i * nc_of(sizes[t]) + j] = row_base + b;
+    }
+  };
+
+  // -- always-searched tiers + edge partials --------------------------
+  std::vector<Item> cands;
+  for (int p = 0; p < n_partials; p++)
+    cands.push_back({partials[4 * p], partials[4 * p + 1],
+                     partials[4 * p + 2], partials[4 * p + 3]});
+  int n_always = nsz > 1 ? 2 : 1;
+  for (int a = nsz - n_always; a < nsz; a++) {
+    int s4 = sizes[a];
+    for (int r = mi_r0; r < mi_r1; r += s4) {
+      if (r + s4 > mi_rows) continue;
+      for (int c = mi_c0; c < mi_c1; c += s4) {
+        if (c + s4 > mi_cols) continue;
+        cands.push_back({r, c, s4, s4});
+      }
+    }
+  }
+  if (n_rows + (int)cands.size() > blocks_cap) return 2;
+  search_batch(cands, false, n_rows);
+  register_rows(n_rows, (int)cands.size());
+  n_rows += (int)cands.size();
+
+  // -- descent cascade -------------------------------------------------
+  for (int ti = nsz - 3; ti >= 0; ti--) {
+    int s4 = sizes[ti], ps4 = 2 * s4;
+    bool luma_only = s4 <= 2;
+    bool deep = ps4 < sizes[nsz - 2] && !exhaustive;
+    int pt = ti + 1;
+    // gate: grandparent must already prefer SPLIT given sibling costs
+    std::vector<uint8_t> gate;
+    int gnr = 0, gnc = 0;
+    if (deep) {
+      int gs4 = ps4 * 2, gt = ti + 2;
+      gnr = nr_of(gs4); gnc = nc_of(gs4);
+      gate.assign((size_t)gnr * gnc, 0);
+      int gi = 0;
+      for (int r = mi_r0; r < mi_r1; r += gs4, gi++) {
+        if (r + gs4 > mi_rows) continue;
+        int gj = 0;
+        for (int c = mi_c0; c < mi_c1; c += gs4, gj++) {
+          if (c + gs4 > mi_cols) continue;
+          double g = cost_at(gt, gi, gj);
+          if (g == INF) continue;
+          double split_c = ovh_s;
+          bool all = true;
+          for (int dr = 0; dr < 2 && all; dr++)
+            for (int dc_ = 0; dc_ < 2; dc_++) {
+              double k = cost_at(pt, 2 * gi + dr, 2 * gj + dc_);
+              if (k == INF) { all = false; break; }
+              split_c += k + ovh_b;
+            }
+          if (all && split_c < g + ovh_b) gate[(size_t)gi * gnc + gj] = 1;
+        }
+      }
+    }
+    std::vector<Item> small;
+    std::vector<int> parents;  // row ids
+    int pi = 0;
+    for (int r = mi_r0; r < mi_r1; r += ps4, pi++) {
+      if (r + ps4 > mi_rows) continue;
+      int pj = 0;
+      for (int c = mi_c0; c < mi_c1; c += ps4, pj++) {
+        if (c + ps4 > mi_cols) continue;
+        int pid = grid[pt][(size_t)pi * nc_of(ps4) + pj];
+        if (pid < 0) continue;
+        double pc = out_costs[2 * (size_t)pid];
+        if (!exhaustive && pc <= floor_c) continue;
+        if (deep) {
+          int gi = (r - (r % (ps4 * 2)) - mi_r0) / (ps4 * 2);
+          int gj = (c - (c % (ps4 * 2)) - mi_c0) / (ps4 * 2);
+          if (!gate[(size_t)gi * gnc + gj]) continue;
+        }
+        parents.push_back(pid);
+        for (int dr = 0; dr < 2; dr++)
+          for (int dc_ = 0; dc_ < 2; dc_++)
+            small.push_back({r + dr * s4, c + dc_ * s4, s4, s4});
+      }
+    }
+    if (small.empty()) break;
+    if (n_rows + (int)small.size() > blocks_cap) return 2;
+    int base = n_rows;
+    search_batch(small, luma_only, base);
+    register_rows(base, (int)small.size());
+    n_rows += (int)small.size();
+    if (luma_only) {
+      // spread the parent's chroma cost over the children; children
+      // inherit the parent's uv choice (angle delta dropped <8x8 later)
+      for (size_t p = 0; p < parents.size(); p++) {
+        const int32_t* prow = out_blocks + (size_t)8 * parents[p];
+        const double* pcst = out_costs + (size_t)2 * parents[p];
+        double uv_share = (pcst[0] - pcst[1]) / 4.0;
+        for (int k = 0; k < 4; k++) {
+          int id = base + 4 * (int)p + k;
+          out_blocks[8 * (size_t)id + 6] = prow[6];
+          out_blocks[8 * (size_t)id + 7] = prow[7];
+          out_costs[2 * (size_t)id] += uv_share;
+        }
+      }
+    }
+  }
+
+  // -- HORZ/VERT halves where SPLIT already beats NONE ------------------
+  // per tier, 4 rect grids (horz-top, horz-bottom, vert-left, vert-right)
+  std::vector<std::array<std::vector<int>, 4>> rgrid(nsz);
+  {
+    std::vector<Item> rects;
+    std::vector<int> rparent;  // row id of the square parent per quad
+    for (int t = 0; t < nsz; t++) {
+      int s4 = sizes[t], half = s4 / 2;
+      if (s4 < 2 || t == 0) continue;  // half must be a searched tier
+      int nr = nr_of(s4), nc = nc_of(s4);
+      for (int i = 0; i < nr; i++)
+        for (int j = 0; j < nc; j++) {
+          int pid = grid[t][(size_t)i * nc + j];
+          if (pid < 0) continue;
+          double pa = out_costs[2 * (size_t)pid];
+          double q = 0.0;
+          bool fin = true;
+          for (int dr = 0; dr < 2 && fin; dr++)
+            for (int dc_ = 0; dc_ < 2; dc_++) {
+              double k = cost_at(t - 1, 2 * i + dr, 2 * j + dc_);
+              if (k == INF) { fin = false; break; }
+              q += k;
+            }
+          if (!fin || !(ovh_s + 4.0 * ovh_b + q < pa + ovh_b)) continue;
+          int r = mi_r0 + i * s4, c = mi_c0 + j * s4;
+          rects.push_back({r, c, s4, half});
+          rects.push_back({r + half, c, s4, half});
+          rects.push_back({r, c, half, s4});
+          rects.push_back({r, c + half, half, s4});
+          rparent.push_back(pid);
+        }
+    }
+    if (!rects.empty()) {
+      if (n_rows + (int)rects.size() > blocks_cap) return 2;
+      int base = n_rows;
+      search_batch(rects, true, base);
+      n_rows += (int)rects.size();
+      for (size_t p = 0; p < rparent.size(); p++) {
+        const int32_t* prow = out_blocks + (size_t)8 * rparent[p];
+        const double* pcst = out_costs + (size_t)2 * rparent[p];
+        double uv_share = (pcst[0] - pcst[1]) / 2.0;
+        int t = tier_of(prow[2]);
+        int i = (prow[0] - mi_r0) / prow[2], j = (prow[1] - mi_c0) / prow[2];
+        int nc = nc_of(sizes[t]);
+        if (rgrid[t][0].empty())
+          for (int k = 0; k < 4; k++)
+            rgrid[t][k].assign((size_t)nr_of(sizes[t]) * nc, -1);
+        for (int k = 0; k < 4; k++) {
+          int id = base + 4 * (int)p + k;
+          out_blocks[8 * (size_t)id + 6] = prow[6];
+          out_blocks[8 * (size_t)id + 7] = prow[7];
+          out_costs[2 * (size_t)id] += uv_share;
+          rgrid[t][k][(size_t)i * nc + j] = id;
+        }
+      }
+    }
+  }
+
+  // -- bottom-up NONE/SPLIT/HORZ/VERT argmin (first-wins ties) ----------
+  int n_parts = 0;
+  std::vector<double> bc;  // best-cost grid of the tier below
+  for (int t = 0; t < nsz; t++) {
+    int s4 = sizes[t];
+    int nr = nr_of(s4), nc = nc_of(s4);
+    std::vector<double> cur((size_t)nr * nc, INF);
+    if (t == 0) {
+      for (int i = 0; i < nr; i++)
+        for (int j = 0; j < nc; j++) {
+          double cc = cost_at(t, i, j);
+          if (cc != INF) cur[(size_t)i * nc + j] = cc + ovh_b;
+        }
+      bc.swap(cur);
+      continue;
+    }
+    int cnr = nr_of(s4 / 2), cnc = nc_of(s4 / 2);
+    for (int i = 0; i < nr; i++)
+      for (int j = 0; j < nc; j++) {
+        double none_c = cost_at(t, i, j);
+        bool have_none = none_c != INF;
+        if (have_none) none_c += ovh_b;
+        else none_c = INF;
+        double split_c = ovh_s;
+        for (int dr = 0; dr < 2; dr++)
+          for (int dc_ = 0; dc_ < 2; dc_++) {
+            int ci = 2 * i + dr, cj = 2 * j + dc_;
+            split_c += (ci < cnr && cj < cnc)
+                           ? bc[(size_t)ci * cnc + cj]
+                           : INF;
+          }
+        double horz_c = INF, vert_c = INF;
+        if (split_c < INF && !rgrid[t][0].empty()) {
+          auto rcost = [&](int k) {
+            int id = rgrid[t][k][(size_t)i * nc + j];
+            return id < 0 ? INF : out_costs[2 * (size_t)id];
+          };
+          horz_c = rect_ovh + rcost(0) + rcost(1);
+          vert_c = rect_ovh + rcost(2) + rcost(3);
+        }
+        double cand[4] = {none_c, split_c, horz_c, vert_c};
+        int code = 0;
+        double best = cand[0];
+        for (int k = 1; k < 4; k++)
+          if (cand[k] < best) { best = cand[k]; code = k; }
+        cur[(size_t)i * nc + j] = best;
+        if (have_none) {
+          if (n_parts >= parts_cap) return 3;
+          int32_t* pr = out_parts + (size_t)4 * n_parts++;
+          pr[0] = mi_r0 + i * s4;
+          pr[1] = mi_c0 + j * s4;
+          pr[2] = s4;
+          pr[3] = code;
+        }
+      }
+    bc.swap(cur);
+  }
+  *n_blocks_out = n_rows;
+  *n_parts_out = n_parts;
   return 0;
 }
 

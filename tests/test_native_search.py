@@ -145,3 +145,41 @@ def test_joint_uv_search_beats_proxy_on_divergent_chroma():
     assert CAND[int(m_joint[0])] in (2, 12)
     # the joint cost is U+V: it must exceed the U-only cost
     assert c_joint[0] > c_proxy[0]
+
+
+def test_native_cascade_matches_python_bytes():
+    """The whole-tile native pass-1 (bs_partition_tile: tier cascade +
+    chroma spread + rect halves + partition DP) must make decisions
+    identical to the python orchestration over the same native searches —
+    pinned as byte-equality of full encodes across speeds, alpha, and
+    odd (partial-block) dimensions."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    code = """
+import numpy as np, sys, os
+sys.path.insert(0, %r)
+from cavif_tpu import Encoder
+rng = np.random.default_rng(5)
+y, x = np.mgrid[0:211, 0:333].astype(np.float64)
+lum = np.clip(120 + 70*np.sin(x/53.0)*np.cos(y/37.0) + rng.normal(0,8,x.shape), 0, 255)
+img = np.dstack([lum, np.clip(lum+15,0,255), np.clip(lum-20,0,255)]).astype(np.uint8)
+alpha = np.full(img.shape[:2], 255, np.uint8); alpha[30:90, 40:200] = rng.integers(0,255,(60,160)).astype(np.uint8)
+rgba = np.dstack([img, alpha])
+for s in (1, 4, 10):
+    e = Encoder.new().with_quality(70).with_speed(s).with_num_threads(1)
+    sys.stdout.write("%%d:%%d:%%d\\n" %% (s, len(e.encode_rgb(img).avif_file), len(e.encode_rgba(rgba).avif_file)))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(env):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            env={**os.environ, **env},
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return out.stdout
+
+    assert run({}) == run({"CAVIF_TPU_PY_CASCADE": "1"})
