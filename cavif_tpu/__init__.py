@@ -106,6 +106,10 @@ class Encoder:
     alpha_color_mode: AlphaColorMode = AlphaColorMode.UnassociatedClean
     output_depth: BitDepth = BitDepth.Auto
     exif: Optional[bytes] = None
+    # extension beyond the reference API: "ssim" (default — the analog of
+    # rav1e's always-on tune: Psychovisual, av1encoder.rs:694) enables
+    # per-superblock adaptive quantization; "psnr" disables it
+    tune: str = "ssim"
 
     @staticmethod
     def new() -> "Encoder":
@@ -149,6 +153,10 @@ class Encoder:
 
     def with_exif(self, exif: bytes) -> "Encoder":
         return replace(self, exif=bytes(exif))
+
+    def with_tune(self, tune: str) -> "Encoder":
+        assert tune in ("ssim", "psnr")
+        return replace(self, tune=tune)
 
     # ---- encode entry points (av1encoder.rs:243-350) ----
 

@@ -198,10 +198,15 @@ class FrameEncoder:
 
         tw = OpTileWriter(tp)
         ctx.skeleton = True
+        qidx, qmap, _ = self._sb_qmaps()
         for r in range(mi_r0, mi_r1, 16):
             tw.clear_left()
             for c in range(mi_c0, mi_c1, 16):
                 tw.write_sb_start(r, c)
+                if qidx is not None:
+                    sb = (r // 16, c // 16)
+                    tw.write_delta_q(int(qidx[sb]), int(qmap[sb][0]),
+                                     int(qmap[sb][1]))
                 self._emit_lr(tw, r, c)
                 self._encode_partition(ctx, tw, r, c, 4)
         ops, _ = tw.pack()
@@ -219,7 +224,7 @@ class FrameEncoder:
         last = 0
         i = 0
         n = len(ops)
-        arity = {0: 0, 1: 4, 2: 5, 3: 13, 4: 12, 5: 8, OP_SB_START: 2,
+        arity = {0: 0, 1: 4, 2: 5, 3: 13, 4: 12, 5: 8, 9: 3, OP_SB_START: 2,
                  OP_LR: 8, OP_LR_UNIT: 12}
         while i < n:
             op = int(ops[i])
@@ -793,6 +798,7 @@ class FrameEncoder:
             joint, tweaks.encode_bottomup, self.OVH_BLOCK, self.OVH_SPLIT,
             self.BOTTOM_KAPPA, self.RECT_OVH,
             n_threads=getattr(self, "_search_threads", 1),
+            qmap=self._sb_qmaps()[1], lammap=self._sb_qmaps()[2],
         )
         # dict assembly at C speed: vectorized candidate-index -> mode-id
         # mapping, zip-built tuple keys/values (a python-level row loop
@@ -1360,6 +1366,85 @@ class FrameEncoder:
         qstep = self.ac_q * 0.125
         return 0.8 * qstep * qstep / 16.0
 
+    def _lambda_mul(self):
+        """Per-superblock lambda multipliers for activity-masked
+        (psychovisual / SSIM-tuned) RD — the analog of the reference's
+        `tune: Psychovisual` (av1encoder.rs:694). Textured superblocks
+        (where quantization error hides) get a larger lambda, smooth
+        ones a smaller, normalized to geometric mean 1 over the frame:
+        bits flow toward the regions SSIM (and eyes) weight most.
+
+        Returns an (sb_rows, sb_cols) float64 map, or None (flat lambda)
+        when psy tuning is off or the frame is too small to measure."""
+        cached = getattr(self, "_lmul_map", False)
+        if cached is not False:
+            return cached
+        # single assignment at the end: tile threads race on this cache,
+        # and an in-progress None here must never be observable
+        tune = os.environ.get("CAVIF_TPU_TUNE") or getattr(
+            self.cfg, "tune", "psnr"
+        )
+        if tune != "ssim":
+            self._lmul_map = None
+            return None
+        h, w = self.cfg.height, self.cfg.width
+        if h < 8 or w < 8:
+            self._lmul_map = None
+            return None
+        y8 = self.planes[0].src[:h, :w].astype(np.float64)
+        y8 /= 1 << (self.bit_depth - 8)  # 8-bit variance scale
+        h8, w8 = h // 8, w // 8
+        b = y8[: h8 * 8, : w8 * 8].reshape(h8, 8, w8, 8)
+        m = b.mean(axis=(1, 3))
+        v8 = (b * b).mean(axis=(1, 3)) - m * m
+        # mean 8x8-variance per 64x64 SB (edge SBs: replicate-pad)
+        sbr = (self.mi_rows + 15) // 16
+        sbc = (self.mi_cols + 15) // 16
+        pr, pc = sbr * 8 - h8, sbc * 8 - w8
+        v8 = np.pad(v8, ((0, pr), (0, pc)), mode="edge")
+        mv = v8.reshape(sbr, 8, sbc, 8).mean(axis=(1, 3))
+        factor = np.sqrt(16.0 + mv)
+        lm = factor / np.exp(np.log(factor).mean())
+        self._lmul_map = np.ascontiguousarray(np.clip(lm, 0.5, 2.0))
+        return self._lmul_map
+
+    def _sb_qmaps(self):
+        """Per-superblock adaptive-quantization maps (the psychovisual
+        tune's bit mover — a capability the reference encoder lacks for
+        still images): for each SB pick the qindex whose AC quantizer
+        step best matches base_qstep * sqrt(lambda_multiplier), rounded
+        to the delta_q_res=2 grid. Returns (qidx, qmap, lammap) where
+        qmap rows are (dc_q, ac_q) and lammap is the python _lambda of
+        the SB's ac_q — or (None, None, None) when adaptive q is off
+        (needs the native backend: per-SB dequant lives in the C++
+        block pipeline)."""
+        cached = getattr(self, "_qmaps_cache", None)
+        if cached is not None:
+            return cached
+        lm = self._lambda_mul()
+        if (lm is None or not self._native_search or self._device_search
+                or self.cfg.ec_backend not in (None, "native")):
+            self._qmaps_cache = (None, None, None)
+            return self._qmaps_cache
+        bd = self.bit_depth
+        acs = np.asarray([tables.ac_q(q, bd) for q in range(256)], np.float64)
+        dcs = np.asarray([tables.dc_q(q, bd) for q in range(256)], np.int32)
+        base = self.base_q
+        tgt = acs[base] * np.sqrt(lm)
+        qi_raw = np.abs(acs[None, None, :] - tgt[:, :, None]).argmin(axis=-1)
+        dq = np.rint((qi_raw.astype(np.float64) - base) / 4.0) * 4
+        dq_min = -(((base - 1) // 4) * 4)
+        dq_max = ((255 - base) // 4) * 4
+        qidx = (base + np.clip(dq, dq_min, dq_max)).astype(np.int32)
+        qmap = np.ascontiguousarray(
+            np.stack([dcs[qidx], acs.astype(np.int32)[qidx]], axis=-1)
+        )
+        acq = qmap[..., 1].astype(np.float64)
+        qstep = acq * 0.125
+        lammap = np.ascontiguousarray(0.8 * qstep * qstep / 16.0)
+        self._qmaps_cache = (qidx, qmap, lammap)
+        return self._qmaps_cache
+
     def _neighbors(self, ctx, pl, px, py, txw, txh, rr4, cc4):
         recon = self.planes[pl].recon
         # reads clamp at the tile mi bounds (overhanging blocks at partial
@@ -1519,6 +1604,9 @@ class FrameEncoder:
 
         cfg = self.cfg
         tcl, trl = self._tile_split()
+        # adaptive-q maps are shared by every tile thread: build them
+        # eagerly so the fan-out never races the lazy caches
+        self._sb_qmaps()
         with span("tiles_pass1+2"):
             tiles = self._encode_tiles(tcl, trl)
         # Deblocking is output-only for still pictures (intra prediction
@@ -1574,6 +1662,7 @@ class FrameEncoder:
             cdef_y_strengths=cdef_y,
             cdef_uv_strengths=cdef_uv,
             lr_types=lr_types,
+            delta_q_present=self._sb_qmaps()[0] is not None,
         )
         frame = assemble_frame_obu(fp, tiles)
         return assemble_temporal_unit(seq, frame)

@@ -58,6 +58,9 @@ class FrameParams:
     delta_q_y_dc: int = 0
     delta_q_u_dc: int = 0
     delta_q_u_ac: int = 0
+    # per-superblock adaptive quantization (delta_q_params)
+    delta_q_present: bool = False
+    delta_q_res_log2: int = 2
 
     @property
     def sb_cols(self) -> int:
@@ -152,7 +155,11 @@ def write_frame_header_bits(p: FrameParams, w: BitWriter) -> None:
     w.f(0, 1)  # segmentation_enabled
     # delta_q_params()
     if p.base_q_idx > 0:
-        w.f(0, 1)  # delta_q_present
+        w.f(1 if p.delta_q_present else 0, 1)
+        if p.delta_q_present:
+            w.f(p.delta_q_res_log2, 2)
+            # delta_lf_params(): delta_lf_present = 0 (no intrabc)
+            w.f(0, 1)
     # delta_lf_params(): only if delta_q_present
     # loop_filter_params()
     if not p.coded_lossless:

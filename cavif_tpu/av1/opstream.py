@@ -34,6 +34,7 @@ OP_COEFFS = 4
 OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, ym, yd, uvm, uvd), abs mi
 OP_SB_START = 6  # superblock boundary (r, c abs mi): resets decoded-flag mask
 OP_LR = 7  # loop-restoration unit: (plane, use, t0v, t1v, t2v, t0h, t1h, t2h)
+OP_DELTA_Q = 9  # per-SB adaptive quantizer: (qindex, dc_q, ac_q)
 OP_LR_UNIT = 8  # generic LR unit: (plane, frame_type, use_type, set,
 #                 xqd0, xqd1, t0v..t2v, t0h..t2h) — wiener/sgr/switchable
 
@@ -81,6 +82,11 @@ class OpTileWriter:
 
     def write_sb_start(self, r: int, c: int) -> None:
         self.ops.extend((OP_SB_START, r, c))
+
+    def write_delta_q(self, qindex: int, dc_q: int, ac_q: int) -> None:
+        """This superblock's target quantizer (adaptive q); the tile coder
+        emits the spec delta symbol inside the first block's mode_info."""
+        self.ops.extend((OP_DELTA_Q, qindex, dc_q, ac_q))
 
     def write_lr_unit(
         self, plane: int, use: int, taps,
@@ -160,6 +166,7 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             (_, r, c, w4, h4, ym, uvm, skip, cfl, yd, uvd,
              csg, cau, cav) = (int(x) for x in ops[i : i + 14])
             tw.write_skip(r, c, skip)
+            tw.maybe_write_delta_q(w4, h4, skip)
             tw.write_intra_modes(
                 r, c, w4, h4, ym, uvm, bool(cfl), y_delta=yd, uv_delta=uvd,
                 cfl_signs=csg, cfl_au=cau, cfl_av=cav,
@@ -181,6 +188,9 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             i += 13
         elif op == OP_SB_START:
             i += 3
+        elif op == OP_DELTA_Q:
+            tw.pending_qindex = int(ops[i + 1])
+            i += 4
         elif op == OP_LR:
             _, pl, use, *t = (int(x) for x in ops[i : i + 9])
             tw.write_lr_unit(pl, use, t)

@@ -133,6 +133,9 @@ class TileWriter:
         ]
         self.ref_sgr = [list(self.SGR_XQD_MID) for _ in range(3)]
         self.qctx = q_ctx(p.base_q)
+        # per-SB adaptive quantization (spec read_delta_qindex)
+        self.cur_qindex = p.base_q
+        self.pending_qindex = None
         # +32 slack: edge blocks may legally overhang the mi grid
         w4 = p.mi_col_end - p.mi_col_start + 32
         h4 = p.mi_row_end - p.mi_row_start + 32
@@ -328,6 +331,31 @@ class TileWriter:
         left = int(self.skips[r, c - 1]) if c > 0 else 0
         ctx = above + left
         self.code(skip, ("skip", ctx), tables.skip_cdf(ctx))
+
+    # default_delta_q_cdf AOM_CDF4(28160, 32120, 32677), inverted layout
+    DELTA_Q_CDF = (32768 - 28160, 32768 - 32120, 32768 - 32677, 0)
+    DQ_RES_LOG2 = 2
+
+    def maybe_write_delta_q(self, w4: int, h4: int, skip: int) -> None:
+        """read_delta_qindex mirror: the first block of each superblock
+        codes the delta toward the SB's pending target quantizer, except
+        a superblock-sized skip block (q then stays at CurrentQIndex)."""
+        if self.pending_qindex is None:
+            return
+        if not (w4 == 16 and h4 == 16 and skip):
+            delta = (self.pending_qindex - self.cur_qindex) >> self.DQ_RES_LOG2
+            a = abs(delta)
+            self.code(min(a, 3), ("delta_q",), self.DELTA_Q_CDF)
+            if a >= 3:
+                v = a - 1  # >= 2
+                rem = v.bit_length() - 1
+                self.literal(rem - 1, 3)
+                self.literal(v - (1 << rem), rem)
+            if a:
+                self.literal(1 if delta < 0 else 0, 1)
+            q = self.cur_qindex + (delta << self.DQ_RES_LOG2)
+            self.cur_qindex = min(255, max(1, q))
+        self.pending_qindex = None
 
     UV_CFL_PRED = 13
 

@@ -192,6 +192,9 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n_planes, joint, exh
             ctypes.c_double, ctypes.c_double,  # ovh_block, ovh_split
             ctypes.c_double, ctypes.c_double,  # kappa, rect_ovh_blocks
+            ctypes.POINTER(ctypes.c_int32),   # qmap (dc,ac)/SB (nullable)
+            ctypes.POINTER(ctypes.c_double),  # lammap (nullable)
+            ctypes.c_int,                    # sb_cols
             ctypes.c_int,                    # n_threads
             ctypes.POINTER(ctypes.c_int32),  # out_blocks (cap, 8)
             ctypes.POINTER(ctypes.c_double),  # out_costs (cap, 2)
@@ -538,6 +541,8 @@ def partition_tile(
     kappa: float,
     rect_ovh_blocks: float,
     n_threads: int = 1,
+    qmap=None,
+    lammap=None,
 ):
     """Whole-tile pass-1 (bs_partition_tile): the tier cascade, chroma-cost
     spreading, rect-half candidates, and the bottom-up partition DP all run
@@ -578,7 +583,13 @@ def partition_tile(
         dc_q, ac_q, bit_depth, lam, gain_tab.ctypes.data_as(f64),
         K_luma, K_chroma, int(fine_dir), int(chroma_refine),
         num_planes, int(joint_uv), int(exhaustive),
-        ovh_block, ovh_split, kappa, rect_ovh_blocks, n_threads,
+        ovh_block, ovh_split, kappa, rect_ovh_blocks,
+        qmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if qmap is not None else None,
+        lammap.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if lammap is not None else None,
+        lammap.shape[1] if lammap is not None else 0,
+        n_threads,
         out_blocks.ctypes.data_as(i32), out_costs.ctypes.data_as(f64),
         cap, nb.ctypes.data_as(i32),
         out_parts.ctypes.data_as(i32), parts_cap, npt.ctypes.data_as(i32),

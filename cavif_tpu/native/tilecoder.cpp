@@ -244,6 +244,8 @@ constexpr int OP_COEFFS = 4;
 constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, ym, yd, uvm, uvd)
 constexpr int OP_SB_START = 6;       // (r, c): superblock boundary
 constexpr int OP_LR = 7;             // (plane, use, t0v..t2v, t0h..t2h)
+constexpr int OP_DELTA_Q = 9;        // (qindex, dc_q, ac_q): this SB's
+                                     // target quantizer (adaptive q)
 constexpr int OP_LR_UNIT = 8;        // (plane, frame_type, use_type, set,
                                      //  xqd0, xqd1, t0v..t2v, t0h..t2h)
 
@@ -327,6 +329,14 @@ struct TileCoder {
   CdfRow cdf_br[5][2][21];        // txs ctx clamped to 0..3 by callers; 5 kept
   CdfRow cdf_dc_sign[2][3];
   CdfRow cdf_ext_tx[2][4][13];
+  CdfRow cdf_delta_q;
+  // per-superblock adaptive quantization (spec read_delta_qindex):
+  // CurrentQIndex starts at base_q per tile; the first block of each SB
+  // codes the delta toward the pending target (unless it is an SB-sized
+  // skip block, where the spec omits the symbol and q stays)
+  int dq_res_log2 = 2;
+  int cur_qindex = 0;
+  int pending_qindex = -1;
 
   // scratch for coefficient coding
   std::vector<int32_t> padbuf;
@@ -335,6 +345,8 @@ struct TileCoder {
             int base_q, int planes, int disable_cdf_update) {
     cdf_update = !disable_cdf_update;
     qctx = q_ctx(base_q);
+    cur_qindex = base_q;  // spec decode_tile: CurrentQIndex = base_q_idx
+    pending_qindex = -1;
     num_planes = planes;
     w4 = mi_col_end - mi_col_start + 32;
     h4 = mi_row_end - mi_row_start + 32;
@@ -368,6 +380,11 @@ struct TileCoder {
       load_row(cdf_sgrproj, srow, 2);
       static const uint16_t swrow[4] = {32768 - 9413, 32768 - 22581, 0, 0};
       load_row(cdf_switchable, swrow, 3);
+      // default_delta_q_cdf AOM_CDF4(28160, 32120, 32677) — spec
+      // Default_Delta_Q_Cdf; dav1d-validated by tests/test_delta_q.py
+      static const uint16_t dqrow[5] = {32768 - 28160, 32768 - 32120,
+                                        32768 - 32677, 0, 0};
+      load_row(cdf_delta_q, dqrow, 4);
     }
     lr_init();
     for (int i = 0; i < 8; i++) load_row(cdf_angle[i], &T.angle[i * 8], 7);
@@ -581,6 +598,27 @@ struct TileCoder {
     for (int i = 0; i < bh4; i++) left_part[r + i] = lv;
   }
 
+  // read_delta_qindex mirror (spec 5.11.34): 4-symbol abs (3 = escape to
+  // a length-prefixed tail), then sign; CurrentQIndex steps by
+  // delta << dq_res_log2 (caller guarantees divisibility).
+  void write_delta_qindex(int target) {
+    int delta = (target - cur_qindex) >> dq_res_log2;
+    int abs_ = delta < 0 ? -delta : delta;
+    int small = abs_ < 3 ? abs_ : 3;
+    code(cdf_delta_q, small, 4);
+    if (small == 3) {
+      int v = abs_ - 1;  // >= 2
+      int rem = 0;
+      while ((2 << rem) <= v) rem++;  // floor(log2 v) >= 1
+      enc.encode_literal((uint32_t)(rem - 1), 3);
+      enc.encode_literal((uint32_t)(v - (1 << rem)), rem);
+    }
+    if (abs_) enc.encode_literal(delta < 0 ? 1u : 0u, 1);
+    cur_qindex += delta << dq_res_log2;
+    if (cur_qindex < 1) cur_qindex = 1;
+    if (cur_qindex > 255) cur_qindex = 255;
+  }
+
   void write_block(int r, int c, int bw4, int bh4, int y_mode, int uv_mode,
                    int skip, int cfl_allowed, int y_delta, int uv_delta,
                    int cfl_signs = 0, int cfl_au = 0, int cfl_av = 0) {
@@ -589,6 +627,13 @@ struct TileCoder {
       int above = r > 0 ? skips[(size_t)(r - 1) * w4 + c] : 0;
       int left = c > 0 ? skips[(size_t)r * w4 + (c - 1)] : 0;
       code(cdf_skip[above + left], skip, 2);
+    }
+    // per-SB delta_q: coded in the first block's mode_info right after
+    // skip, unless the block is superblock-sized AND skip (spec
+    // read_delta_qindex's exemption — q then stays at CurrentQIndex)
+    if (pending_qindex >= 0) {
+      if (!(bw4 == 16 && bh4 == 16 && skip)) write_delta_qindex(pending_qindex);
+      pending_qindex = -1;
     }
     // intra modes
     {
@@ -3255,6 +3300,19 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
         bp.rec_row(&ops[i], 3);
         i += 3;
         break;
+      case OP_DELTA_Q: {
+        // per-SB adaptive quantization: the block pipeline quantizes and
+        // reconstructs with this SB's quantizers; the tile coder emits
+        // the delta symbol inside the first block's mode_info
+        tc.pending_qindex = ops[i + 1];
+        bp.dc_q = ops[i + 2];
+        bp.ac_q = ops[i + 3];
+        double qstep = bp.ac_q * 0.125;
+        bp.lam = 0.8 * qstep * qstep / 16.0;
+        bp.rec_row(&ops[i], 4);
+        i += 4;
+        break;
+      }
       case OP_LR:
         tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
         bp.rec_row(&ops[i], 9);
@@ -3341,6 +3399,10 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
         break;
       case OP_SB_START:
         i += 3;
+        break;
+      case OP_DELTA_Q:
+        tc.pending_qindex = ops[i + 1];
+        i += 4;
         break;
       case OP_COEFFS:
         tc.write_coeffs(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
@@ -3658,7 +3720,9 @@ int bs_partition_tile(
     int ac_q, int bit_depth, double lam, const double* gain_tab, int K_luma,
     int K_chroma, int fine_dir, int chroma_refine, int num_planes,
     int joint_uv, int exhaustive, double ovh_block, double ovh_split,
-    double kappa, double rect_ovh_blocks, int n_threads, int32_t* out_blocks,
+    double kappa, double rect_ovh_blocks, const int32_t* qmap,
+    const double* lammap, int sb_cols,
+    int n_threads, int32_t* out_blocks,
     double* out_costs, int blocks_cap, int32_t* n_blocks_out,
     int32_t* out_parts, int parts_cap, int32_t* n_parts_out) {
   using namespace search;
@@ -3668,7 +3732,23 @@ int bs_partition_tile(
   for (int s4 = min_leaf_mi; s4 <= max_leaf_mi; s4 *= 2) sizes[nsz++] = s4;
   if (nsz == 0) return 1;
   const int py0 = mi_r0 * 4, px0 = mi_c0 * 4;
-  const double ovh_b = lam * ovh_block, ovh_s = lam * ovh_split;
+  // adaptive quantization (psychovisual tune): quantizers and lambda vary
+  // per superblock (qmap rows = (dc_q, ac_q); lammap = python _lambda of
+  // the SB's ac_q). Every cell of the partition tree sits inside one SB
+  // (tiers <= 8 mi), so each comparison sees one consistent lambda.
+  auto lam_at = [&](int r, int c) -> double {
+    return lammap ? lammap[(size_t)(r / 16) * sb_cols + (c / 16)] : lam;
+  };
+  auto q_at = [&](int r, int c, int* dq_, int* aq_) {
+    if (qmap) {
+      const int32_t* qr = qmap + 2 * ((size_t)(r / 16) * sb_cols + (c / 16));
+      *dq_ = qr[0];
+      *aq_ = qr[1];
+    } else {
+      *dq_ = dc_q;
+      *aq_ = ac_q;
+    }
+  };
   const double floor_c = kappa * lam * (ovh_split + 3.0 * ovh_block);
   const double rect_ovh = lam * (ovh_split + rect_ovh_blocks * ovh_block);
 
@@ -3696,22 +3776,26 @@ int bs_partition_tile(
         int force_skip = (bw > bh ? bw : bh) == 64;
         int small = (bw < bh ? bw : bh) < 8;
         int py = it.r * 4, px = it.c * 4;
+        double lam_b = lam_at(it.r, it.c);
+        int dq_b, aq_b;
+        q_at(it.r, it.c, &dq_b, &aq_b);
         int32_t* row = out_blocks + (size_t)8 * (row_base + b);
         double* cst = out_costs + (size_t)2 * (row_base + b);
         row[0] = it.r; row[1] = it.c; row[2] = it.w4; row[3] = it.h4;
         int32_t ym, yd, uvm = 0, uvd = 0;
         double lcost;
         {
-          Params P{bw, bh, dc_q, ac_q, bit_depth, K_luma,
-                   fine_dir && !force_skip && !small, force_skip, lam, gain};
+          Params P{bw, bh, dq_b, aq_b, bit_depth, K_luma,
+                   fine_dir && !force_skip && !small, force_skip, lam_b,
+                   gain};
           search_item(planes, nP, Hp, Wp, 0, py, px, py0, px0, 0, P, sc,
                       src.data(), ae.data(), le.data(), &ym, &yd, &lcost);
         }
         double cost = lcost;
         if (!luma_only && num_planes > 1) {
-          Params P{bw, bh, dc_q, ac_q, bit_depth, K_chroma,
+          Params P{bw, bh, dq_b, aq_b, bit_depth, K_chroma,
                    fine_dir && !force_skip && !small && chroma_refine,
-                   force_skip, lam, gain};
+                   force_skip, lam_b, gain};
           int joint = joint_uv && num_planes > 2;
           double ccost;
           search_item(planes, nP, Hp, Wp, 1, py, px, py0, px0, joint, P, sc,
@@ -3797,15 +3881,17 @@ int bs_partition_tile(
           if (c + gs4 > mi_cols) continue;
           double g = cost_at(gt, gi, gj);
           if (g == INF) continue;
-          double split_c = ovh_s;
+          double lam_g = lam_at(r, c);
+          double ob = lam_g * ovh_block;
+          double split_c = lam_g * ovh_split;
           bool all = true;
           for (int dr = 0; dr < 2 && all; dr++)
             for (int dc_ = 0; dc_ < 2; dc_++) {
               double k = cost_at(pt, 2 * gi + dr, 2 * gj + dc_);
               if (k == INF) { all = false; break; }
-              split_c += k + ovh_b;
+              split_c += k + ob;
             }
-          if (all && split_c < g + ovh_b) gate[(size_t)gi * gnc + gj] = 1;
+          if (all && split_c < g + ob) gate[(size_t)gi * gnc + gj] = 1;
         }
       }
     }
@@ -3820,7 +3906,10 @@ int bs_partition_tile(
         int pid = grid[pt][(size_t)pi * nc_of(ps4) + pj];
         if (pid < 0) continue;
         double pc = out_costs[2 * (size_t)pid];
-        if (!exhaustive && pc <= floor_c) continue;
+        double fl = lammap ? kappa * lam_at(r, c)
+                                 * (ovh_split + 3.0 * ovh_block)
+                           : floor_c;
+        if (!exhaustive && pc <= fl) continue;
         if (deep) {
           int gi = (r - (r % (ps4 * 2)) - mi_r0) / (ps4 * 2);
           int gj = (c - (c % (ps4 * 2)) - mi_c0) / (ps4 * 2);
@@ -3878,8 +3967,10 @@ int bs_partition_tile(
               if (k == INF) { fin = false; break; }
               q += k;
             }
-          if (!fin || !(ovh_s + 4.0 * ovh_b + q < pa + ovh_b)) continue;
           int r = mi_r0 + i * s4, c = mi_c0 + j * s4;
+          double lam_p = lam_at(r, c);
+          double ob = lam_p * ovh_block, os = lam_p * ovh_split;
+          if (!fin || !(os + 4.0 * ob + q < pa + ob)) continue;
           rects.push_back({r, c, s4, half});
           rects.push_back({r + half, c, s4, half});
           rects.push_back({r, c, half, s4});
@@ -3924,7 +4015,9 @@ int bs_partition_tile(
       for (int i = 0; i < nr; i++)
         for (int j = 0; j < nc; j++) {
           double cc = cost_at(t, i, j);
-          if (cc != INF) cur[(size_t)i * nc + j] = cc + ovh_b;
+          if (cc != INF)
+            cur[(size_t)i * nc + j] =
+                cc + lam_at(mi_r0 + i * s4, mi_c0 + j * s4) * ovh_block;
         }
       bc.swap(cur);
       continue;
@@ -3932,11 +4025,13 @@ int bs_partition_tile(
     int cnr = nr_of(s4 / 2), cnc = nc_of(s4 / 2);
     for (int i = 0; i < nr; i++)
       for (int j = 0; j < nc; j++) {
+        double lam_c = lam_at(mi_r0 + i * s4, mi_c0 + j * s4);
+        double ob = lam_c * ovh_block;
         double none_c = cost_at(t, i, j);
         bool have_none = none_c != INF;
-        if (have_none) none_c += ovh_b;
+        if (have_none) none_c += ob;
         else none_c = INF;
-        double split_c = ovh_s;
+        double split_c = lam_c * ovh_split;
         for (int dr = 0; dr < 2; dr++)
           for (int dc_ = 0; dc_ < 2; dc_++) {
             int ci = 2 * i + dr, cj = 2 * j + dc_;
@@ -3950,8 +4045,11 @@ int bs_partition_tile(
             int id = rgrid[t][k][(size_t)i * nc + j];
             return id < 0 ? INF : out_costs[2 * (size_t)id];
           };
-          horz_c = rect_ovh + rcost(0) + rcost(1);
-          vert_c = rect_ovh + rcost(2) + rcost(3);
+          double ro = lammap ? lam_c * (ovh_split
+                                        + rect_ovh_blocks * ovh_block)
+                             : rect_ovh;
+          horz_c = ro + rcost(0) + rcost(1);
+          vert_c = ro + rcost(2) + rcost(3);
         }
         double cand[4] = {none_c, split_c, horz_c, vert_c};
         int code = 0;
@@ -4435,6 +4533,7 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
       case OP_PARTITION: i += 5; break;
       case OP_SPLIT_BIN: i += 6; break;
       case OP_SB_START: i += 3; break;
+      case OP_DELTA_Q: i += 4; break;
       case OP_LR: i += 9; break;
       case OP_LR_UNIT: i += 13; break;
       case OP_COEFFS: i += 13; break;

@@ -50,6 +50,7 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth:
         full_range=True,
         matrix_coefficients=_matrix_coefficients(enc.color_model),
         threads=enc.threads,
+        tune=enc.tune,
     )
     if alpha is None:
         return encode_planes(planes, color_cfg), None
@@ -63,6 +64,7 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth:
         full_range=True,
         matrix_coefficients=None,
         threads=enc.threads,
+        tune=enc.tune,
     )
     # the reference forks color || alpha onto rayon (av1encoder.rs:454);
     # here the two independent AV1 encodes overlap on two threads (the

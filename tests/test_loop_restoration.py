@@ -99,6 +99,9 @@ def test_lr_full_encode_backend_equality():
             tweaks=tweaks, chroma_sampling="400",
             full_range=True, matrix_coefficients=None, threads=1,
             ec_backend=backend,
+            # flat quantizer: adaptive q is native-backend-only, and this
+            # test pins byte equality of the two backends
+            tune="psnr",
         )
         fe = FrameEncoder(img, cfg)
         outs[backend] = fe.encode()

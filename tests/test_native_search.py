@@ -177,7 +177,9 @@ for s in (1, 4, 10):
     def run(env):
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True,
-            env={**os.environ, **env},
+            # flat quantizer: the python cascade is the flat-q reference
+            # (per-SB adaptive q is native-cascade-only)
+            env={**os.environ, "CAVIF_TPU_TUNE": "psnr", **env},
         )
         assert out.returncode == 0, out.stderr[-800:]
         return out.stdout
