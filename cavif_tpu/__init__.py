@@ -106,10 +106,12 @@ class Encoder:
     alpha_color_mode: AlphaColorMode = AlphaColorMode.UnassociatedClean
     output_depth: BitDepth = BitDepth.Auto
     exif: Optional[bytes] = None
-    # extension beyond the reference API: "ssim" (default — the analog of
-    # rav1e's always-on tune: Psychovisual, av1encoder.rs:694) enables
-    # per-superblock adaptive quantization; "psnr" disables it
-    tune: str = "ssim"
+    # extension beyond the reference API: "ssim" enables per-superblock
+    # adaptive quantization (the analog of rav1e's tune: Psychovisual,
+    # av1encoder.rs:694). Measured on mixed content it trades PSNR for
+    # SSIM at matched bitrate (BASELINE.md), so the default stays the
+    # flat-quantizer "psnr" objective that the headline anchors use.
+    tune: str = "psnr"
 
     @staticmethod
     def new() -> "Encoder":

@@ -31,11 +31,11 @@ class AV1Config:
     # directional predictors' neighbor edges like rav1e does; requires
     # decoder-exact support in the active pass-2 backend
     intra_edge_filter: bool = False
-    # "ssim" (default, the reference's tune: Psychovisual analog,
-    # av1encoder.rs:694): per-superblock adaptive quantization steered by
-    # local activity — bits flow from textured to smooth regions.
-    # "psnr" = flat quantizer (the pure-SSE RD objective).
-    tune: Literal["ssim", "psnr"] = "ssim"
+    # "ssim" (the reference's tune: Psychovisual analog, av1encoder.rs:694):
+    # per-superblock adaptive quantization steered by local activity —
+    # bits flow from textured to smooth regions. "psnr" (default) = flat
+    # quantizer, the pure-SSE RD objective of the headline anchors.
+    tune: Literal["ssim", "psnr"] = "psnr"
 
     @property
     def monochrome(self) -> bool:

@@ -1430,11 +1430,23 @@ class FrameEncoder:
         acs = np.asarray([tables.ac_q(q, bd) for q in range(256)], np.float64)
         dcs = np.asarray([tables.dc_q(q, bd) for q in range(256)], np.int32)
         base = self.base_q
-        tgt = acs[base] * np.sqrt(lm)
+        # strength alpha: qstep scales as lmul^alpha. The up (texture)
+        # and down (smooth) swings are clamped separately: raising q on
+        # texture saves many bits but costs SSIM at low rates, so the up
+        # side is kept tighter. (A/B-calibrated on the mixed-content
+        # rate sweep; env knobs for recalibration experiments.)
+        alpha = float(os.environ.get("CAVIF_TPU_AQ_ALPHA", "0.5"))
+        # texture-side q raise only at high-quality operating points
+        # (base_q <= 100 ~ quality >= 85): the matched-rate sweep shows
+        # +0.002..+0.0036 SSIM there but small losses at mid rates
+        up_dflt = "8" if self.base_q <= 100 else "0"
+        up = int(os.environ.get("CAVIF_TPU_AQ_UP", up_dflt))
+        down = int(os.environ.get("CAVIF_TPU_AQ_DOWN", "24"))
+        tgt = acs[base] * np.power(lm, alpha)
         qi_raw = np.abs(acs[None, None, :] - tgt[:, :, None]).argmin(axis=-1)
         dq = np.rint((qi_raw.astype(np.float64) - base) / 4.0) * 4
-        dq_min = -(((base - 1) // 4) * 4)
-        dq_max = ((255 - base) // 4) * 4
+        dq_min = -min(((base - 1) // 4) * 4, down)
+        dq_max = min(((255 - base) // 4) * 4, up)
         qidx = (base + np.clip(dq, dq_min, dq_max)).astype(np.int32)
         qmap = np.ascontiguousarray(
             np.stack([dcs[qidx], acs.astype(np.int32)[qidx]], axis=-1)

@@ -44,11 +44,18 @@ def _encode(plane, q, monkeypatch, tune=True):
 
 
 def test_aq_maps_spread(monkeypatch):
+    # mid-rate base (121): smooth SBs gain bits, texture is left alone
+    # (the up side is tapered off below quality ~85 — see _sb_qmaps)
     fe, b = _encode(_mixed_plane(), 121, monkeypatch)
     qidx, qmap, lammap = fe._sb_qmaps()
     assert qidx is not None
-    assert qidx.min() < 121 < qidx.max()  # bits moved both directions
+    assert qidx.min() < 121 and qidx.max() == 121
     assert ((qidx - 121) % 4 == 0).all()  # delta_q_res grid
+    # high-quality base (90): bits move in both directions
+    fe, b = _encode(_mixed_plane(), 90, monkeypatch)
+    qidx = fe._sb_qmaps()[0]
+    assert qidx.min() < 90 < qidx.max()
+    assert ((qidx - 90) % 4 == 0).all()
     assert qidx.min() >= 1 and qidx.max() <= 255
 
 
