@@ -766,7 +766,7 @@ class FrameEncoder:
         tier cascade, gating, chroma-cost spreading, rect-half candidates,
         and the bottom-up partition DP run in C++ worker threads.
         Decision-identical to the python cascade below (byte-equality
-        pinned by tests/test_native_search.py); CAVIF_TPY_PY_CASCADE=1
+        pinned by tests/test_native_search.py); CAVIF_TPU_PY_CASCADE=1
         forces the python orchestration."""
         from .. import native
 

@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color", choices=["ycbcr", "rgb"], default="ycbcr",
                    help="Internal AVIF color model."
                         " YCbCr works better for human eyes.")
+    p.add_argument("--tune", choices=["psnr", "ssim"], default="psnr",
+                   help="RD objective (extension beyond the reference CLI): "
+                        "ssim enables per-superblock adaptive quantization")
     p.add_argument("--depth", choices=["8", "10", "auto"], default="auto",
                    help="Write 8-bit (more compatible) or 10-bit"
                         " (better quality) images")
@@ -188,6 +191,7 @@ def run(argv: Optional[List[str]] = None) -> None:
                 else AlphaColorMode.UnassociatedClean
             )
             .with_num_threads(args.threads if args.threads > 0 else None)
+            .with_tune(args.tune)
         )
         if args.speed > 10:
             # mirror the reference's late panic for speeds 11-100

@@ -92,3 +92,31 @@ def test_quality_validation():
     res = _run(["-Q", "0", "-"])
     assert res.returncode != 0
     assert "quality must be in 1-100 range" in res.stderr.decode()
+
+
+def test_cli_tune_flag(tmp_path):
+    """--tune ssim (extension flag) produces a decodable AVIF that differs
+    from the default psnr objective on mixed content."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:192, 0:192]
+    smooth = (((x * 2 + y) // 3) % 256).astype(np.uint8)
+    noisy = rng.integers(0, 255, (192, 192), dtype=np.uint8)
+    lum = np.where(x < 96, smooth, noisy)
+    img = np.stack([lum] * 3, axis=-1)
+    src = tmp_path / "t.png"
+    Image.fromarray(img).save(src)
+    outs = {}
+    for tune in ("psnr", "ssim"):
+        out = tmp_path / f"{tune}.avif"
+        res = _run([str(src), "-o", str(out), "--tune", tune,
+                    "--quality", "87"])
+        assert res.returncode == 0, res.stderr.decode()
+        data = out.read_bytes()
+        Image.open(io.BytesIO(data)).convert("RGB")
+        outs[tune] = data
+    assert outs["psnr"] != outs["ssim"]
