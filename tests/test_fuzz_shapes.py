@@ -71,7 +71,8 @@ def test_random_config_fuzz():
         e = (Encoder.new().with_quality(q)
              .with_speed(int(rng.choice(speeds)))
              .with_bit_depth(depths[int(rng.integers(3))])
-             .with_internal_color_model(colors[int(rng.integers(2))]))
+             .with_internal_color_model(colors[int(rng.integers(2))])
+             .with_tune("ssim" if rng.random() < 0.5 else "psnr"))
         if ch == 4:
             e = e.with_alpha_color_mode(alphas[int(rng.integers(3))])
         res = e.encode_rgba(img) if ch == 4 else e.encode_rgb(img)
