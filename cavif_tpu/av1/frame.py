@@ -13,8 +13,8 @@ av1encoder.rs:684,760-764).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 from .obu import (
     OBU_FRAME,

@@ -19,8 +19,8 @@ Reference parity: rav1e's tile encode loop under Context::receive_packet
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List
 
 import numpy as np
 

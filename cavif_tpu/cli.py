@@ -16,7 +16,7 @@ import os
 import sys
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Union
 
 STDIO = object()  # MaybePath::Stdio marker
 PathOrStdio = Union[Path, object]
