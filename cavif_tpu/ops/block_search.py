@@ -138,6 +138,13 @@ def _neighbors(planes, n: int, bit_depth: int):
 @lru_cache(maxsize=None)
 def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
     import jax
+
+    return jax.jit(_search_body(n, bit_depth))
+
+
+def _search_body(n: int, bit_depth: int):
+    """Builds the traceable whole-plane search for one block size (shared
+    by the single-tier jit and the multi-tier partition program)."""
     import jax.numpy as jnp
 
     from ..av1 import tables
@@ -261,7 +268,73 @@ def _kernel(n: int, bit_depth: int, mtx_key: int = 0):
             jnp.min(cost, axis=-1).astype(jnp.float32),
         )
 
-    return jax.jit(search)
+    return search
+
+
+def _partition_body(bit_depth: int, min_n: int = 8, max_n: int = 32,
+                    ovh_block: float = 15.0, ovh_split: float = 2.0):
+    """The full device pass-1: per-tier 13-mode searches over every aligned
+    square at n in [min_n, max_n] plus the bottom-up NONE/SPLIT partition
+    DP — one traceable program (the device analog of the native
+    bs_partition_tile's square tiers; rect halves and the SAD-pruned
+    cascade stay host-side refinements).
+
+    Returns ({n: (modes int8, costs f32)}, {n: codes int8}) where codes
+    are 0=NONE 1=SPLIT per aligned square of each tier above min_n."""
+    import jax.numpy as jnp
+
+    sizes = []
+    n = min_n
+    while n <= max_n:
+        sizes.append(n)
+        n *= 2
+    bodies = {n: _search_body(n, bit_depth) for n in sizes}
+
+    def program(planes, dc_q, ac_q, lam):
+        tiers = {n: bodies[n](planes, dc_q, ac_q, lam) for n in sizes}
+        codes = {}
+        bc = tiers[sizes[0]][1] + lam * ovh_block
+        for n in sizes[1:]:
+            N, nby, nbx = tiers[n][1].shape
+            q = bc.reshape(N, nby, 2, nbx, 2).sum(axis=(2, 4))
+            split_c = lam * ovh_split + q
+            none_c = tiers[n][1] + lam * ovh_block
+            codes[n] = (split_c < none_c).astype(jnp.int8)
+            bc = jnp.minimum(none_c, split_c)
+        return tiers, codes
+
+    return program
+
+
+def plane_partition_search(
+    planes: np.ndarray,
+    dc_q: int,
+    ac_q: int,
+    lam: float,
+    bit_depth: int,
+    min_n: int = 8,
+    max_n: int = 32,
+    mesh=None,
+):
+    """Run the whole-plane multi-tier search + partition DP on device.
+    planes: (N, H, W) int32 with H, W multiples of max_n. With a mesh,
+    shards over (data = images, tile = block rows) — the neighbor shifts
+    become halo exchanges along `tile` under GSPMD.
+
+    Returns ({n: (modes, costs)}, {n: codes}) as host numpy arrays."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f = jax.jit(_partition_body(bit_depth, min_n, max_n))
+    arr = np.ascontiguousarray(planes, np.int32)
+    if mesh is not None:
+        arr = jax.device_put(arr, NamedSharding(mesh, P("data", "tile", None)))
+    tiers, codes = f(
+        arr, np.float32(dc_q), np.float32(ac_q), np.float32(lam)
+    )
+    tiers = {n: (np.asarray(m), np.asarray(c)) for n, (m, c) in tiers.items()}
+    codes = {n: np.asarray(v) for n, v in codes.items()}
+    return tiers, codes
 
 
 def plane_mode_search(

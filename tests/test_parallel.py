@@ -31,3 +31,25 @@ def test_mesh_batch_search():
     planes = rng.integers(0, 1024, (n, 64, 64)).astype(np.int32)
     out = plane_mode_search_batch(planes, 499, 616, 30.0, 10, mesh=mesh)
     assert out.shape == (n, 2, 2)
+
+
+def test_plane_partition_search_mesh():
+    """The full device pass-1 (multi-tier search + partition DP) sharded
+    over a (data, tile) mesh must equal the unsharded run exactly — the
+    neighbor-shift halo exchange under GSPMD may not change any decision."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cavif_tpu.ops.block_search import plane_partition_search
+
+    rng = np.random.default_rng(3)
+    planes = rng.integers(0, 1024, (4, 128, 128)).astype(np.int32)
+    t0, c0 = plane_partition_search(planes, 499, 616, 30.0, 10)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "tile"))
+    t1, c1 = plane_partition_search(planes, 499, 616, 30.0, 10, mesh=mesh)
+    for n in t0:
+        assert np.array_equal(t0[n][0], t1[n][0]), n
+        assert np.allclose(t0[n][1], t1[n][1]), n
+    for n in c0:
+        assert np.array_equal(c0[n], c1[n]), n
