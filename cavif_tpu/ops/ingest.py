@@ -33,6 +33,27 @@ def load_rgba(data: bytes, premultiplied_alpha: bool = False) -> np.ndarray:
         out[..., 0] = out[..., 1] = out[..., 2] = g
         out[..., 3] = 255
     else:
+        # Embedded ICC profiles: the reference's load_image converts to
+        # sRGB through lcms2 (Cargo.toml lcms2-static, README.md:3);
+        # mirror with PIL's lcms2 bindings. Profile errors fall back to
+        # ignoring the profile (load_image's lenient mode).
+        icc = img.info.get("icc_profile")
+        if icc and img.mode in ("RGB", "RGBA", "L", "LA", "P"):
+            try:
+                from PIL import ImageCms
+
+                src = ImageCms.ImageCmsProfile(io.BytesIO(icc))
+                if img.mode == "P":
+                    img = img.convert("RGBA")
+                mode = "RGBA" if ("A" in img.mode or img.mode == "P") else "RGB"
+                if img.mode not in ("RGB", "RGBA"):
+                    img = img.convert(mode)
+                img = ImageCms.profileToProfile(
+                    img, src, ImageCms.createProfile("sRGB"),
+                    outputMode=img.mode,
+                )
+            except Exception:
+                pass
         # PIL handles palette/transparency/LA/CMYK expansion; 16-bit RGB(A)
         # PNGs are decoded by PIL with the high byte already taken, matching
         # the reference's `>> 8` normalization.
