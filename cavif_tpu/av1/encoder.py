@@ -89,7 +89,12 @@ class FrameEncoder:
             src = np.asarray(planes[..., i], dtype=np.int32)
             pad = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
             self.planes.append(_PlaneState(src=pad, recon=np.zeros_like(pad)))
-        self.base_q = cfg.quantizer
+        # base_q_idx 0 means CodedLossless in AV1 (4x4 WHT coding, a mode
+        # this encoder does not implement — a q=0 frame would signal
+        # lossless to the decoder while carrying DCT residuals). Clamp to
+        # 1: matches the reference's documented behavior ("there is no
+        # lossless", Q100 merely "unreasonably bloated", README.md:33).
+        self.base_q = max(1, cfg.quantizer)
         self.bit_depth = cfg.bit_depth
         self.dc_q = tables.dc_q(self.base_q, self.bit_depth)
         self.ac_q = tables.ac_q(self.base_q, self.bit_depth)
@@ -591,6 +596,32 @@ class FrameEncoder:
                     self._device_search = saved
         return out
 
+    def _search_widths(self):
+        """(K_luma, K_chroma, joint_uv) RD-width policy — shared by the
+        python-orchestrated and native cascades (they must agree for the
+        byte-equality contract in tests/test_native_search.py).
+
+        K: RD width after the SAD prefilter; the 4->5 step measured
+        +0.175 dB at +0.4% bytes and ~no time on the A/B corpus (the SAD
+        ordering misses the RD winner often at 4); diminishing returns
+        past 5 (13 costs +40% time for +0.04). Chroma halves the width at
+        fast tiers (smoother content, CfL competes in pass 2). Joint U+V:
+        one shared uv mode scored by summed RD (the U-only proxy picks a
+        joint-suboptimal mode for 17-38% of chroma blocks)."""
+        tweaks = self.cfg.tweaks
+        sp = tweaks.speed_preset
+        if tweaks.complex_prediction_modes:
+            K = 13
+        elif sp <= 6:
+            K = 5
+        else:
+            K = 2
+        Kp = 3 if sp >= 3 and K > 3 else K
+        joint = self.num_planes > 2 and not os.environ.get(
+            "CAVIF_TPU_UV_PROXY"
+        )
+        return K, Kp, joint
+
     def _batch_search_native(self, blocks, origin, luma_only=False) -> dict:
         """Pass-1 search via the threaded C++ bs_search2: block coordinates
         go down, the gather + SAD prefilter + transform RD + delta
@@ -602,16 +633,7 @@ class FrameEncoder:
         lam = self._lambda()
         tweaks = self.cfg.tweaks
         sp = tweaks.speed_preset
-        if tweaks.complex_prediction_modes:
-            K = 13
-        elif sp <= 6:
-            # RD width after the SAD prefilter: the 4->5 step measured
-            # +0.175 dB at +0.4% bytes and ~no time on the A/B corpus
-            # (the SAD ordering misses the RD winner often at 4);
-            # diminishing returns past 5 (13 costs +40% time for +0.04)
-            K = 5
-        else:
-            K = 2
+        K, Kp_shared, joint_shared = self._search_widths()
         groups: dict = {}  # (bw, bh, plane-class) -> [(idx, plane), ...]
         for idx, (r, c, w4b, h4b) in enumerate(blocks):
             bw, bh = w4b * 4, h4b * 4
@@ -622,9 +644,7 @@ class FrameEncoder:
         nthr = getattr(self, "_search_threads", 1)
         modes: dict = {}
         for (bw, bh, plc), items in groups.items():
-            # chroma is smoother and CfL competes in pass 2: half the RD
-            # width at the fast tiers
-            Kp = K if plc == 0 else (3 if sp >= 3 and K > 3 else K)
+            Kp = K if plc == 0 else Kp_shared
             force_skip = max(bw, bh) == 64
             refine = (
                 tweaks.fine_directional_intra
@@ -632,12 +652,7 @@ class FrameEncoder:
                 and min(bw, bh) >= 8
                 and (plc == 0 or sp <= 2)  # chroma deltas: slow tiers only
             )
-            # joint U+V chroma decision: one shared uv mode scored by the
-            # summed U+V RD (the U-only proxy picks a joint-suboptimal
-            # mode for 17-38% of chroma blocks, 0.5-3.7% excess chroma RD)
-            joint = plc == 1 and self.num_planes > 2 and not os.environ.get(
-                "CAVIF_TPU_UV_PROXY"
-            )
+            joint = plc == 1 and joint_shared
             arr = np.empty((len(items), 3), dtype=np.int32)
             for i, (idx, pl) in enumerate(items):
                 r, c, _, _ = blocks[idx]
@@ -772,16 +787,7 @@ class FrameEncoder:
 
         tweaks = self.cfg.tweaks
         sp = tweaks.speed_preset
-        if tweaks.complex_prediction_modes:
-            K = 13
-        elif sp <= 6:
-            K = 5
-        else:
-            K = 2
-        Kp = 3 if sp >= 3 and K > 3 else K
-        joint = self.num_planes > 2 and not os.environ.get(
-            "CAVIF_TPU_UV_PROXY"
-        )
+        K, Kp, joint = self._search_widths()
         gain_tab = np.asarray(
             [[transforms.get_gain(4 << i, 4 << j) for j in range(4)]
              for i in range(4)]
@@ -1422,7 +1428,11 @@ class FrameEncoder:
         if cached is not None:
             return cached
         lm = self._lambda_mul()
-        if (lm is None or not self._native_search or self._device_search
+        # base_q_idx == 0 (lossless-adjacent quality 100) cannot signal
+        # delta_q_present in the frame header (spec delta_q_params); AQ
+        # must stay off or the coded symbols desync the decoder
+        if (lm is None or self.base_q <= 0
+                or not self._native_search or self._device_search
                 or self.cfg.ec_backend not in (None, "native")):
             self._qmaps_cache = (None, None, None)
             return self._qmaps_cache

@@ -51,12 +51,13 @@ def set_gain(w: int, h: int, gain: float) -> None:
 
 
 def get_gain(w: int, h: int) -> float:
-    """Measured against dav1d (tools/calibrate_gain.py): the AV1 dequant +
-    integer-inverse-transform chain has linear gain exactly 1/8 relative to
-    the orthonormal idct for every tx size measured — except TX_8X4/TX_4X8,
-    whose inverse row pass shifts one bit less (inv_txfm_shift_ls), making
-    the gain 1/4; validated by tests/test_recon_exact.py rect coverage."""
-    return _GAIN.get((w, h), 0.25 if (w, h) in ((8, 4), (4, 8)) else 0.125)
+    """Measured against dav1d: the AV1 dequant + integer-inverse-transform
+    chain has linear gain exactly 1/8 relative to the orthonormal idct for
+    EVERY tx size, including TX_8X4/TX_4X8 (roundtrip through the
+    dav1d-exact integer inverse in tests/test_recon_exact.py::
+    test_gain_roundtrip_all_sizes). An earlier calibration wrongly special-
+    cased 8x4/4x8 at 1/4, silently halving every coded 8x4 residual."""
+    return _GAIN.get((w, h), 0.125)
 
 
 def forward_dct2d(res: np.ndarray) -> np.ndarray:

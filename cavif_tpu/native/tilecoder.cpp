@@ -1151,12 +1151,14 @@ static void itx_1d(const int64_t* in, int64_t* out, int n, int is_adst,
   iiadst16(in, out, c);
 }
 
-// Per-tx-size decoder gain relative to the orthonormal idct: 1/8 for all
-// sizes except TX_8X4/TX_4X8, whose inverse row pass shifts one bit less
-// (inv_txfm_shift_ls), doubling the linear gain. The caller's `gain` field
-// stays the 1/8 base; tx_gain() applies the per-size factor.
+// Per-tx-size decoder gain relative to the orthonormal idct: exactly 1/8
+// for EVERY size (dav1d-validated roundtrip through inv_txfm_exact,
+// tests/test_recon_exact.py). An earlier calibration wrongly doubled
+// TX_8X4/TX_4X8, silently halving their coded residuals.
 static inline double tx_gain_factor(int txw, int txh) {
-  return ((txw == 8 && txh == 4) || (txw == 4 && txh == 8)) ? 2.0 : 1.0;
+  (void)txw;
+  (void)txh;
+  return 1.0;
 }
 
 // Full exact inverse: dequant + rect scale + row pass + col pass.

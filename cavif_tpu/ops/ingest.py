@@ -38,20 +38,29 @@ def load_rgba(data: bytes, premultiplied_alpha: bool = False) -> np.ndarray:
         # mirror with PIL's lcms2 bindings. Profile errors fall back to
         # ignoring the profile (load_image's lenient mode).
         icc = img.info.get("icc_profile")
-        if icc and img.mode in ("RGB", "RGBA", "L", "LA", "P"):
+        if icc and img.mode in ("RGB", "RGBA", "L", "LA", "P", "CMYK"):
             try:
                 from PIL import ImageCms
 
                 src = ImageCms.ImageCmsProfile(io.BytesIO(icc))
                 if img.mode == "P":
                     img = img.convert("RGBA")
-                mode = "RGBA" if ("A" in img.mode or img.mode == "P") else "RGB"
-                if img.mode not in ("RGB", "RGBA"):
-                    img = img.convert(mode)
-                img = ImageCms.profileToProfile(
-                    img, src, ImageCms.createProfile("sRGB"),
-                    outputMode=img.mode,
+                # transform FROM the original mode (a gray profile can't
+                # transform an already-RGB-converted image); alpha rides
+                # along separately for LA
+                alpha = None
+                work = img
+                if img.mode == "LA":
+                    alpha = img.getchannel("A")
+                    work = img.convert("L")
+                out_mode = "RGBA" if work.mode == "RGBA" else "RGB"
+                work = ImageCms.profileToProfile(
+                    work, src, ImageCms.createProfile("sRGB"),
+                    outputMode=out_mode,
                 )
+                if alpha is not None:
+                    work.putalpha(alpha)
+                img = work
             except Exception:
                 pass
         # PIL handles palette/transparency/LA/CMYK expansion; 16-bit RGB(A)

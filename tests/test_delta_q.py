@@ -178,3 +178,29 @@ def test_aq_multi_tile(monkeypatch):
         ok, logs, _ = dav1d_probe.probe(read_avif(b).primary_item)
         assert ok, logs
         Image.open(io.BytesIO(b)).convert("RGB")
+
+
+def test_aq_at_quality100(monkeypatch):
+    """quantizer 0 would signal CodedLossless (4x4 WHT coding — not
+    implemented); the frame encoder clamps base_q to 1, where delta_q is
+    legal again. The q=0 + tune=ssim combination once coded delta symbols
+    under a header that could not signal delta_q_present — silent pixel
+    corruption. Now: base_q==1, a valid stream, near-lossless pixels."""
+    import dav1d_probe
+
+    plane = _mixed_plane(128)
+    monkeypatch.setenv("CAVIF_TPU_TUNE", "ssim")
+    cfg = AV1Config(
+        width=128, height=128, bit_depth=10, quantizer=0,
+        tweaks=SpeedTweaks.from_preset(4, 0), chroma_sampling="400",
+        full_range=True, matrix_coefficients=None, threads=1,
+    )
+    fe = FrameEncoder(plane, cfg)
+    b = fe.encode()
+    assert fe.base_q == 1
+    ok, logs, desc = dav1d_probe.probe(b, want_pixels=True)
+    assert ok, logs
+    # near-lossless: decoded pixels must track the source tightly
+    # (filters still run; they are output-only smoothing)
+    dec = desc[3][0].astype(np.int64)
+    assert int(np.abs(dec - plane).max()) <= 64

@@ -107,3 +107,50 @@ def test_gray_16bit_and_palette():
     pal.save(buf, format="PNG")
     out = load_rgba(buf.getvalue())
     assert out.shape == (8, 8, 4) and (out[..., 3] == 255).all()
+
+
+def test_icc_gray_profile_applied():
+    """Gray images transform FROM their gray profile (converting to RGB
+    first made lcms reject the transform and silently skip it)."""
+    img = np.full((16, 16), 64, np.uint8)
+    gray_icc = _icc_linear_gray()
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="PNG",
+                                        icc_profile=gray_icc)
+    out = load_rgba(buf.getvalue())
+    assert abs(int(out[0, 0, 0]) - 137) <= 1, out[0, 0]
+
+
+def _icc_linear_gray() -> bytes:
+    """Minimal gray ICC v2 profile with a LINEAR tone curve."""
+    def xyz_tag(x, y, z):
+        return b"XYZ " + b"\0" * 4 + struct.pack(
+            ">iii", round(x * 65536), round(y * 65536), round(z * 65536))
+    def curv_gamma(g):
+        return b"curv" + b"\0" * 4 + struct.pack(">I", 1) + struct.pack(
+            ">H", round(g * 256))
+    def desc(text):
+        t = text.encode()
+        return (b"desc" + b"\0" * 4 + struct.pack(">I", len(t) + 1) + t +
+                b"\0" + b"\0" * 78)
+    tags = [
+        (b"desc", desc("linear gray test")),
+        (b"wtpt", xyz_tag(0.9642, 1.0, 0.8249)),
+        (b"kTRC", curv_gamma(1.0)),
+    ]
+    table = b""
+    data = b""
+    off = 128 + 4 + 12 * len(tags)
+    for sig, payload in tags:
+        pad = (-len(payload)) % 4
+        table += sig + struct.pack(">II", off, len(payload))
+        data += payload + b"\0" * pad
+        off += len(payload) + pad
+    header = struct.pack(
+        ">I4sI4s4s4s12s4s", off, b"lcms", 0x02100000, b"mntr", b"GRAY",
+        b"XYZ ", b"\0" * 12, b"acsp")
+    header += b"\0" * (64 - len(header)) + struct.pack(">I", 0)
+    header += struct.pack(
+        ">iii", round(0.9642 * 65536), 65536, round(0.8249 * 65536))
+    header += b"\0" * (128 - len(header))
+    return header + struct.pack(">I", len(tags)) + table + data

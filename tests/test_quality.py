@@ -40,3 +40,27 @@ def test_quality_range_validation():
         quality_to_quantizer(0.5)
     with pytest.raises(ValueError):
         quality_to_quantizer(101.0)
+
+
+def test_quality_100_roundtrip():
+    """Q100 maps to quantizer 0 (C17), which AV1 defines as CodedLossless
+    — a coding mode this encoder does not implement; the frame encoder
+    clamps to qindex 1 (the reference documents Q100 as lossy:
+    'no lossless', README.md:33). The stream must be near-lossless, not
+    the silent garbage an unclamped q=0 header produced."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    res = Encoder.new().with_quality(100).with_speed(6).encode_rgb(img)
+    d = np.asarray(
+        Image.open(io.BytesIO(res.avif_file)).convert("RGB")
+    ).astype(np.float64)
+    mse = ((d - img.astype(np.float64)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 45.0, psnr

@@ -227,3 +227,32 @@ def test_recon_exact_rect_partitions():
         dec = desc[3][0].astype(np.int64)
         rec = fe.planes[0].recon[:64, :64].astype(np.int64)
         assert int(np.abs(dec - rec).max()) == 0, mode
+
+
+def test_gain_roundtrip_all_sizes():
+    """The float forward/quantize model and the dav1d-exact integer
+    inverse must agree on the end-to-end gain for EVERY tx size: a flat
+    residual quantized at tiny q must reconstruct to itself. (A stale
+    calibration once doubled TX_8X4/TX_4X8's gain, silently halving every
+    coded 8x4 residual — q~lossless encodes had 256-level errors.)"""
+    import ctypes
+
+    from cavif_tpu import native
+    from cavif_tpu.av1.transforms import forward_dct2d, quantize_block
+
+    lib = native._load()
+    dc_q = ac_q = 9
+    for (w, h) in ((4, 4), (8, 4), (4, 8), (8, 8), (16, 8), (8, 16),
+                   (16, 16), (32, 16), (16, 32), (32, 32)):
+        res = np.full((h, w), -500.0, np.float32)
+        coef = forward_dct2d(res[None])[0]
+        lv = quantize_block(coef[None], dc_q, ac_q, w, h, bit_depth=10)[0]
+        rec = np.zeros((h, w), np.int32)
+        rc = lib.tc_inv_txfm(
+            np.ascontiguousarray(lv).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)), h, w, w, h,
+            dc_q, ac_q, 10, 0, 0,
+            rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        assert rc == 0
+        assert abs(rec.mean() + 500.0) < 3.0, (w, h, rec.mean())

@@ -95,15 +95,21 @@ def main():
         bdp = _bd_quality(r1, p1, r2, p2)
         bds = _bd_quality(r1, s1, r2, s2)
         bdr = _bd_rate(r1, p1, r2, p2)
-        print(f"{name:10s} BD-PSNR {bdp:+.3f} dB  BD-SSIM {bds:+.5f}  "
-              f"BD-rate {bdr:+.1f}%" if bdp is not None else
-              f"{name:10s} (no rate overlap)")
+        fmt = lambda v, f: ("n/a" if v is None else f % v)
+        print(f"{name:10s} BD-PSNR {fmt(bdp, '%+.3f')} dB  "
+              f"BD-SSIM {fmt(bds, '%+.5f')}  BD-rate {fmt(bdr, '%+.1f')}%")
         if bdp is not None:
             bdp_all.append(bdp)
+        if bds is not None:
             bds_all.append(bds)
+        if bdr is not None:
             bdr_all.append(bdr)
-    print(f"MEAN vs libaom-s6: BD-PSNR {np.mean(bdp_all):+.3f} dB  "
-          f"BD-SSIM {np.mean(bds_all):+.5f}  BD-rate {np.mean(bdr_all):+.1f}%")
+    if bdp_all:
+        print(f"MEAN vs libaom-s6: BD-PSNR {np.mean(bdp_all):+.3f} dB  "
+              f"BD-SSIM {np.mean(bds_all):+.5f}  "
+              f"BD-rate {np.mean(bdr_all):+.1f}%")
+    else:
+        print("no overlapping sweeps")
 
 
 if __name__ == "__main__":
