@@ -25,25 +25,30 @@ class InjectingEncoder(FrameEncoder):
 
     inject: dict  # (row, col) -> level
 
-    def _encode_block(self, tw, r, c, w4, h4):
+    def _encode_block(self, ctx, tw, r, c, w4, h4):
+        # only the real coding pass quantizes (not the collect/skeleton
+        # walks) — consume the injection there
+        coding = (tw is not None and getattr(ctx, "collect", None) is None
+                  and not getattr(ctx, "skeleton", False))
         self._first_block = getattr(self, "_first_block", True)
-        inject = self.inject if self._first_block else {}
-        self._first_block = False
+        inject = self.inject if (self._first_block and coding) else {}
+        if coding:
+            self._first_block = False
         import numpy as np
 
         from cavif_tpu.av1 import transforms
 
         orig_quant = transforms.quantize_block
 
-        def patched(coef, dc_q, ac_q, w, h, bias=0.5):
+        def patched(coef, dc_q, ac_q, w, h, bias=None, bit_depth=10):
             lv = np.zeros(coef.shape, dtype=np.int32)
             for (rr, cc), val in inject.items():
-                lv[rr, cc] = val
+                lv[..., rr, cc] = val
             return lv
 
         transforms.quantize_block = patched
         try:
-            super()._encode_block(tw, r, c, w4, h4)
+            super()._encode_block(ctx, tw, r, c, w4, h4)
         finally:
             transforms.quantize_block = orig_quant
 
@@ -55,6 +60,9 @@ def measure(txw, txh, level=64, pos=(0, 0), q=121, depth=8):
         width=w, height=h, bit_depth=depth, quantizer=q,
         tweaks=SpeedTweaks.from_preset(4, q), chroma_sampling="444",
         full_range=True, matrix_coefficients=6,
+        # the injection patches the python quantizer: the native block
+        # pipeline would bypass it entirely
+        ec_backend="python",
     )
     fe = InjectingEncoder(y, cfg)
     fe.leaf_mi = 16
