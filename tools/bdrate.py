@@ -34,7 +34,7 @@ def _bd_quality(r1, q1, r2, q2):
     lr1, lr2 = np.log10(r1), np.log10(r2)
     lo = max(lr1.min(), lr2.min())
     hi = min(lr1.max(), lr2.max())
-    if hi <= lo:
+    if hi - lo < 0.1:  # need >= ~26% rate-range overlap for a stable fit
         return None
     p1 = PchipInterpolator(lr1, q1)
     p2 = PchipInterpolator(lr2, q2)
@@ -48,7 +48,7 @@ def _bd_rate(r1, q1, r2, q2):
 
     lo = max(q1.min(), q2.min())
     hi = min(q1.max(), q2.max())
-    if hi <= lo:
+    if hi - lo < 0.5:  # dB (or SSIM) overlap too thin for a stable fit
         return None
     i1 = np.argsort(q1)
     i2 = np.argsort(q2)
