@@ -737,11 +737,12 @@ class FrameEncoder:
     OVH_BLOCK = 15.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
-    # per-half block-overhead factor in the HORZ/VERT cost proxy; high on
-    # purpose: the search's rate proxy underestimates two-block overhead, so
-    # rect partitions are taken only on clear wins (measured RD-neutral on
-    # photo content, strict improvement on elongated structure)
-    RECT_OVH = 8.0
+    # per-half block-overhead factor in the HORZ/VERT cost proxy: biases
+    # toward rect only on clear wins (the rate proxy underestimates
+    # two-block overhead). Retuned after the 8x4/4x8 gain fix (their RD
+    # costs were 2x overstated): 4.0 measures -247 B and +0.006 dB vs the
+    # old 8.0 on the A/B corpus; 2.0 over-splits.
+    RECT_OVH = 4.0
 
     def _split_partials(self, collect):
         """Blocks the geometry walk found that the size-tier enumeration
