@@ -43,6 +43,22 @@ from .symbols import (
 CAND_MODES_SEARCH = [0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8]
 
 
+def _chroma_ncand_policy() -> int:
+    """Chroma SAD-prefilter candidate count: the 7 non-diagonal modes.
+    Measured +0.024 dB at +0.02% bytes on the A/B corpus vs all 13 (the
+    delta-0 diagonals won SAD slots but lost RD) and ~45% less chroma
+    pass-1 prediction work. Env override is A/B tooling."""
+    return int(os.environ.get("CAVIF_TPU_EXP_CHROMA_NCAND", "7"))
+
+
+def _kdesc_policy() -> int:
+    """Descent-tier luma RD width (vs the always-tier width 5), paired
+    with a full-K re-search of the leaves the partition DP picks:
+    BD-rate -0.53% / +0.016 dB vs full-K everywhere, ~11% faster pass 1.
+    Env override is A/B tooling."""
+    return int(os.environ.get("CAVIF_TPU_EXP_KDESC", "2"))
+
+
 @dataclass
 class _PlaneState:
     src: np.ndarray  # padded source (H, W) int32
@@ -346,7 +362,8 @@ class FrameEncoder:
 
     # -- pass 1: batched mode search ----------------------------------------
 
-    def _batch_search(self, blocks, origin, luma_only=False) -> dict:
+    def _batch_search(self, blocks, origin, luma_only=False,
+                      k_luma=None) -> dict:
         """Batched mode search over candidate blocks using *source*
         neighbors (recon is not yet available; at encode quantizers recon
         tracks source closely, and pass 2 re-derives the residual against
@@ -365,7 +382,8 @@ class FrameEncoder:
             if out is not None:
                 return out
         if self._native_search:
-            return self._batch_search_native(blocks, origin, luma_only)
+            return self._batch_search_native(blocks, origin, luma_only,
+                                             k_luma)
         from .predict import (
             NONDIRECTIONAL_MODES,
             predict_all_batch,
@@ -434,10 +452,17 @@ class FrameEncoder:
                 preds7 = predict_all_batch(
                     above, left, al, have_a, have_l, bw, bh, self.bit_depth
                 )  # (B, 7, bh, bw)
-                preds6 = predict_dir_batch(
-                    DIAG_MODES, above_ext, left_ext, al, bw, bh
+                ncand = (
+                    _chroma_ncand_policy() if pl_cls == 1
+                    else len(CAND_MODES)
                 )
-                preds = np.concatenate([preds7, preds6], axis=1)
+                if ncand <= 7:
+                    preds = preds7
+                else:
+                    preds6 = predict_dir_batch(
+                        DIAG_MODES, above_ext, left_ext, al, bw, bh
+                    )
+                    preds = np.concatenate([preds7, preds6], axis=1)
                 res = (src[:, None] - preds).astype(np.float32)
                 if force_skip:
                     cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
@@ -453,6 +478,8 @@ class FrameEncoder:
                         K = 5 if pl_cls == 0 else 3  # mirror native widths
                     else:
                         K = 2
+                    if k_luma and pl_cls == 0:
+                        K = min(K, k_luma)
                     sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
                     sad[:, 7:] += lam * 0.5  # nudge ties toward cheap modes
                     sad[:, 0] = -1.0
@@ -622,7 +649,8 @@ class FrameEncoder:
         )
         return K, Kp, joint
 
-    def _batch_search_native(self, blocks, origin, luma_only=False) -> dict:
+    def _batch_search_native(self, blocks, origin, luma_only=False,
+                             k_luma=None) -> dict:
         """Pass-1 search via the threaded C++ bs_search2: block coordinates
         go down, the gather + SAD prefilter + transform RD + delta
         refinement all run in native worker threads (same algorithm as the
@@ -644,7 +672,7 @@ class FrameEncoder:
         nthr = getattr(self, "_search_threads", 1)
         modes: dict = {}
         for (bw, bh, plc), items in groups.items():
-            Kp = K if plc == 0 else Kp_shared
+            Kp = (min(K, k_luma) if k_luma else K) if plc == 0 else Kp_shared
             force_skip = max(bw, bh) == 64
             refine = (
                 tweaks.fine_directional_intra
@@ -921,7 +949,10 @@ class FrameEncoder:
             if not small:
                 break
             modes.update(
-                self._batch_search(small, origin, luma_only=luma_only)
+                self._batch_search(
+                    small, origin, luma_only=luma_only,
+                    k_luma=_kdesc_policy() or None if luma_only else None,
+                )
             )
             if luma_only:
                 # spread the parent's chroma cost over the children so the
@@ -1035,6 +1066,41 @@ class FrameEncoder:
                 part[(mi_r0 + int(i) * s4, mi_c0 + int(j) * s4, s4)] = (
                     code_map[code[i, j]]
                 )
+
+        # narrowed-K refine (mirror of the native pass): descent-tier
+        # leaves the DP actually chose get a full-K luma re-search; the
+        # spread uv choice and chroma cost share are preserved
+        kd = _kdesc_policy()
+        kfull, _, _ = self._search_widths()
+        desc = {s4 for s4 in sizes[:-2] if s4 <= 2}
+        if kd and kd < kfull and desc and not exhaustive:
+            leaves: list = []
+
+            def walk(r, c, s4):
+                if r >= self.mi_rows or c >= self.mi_cols:
+                    return
+                code = part.get((r, c, s4))
+                full = r + s4 <= self.mi_rows and c + s4 <= self.mi_cols
+                half = s4 // 2
+                if (code == PARTITION_SPLIT or (code is None and not full)) \
+                        and s4 > sizes[0]:
+                    for dr in (0, half):
+                        for dc_ in (0, half):
+                            walk(r + dr, c + dc_, half)
+                    return
+                k = (r, c, s4, s4)
+                if code == PARTITION_NONE and s4 in desc and k in modes:
+                    leaves.append(k)
+
+            for (r, c) in full_blocks(sizes[-1]):
+                walk(r, c, sizes[-1])
+            if leaves:
+                ref = self._batch_search(leaves, origin, luma_only=True)
+                for k in leaves:
+                    old = modes[k]
+                    m = ref[k]
+                    modes[k] = (m[0], m[1], old[2], old[3],
+                                m[5] + (old[4] - old[5]), m[5])
         return part, modes
 
     @staticmethod

@@ -565,7 +565,8 @@ def partition_tile(
     while s4 <= max_leaf_mi:
         nr = -(-(mi_r1 - mi_r0) // s4)
         nc = -(-(mi_c1 - mi_c0) // s4)
-        cap += nr * nc * (1 if s4 == min_leaf_mi else 5)
+        # +1 per cell covers the narrowed-K refine re-search rows
+        cap += nr * nc * (2 if s4 == min_leaf_mi else 6)
         if s4 != min_leaf_mi:
             parts_cap += nr * nc
         s4 *= 2

@@ -2824,9 +2824,10 @@ struct FilterParams {
 // filter one 8x8 at (y0, x0) of `in` (pre-CDEF), writing to out8 (8x8,
 // row-major) — only the fh x fw valid area is computed. cw/ch: coded frame
 // dims (availability bound).
-static void filter8(const int32_t* in, int stride, int y0, int x0, int fw,
-                    int fh, int cw, int ch, int dir, int32_t var, bool luma,
-                    const FilterParams& fp, int32_t* out8) {
+static void filter8(const int32_t* __restrict in, int stride, int y0,
+                    int x0, int fw, int fh, int cw, int ch, int dir,
+                    int32_t var, bool luma, const FilterParams& fp,
+                    int32_t* __restrict out8) {
   int pri = fp.pri << fp.coeff_shift;
   const int sec = fp.sec << fp.coeff_shift;
   int damping = fp.damping + fp.coeff_shift;
@@ -2973,6 +2974,24 @@ static void filter8(const int32_t* in, int stride, int y0, int x0, int fw,
 
 static const int SEC_ACT[4] = {0, 1, 2, 4};
 
+// 8-lane int32 vectors (GCC vector extensions -> AVX2): the strength
+// search evaluates every candidate combo per pixel; one vector = one
+// 8-px block row
+typedef int32_t v8i __attribute__((vector_size(32)));
+static inline v8i v8load(const int32_t* p) {
+  v8i v;
+  __builtin_memcpy(&v, p, 32);
+  return v;
+}
+static inline v8i v8bc(int32_t x) {
+  return v8i{x, x, x, x, x, x, x, x};
+}
+static inline int64_t v8sum(v8i v) {
+  int64_t s = 0;
+  for (int i = 0; i < 8; i++) s += v[i];
+  return s;
+}
+
 struct SearchPlaneArgs {
   const int32_t* in;
   const int32_t* src;
@@ -3056,6 +3075,145 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
       }
       const int ih = fh < a.vis_h - y0 ? fh : a.vis_h - y0;
       const int iw = fw < a.vis_w - x0 ? fw : a.vis_w - x0;
+      // interior 8x8 fast path: every tap in bounds and the full block
+      // visible -> fixed-size per-row lanes the compiler vectorizes.
+      // Integer arithmetic identical to the general path below.
+      if (ih == 8 && iw == 8 && fh == 8 && fw == 8 && y0 >= 2 && x0 >= 2
+          && y0 + 10 <= ch && x0 + 10 <= cw) {
+        ptrdiff_t poff[4];
+        int pk_[4];
+        {
+          int q = 0;
+          for (int k = 0; k < 2; k++)
+            for (int s = -1; s <= 1; s += 2) {
+              poff[q] = (ptrdiff_t)s * DIRS[dir][k][0] * a.Wp
+                        + s * DIRS[dir][k][1];
+              pk_[q++] = k;
+            }
+        }
+        ptrdiff_t soff_d[8], soff_z[8];
+        int sk_[8];
+        {
+          int q = 0;
+          for (int dd = 2; dd <= 6; dd += 4)
+            for (int k = 0; k < 2; k++)
+              for (int s = -1; s <= 1; s += 2) {
+                const int d2 = (dir + dd) & 7, dz = dd & 7;
+                soff_d[q] = (ptrdiff_t)s * DIRS[d2][k][0] * a.Wp
+                            + s * DIRS[d2][k][1];
+                soff_z[q] = (ptrdiff_t)s * DIRS[dz][k][0] * a.Wp
+                            + s * DIRS[dz][k][1];
+                sk_[q++] = k;
+              }
+        }
+        v8i vacc[16 * 4];
+        for (int i = 0; i < NP * 4; i++) vacc[i] = v8bc(0);
+        const v8i vz0 = v8bc(0);
+        for (int ii = 0; ii < 8; ii++) {
+          const int32_t* row = a.in + (size_t)(y0 + ii) * a.Wp + x0;
+          const int32_t* srow = a.src + (size_t)(y0 + ii) * a.Wp + x0;
+          const v8i px = v8load(row);
+          v8i pdv[4], pav[4], pmn = px, pmx = px;
+          for (int k = 0; k < 4; k++) {
+            const v8i p = v8load(row + poff[k]);
+            const v8i d = p - px;
+            pdv[k] = d;
+            pav[k] = d < 0 ? -d : d;
+            pmn = p < pmn ? p : pmn;
+            pmx = p > pmx ? p : pmx;
+          }
+          v8i sddv[8], sdav[8], szdv[8], szav[8];
+          v8i smnd = px, smxd = px, smnz = px, smxz = px;
+          for (int k = 0; k < 8; k++) {
+            const v8i p = v8load(row + soff_d[k]);
+            const v8i d = p - px;
+            sddv[k] = d;
+            sdav[k] = d < 0 ? -d : d;
+            smnd = p < smnd ? p : smnd;
+            smxd = p > smxd ? p : smxd;
+            const v8i pz = v8load(row + soff_z[k]);
+            const v8i dz_ = pz - px;
+            szdv[k] = dz_;
+            szav[k] = dz_ < 0 ? -dz_ : dz_;
+            smnz = pz < smnz ? pz : smnz;
+            smxz = pz > smxz ? pz : smxz;
+          }
+          v8i psv[16];
+          for (int i = 0; i < NP; i++) {
+            if (!eff[i]) { psv[i] = vz0; continue; }
+            const v8i e = v8bc(eff[i]);
+            const int ad = eff_adj[i];
+            const int w0 = PRI_TAPS[pt[i]][0], w1 = PRI_TAPS[pt[i]][1];
+            v8i s = vz0;
+            for (int k = 0; k < 4; k++) {
+              v8i v = e - (pav[k] >> ad);
+              v = v < vz0 ? vz0 : v;
+              v = pav[k] < v ? pav[k] : v;
+              s += (pk_[k] == 0 ? w0 : w1) * (pdv[k] < vz0 ? -v : v);
+            }
+            psv[i] = s;
+          }
+          v8i ssd[4], ssz[4];
+          ssd[0] = vz0; ssz[0] = vz0;
+          for (int jq = 1; jq < 4; jq++) {
+            if (a.fast_sec && jq == 1) { ssd[jq] = vz0; ssz[jq] = vz0; continue; }
+            const v8i st = v8bc(SEC_ACT[jq] << cs);
+            const int ad = sadj[jq];
+            v8i sd = vz0, sz = vz0;
+            for (int k = 0; k < 8; k++) {
+              v8i v = st - (sdav[k] >> ad);
+              v = v < vz0 ? vz0 : v;
+              v = sdav[k] < v ? sdav[k] : v;
+              sd += SEC_TAPS[sk_[k]] * (sddv[k] < vz0 ? -v : v);
+              v8i vv = st - (szav[k] >> ad);
+              vv = vv < vz0 ? vz0 : vv;
+              vv = szav[k] < vv ? szav[k] : vv;
+              sz += SEC_TAPS[sk_[k]] * (szdv[k] < vz0 ? -vv : vv);
+            }
+            ssd[jq] = sd;
+            ssz[jq] = sz;
+          }
+          const v8i sref = v8load(srow);
+          const v8i od = px - sref;
+          const v8i base_e = od * od;
+          const v8i v8_8 = v8bc(8);
+          for (int i = 0; i < NP; i++) {
+            const bool sig_pri = a.pri_cands[i] != 0;
+            const v8i* ss = sig_pri ? ssd : ssz;
+            const v8i smn_ = sig_pri ? smnd : smnz;
+            const v8i smx_ = sig_pri ? smxd : smxz;
+            const bool use_p = eff[i] && sig_pri;
+            for (int jq = 0; jq < 4; jq++) {
+              if (!sig_pri && jq == 0) continue;
+              if (a.fast_sec && jq == 1) continue;
+              v8i sum = vz0, mn = px, mx = px;
+              if (use_p) {
+                sum += psv[i];
+                mn = pmn < mn ? pmn : mn;
+                mx = pmx > mx ? pmx : mx;
+              }
+              if (jq) {
+                sum += ss[jq];
+                mn = smn_ < mn ? smn_ : mn;
+                mx = smx_ > mx ? smx_ : mx;
+              }
+              // (sum < 0) as a vector mask is -1 where true: 8+sum+mask
+              // == the scalar 8 + sum - (sum < 0)
+              v8i v = px + ((v8_8 + sum + (sum < vz0)) >> 4);
+              v = v < mn ? mn : v;
+              v = v > mx ? mx : v;
+              const v8i nd = v - sref;
+              vacc[i * 4 + jq] += nd * nd - base_e;
+            }
+          }
+        }
+        for (int i = 0; i < NP; i++)
+          for (int jq = 0; jq < 4; jq++)
+            if (!((a.pri_cands[i] == 0 && jq == 0)
+                  || (a.fast_sec && jq == 1)))
+              iac[i * 4 + jq] += v8sum(vacc[i * 4 + jq]);
+        continue;
+      }
       for (int ii = 0; ii < ih; ii++)
         for (int jj = 0; jj < iw; jj++) {
           const int y = y0 + ii, x = x0 + jj;
@@ -3439,7 +3597,31 @@ namespace search {
 struct Params {
   int bw, bh, dc_q, ac_q, bit_depth, K, refine, force_skip;
   double lam, gain;
+  int n_cand = 13;  // leading CAND_MODES considered (7 drops diagonals)
 };
+
+// Production search policies (env overrides are A/B tooling):
+// - chroma candidate set: the 7 non-diagonal modes. Dropping the 6
+//   delta-0 diagonals from the chroma SAD prefilter measured +0.024 dB
+//   at +0.02% bytes on the A/B corpus (they won SAD slots but lost RD)
+//   and cuts ~45% of chroma pass-1 prediction work.
+// - descent-tier luma RD width 2 (vs the always-tier 5) with a full-K
+//   re-search of the leaves the partition DP actually picks: BD-rate
+//   -0.53% / +0.016 dB vs full-K everywhere, ~11% faster pass 1.
+static int chroma_ncand_policy() {
+  static const int v = [] {
+    const char* e = getenv("CAVIF_TPU_EXP_CHROMA_NCAND");
+    return e ? atoi(e) : 7;
+  }();
+  return v;
+}
+static int kdesc_policy() {
+  static const int v = [] {
+    const char* e = getenv("CAVIF_TPU_EXP_KDESC");
+    return e ? atoi(e) : 2;
+  }();
+  return v;
+}
 
 // one block, ns co-decided sources (ns=1: a single plane; ns=2: the joint
 // U+V chroma search — one shared uv mode, per-plane predictions/neighbors,
@@ -3452,9 +3634,10 @@ static void search_one_multi(const int32_t* const* s_, const int32_t* const* ae,
                              int32_t* out_delta, double* out_cost) {
   int bw = P.bw, bh = P.bh, n = bw * bh;
   double lam = P.lam;
+  const int nc = P.n_cand;
   double sad[13];
   sc.pred.resize((size_t)13 * ns * n);
-  for (int m = 0; m < 13; m++) {
+  for (int m = 0; m < nc; m++) {
     int32_t sd = 0;
     for (int s = 0; s < ns; s++) {
       int32_t* p = sc.pred.data() + (size_t)(m * ns + s) * n;
@@ -3471,7 +3654,7 @@ static void search_one_multi(const int32_t* const* s_, const int32_t* const* ae,
   if (P.force_skip) {
     int best = 0;
     double bc = 1e300;
-    for (int m = 0; m < 13; m++) {
+    for (int m = 0; m < nc; m++) {
       int64_t ssi = 0;
       for (int s = 0; s < ns; s++) {
         const int32_t* p = sc.pred.data() + (size_t)(m * ns + s) * n;
@@ -3489,12 +3672,12 @@ static void search_one_multi(const int32_t* const* s_, const int32_t* const* ae,
     return;
   }
   int order[13];
-  for (int i = 0; i < 13; i++) order[i] = i;
-  std::sort(order, order + 13,
+  for (int i = 0; i < nc; i++) order[i] = i;
+  std::sort(order, order + nc,
             [&](int a_, int b_) { return sad[a_] < sad[b_]; });
   int keep[13]; int nk = 0;
   keep[nk++] = 0;  // DC always survives
-  for (int i = 0; i < 13 && nk < P.K; i++)
+  for (int i = 0; i < nc && nk < P.K; i++)
     if (order[i] != 0) keep[nk++] = order[i];
   int best = keep[0];
   double bc = 1e300;
@@ -3611,6 +3794,9 @@ static void search_item(const int32_t* planes, int nP, int Hp, int Wp,
                         int32_t* out_delta, double* out_cost) {
   int n = P.bw * P.bh, ext = P.bw + P.bh;
   int base_px = 1 << (P.bit_depth - 1);
+  Params Pc = P;
+  if (pl > 0 && chroma_ncand_policy() < Pc.n_cand)
+    Pc.n_cand = chroma_ncand_policy();
   const int ns = (joint && pl == 1 && nP > 2) ? 2 : 1;
   int hav_a = py > py0, hav_l = px > px0;
   const int32_t* ss[2];
@@ -3628,7 +3814,7 @@ static void search_item(const int32_t* planes, int nP, int Hp, int Wp,
     aes[s] = aed;
     les[s] = led;
   }
-  search_one_multi(ss, aes, les, alvs, ns, hav_a, hav_l, P, sc, out_mode,
+  search_one_multi(ss, aes, les, alvs, ns, hav_a, hav_l, Pc, sc, out_mode,
                    out_delta, out_cost);
 }
 
@@ -3753,13 +3939,14 @@ int bs_partition_tile(
   };
   const double floor_c = kappa * lam * (ovh_split + 3.0 * ovh_block);
   const double rect_ovh = lam * (ovh_split + rect_ovh_blocks * ovh_block);
+  const int kdesc = kdesc_policy();  // descent-tier luma RD width
 
   struct Item { int32_t r, c, w4, h4; };
   int n_rows = 0;  // rows appended to out_blocks/out_costs so far
 
   // one threaded batch: search items (luma + optional chroma), append rows
   auto search_batch = [&](const std::vector<Item>& its, bool luma_only,
-                          int row_base) {
+                          int row_base, int k_luma_b) {
     int B = (int)its.size();
     auto worker = [&](int b0, int b1) {
       Scratch sc;
@@ -3787,7 +3974,7 @@ int bs_partition_tile(
         int32_t ym, yd, uvm = 0, uvd = 0;
         double lcost;
         {
-          Params P{bw, bh, dq_b, aq_b, bit_depth, K_luma,
+          Params P{bw, bh, dq_b, aq_b, bit_depth, k_luma_b,
                    fine_dir && !force_skip && !small, force_skip, lam_b,
                    gain};
           search_item(planes, nP, Hp, Wp, 0, py, px, py0, px0, 0, P, sc,
@@ -3858,7 +4045,7 @@ int bs_partition_tile(
     }
   }
   if (n_rows + (int)cands.size() > blocks_cap) return 2;
-  search_batch(cands, false, n_rows);
+  search_batch(cands, false, n_rows, K_luma);
   register_rows(n_rows, (int)cands.size());
   n_rows += (int)cands.size();
 
@@ -3926,7 +4113,8 @@ int bs_partition_tile(
     if (small.empty()) break;
     if (n_rows + (int)small.size() > blocks_cap) return 2;
     int base = n_rows;
-    search_batch(small, luma_only, base);
+    search_batch(small, luma_only, base,
+                 luma_only && kdesc > 0 && kdesc < K_luma ? kdesc : K_luma);
     register_rows(base, (int)small.size());
     n_rows += (int)small.size();
     if (luma_only) {
@@ -3983,7 +4171,7 @@ int bs_partition_tile(
     if (!rects.empty()) {
       if (n_rows + (int)rects.size() > blocks_cap) return 2;
       int base = n_rows;
-      search_batch(rects, true, base);
+      search_batch(rects, true, base, K_luma);
       n_rows += (int)rects.size();
       for (size_t p = 0; p < rparent.size(); p++) {
         const int32_t* prow = out_blocks + (size_t)8 * rparent[p];
@@ -4008,10 +4196,13 @@ int bs_partition_tile(
 
   // -- bottom-up NONE/SPLIT/HORZ/VERT argmin (first-wins ties) ----------
   int n_parts = 0;
+  // per-tier decision grids kept for the narrowed-K refine walk below
+  std::vector<std::vector<int8_t>> codes(nsz);
   std::vector<double> bc;  // best-cost grid of the tier below
   for (int t = 0; t < nsz; t++) {
     int s4 = sizes[t];
     int nr = nr_of(s4), nc = nc_of(s4);
+    codes[t].assign((size_t)nr * nc, 0);
     std::vector<double> cur((size_t)nr * nc, INF);
     if (t == 0) {
       for (int i = 0; i < nr; i++)
@@ -4059,6 +4250,7 @@ int bs_partition_tile(
         for (int k = 1; k < 4; k++)
           if (cand[k] < best) { best = cand[k]; code = k; }
         cur[(size_t)i * nc + j] = best;
+        codes[t][(size_t)i * nc + j] = (int8_t)code;
         if (have_none) {
           if (n_parts >= parts_cap) return 3;
           int32_t* pr = out_parts + (size_t)4 * n_parts++;
@@ -4069,6 +4261,51 @@ int bs_partition_tile(
         }
       }
     bc.swap(cur);
+  }
+  // -- narrowed-K refine: descent-tier leaves the DP actually chose get a
+  // full-K luma re-search (later rows overwrite earlier modes on the
+  // python side; DP costs are final so only the coded mode improves) ----
+  if (kdesc > 0 && kdesc < K_luma && nsz >= 3) {
+    std::vector<Item> ref;
+    std::vector<int> oldid;
+    std::function<void(int, int, int)> walk = [&](int t, int i, int j) {
+      const int s4 = sizes[t];
+      const int nc = nc_of(s4);
+      if (i >= nr_of(s4) || j >= nc) return;
+      const int code = codes[t][(size_t)i * nc + j];
+      if (code == 1 && t > 0) {
+        for (int dr = 0; dr < 2; dr++)
+          for (int dc_ = 0; dc_ < 2; dc_++)
+            walk(t - 1, 2 * i + dr, 2 * j + dc_);
+        return;
+      }
+      if (code == 0 && t <= nsz - 3 && sizes[t] <= 2) {
+        const int id = grid[t][(size_t)i * nc + j];
+        if (id >= 0) {
+          ref.push_back({mi_r0 + i * s4, mi_c0 + j * s4, s4, s4});
+          oldid.push_back(id);
+        }
+      }
+      // rect halves (codes 2/3) were searched at full K already
+    };
+    const int ts4 = sizes[nsz - 1];
+    for (int i = 0; i < nr_of(ts4); i++)
+      for (int j = 0; j < nc_of(ts4); j++) walk(nsz - 1, i, j);
+    if (!ref.empty()) {
+      if (n_rows + (int)ref.size() > blocks_cap) return 2;
+      const int base = n_rows;
+      search_batch(ref, true, base, K_luma);
+      for (size_t p = 0; p < ref.size(); p++) {
+        int32_t* nrow = out_blocks + (size_t)8 * (base + (int)p);
+        double* ncst = out_costs + (size_t)2 * (base + (int)p);
+        const int32_t* orow = out_blocks + (size_t)8 * oldid[p];
+        const double* ocst = out_costs + (size_t)2 * oldid[p];
+        nrow[6] = orow[6];  // inherit the spread uv choice
+        nrow[7] = orow[7];
+        ncst[0] = ncst[1] + (ocst[0] - ocst[1]);  // re-add the uv share
+      }
+      n_rows += (int)ref.size();
+    }
   }
   *n_blocks_out = n_rows;
   *n_parts_out = n_parts;
@@ -4116,18 +4353,42 @@ static void wiener_axis_solve(const float* M, const float* srcf, int uh,
       }
     }
   }
+  // all 9 normal-equation moments in ONE fused pass (each stream read
+  // once; 9 independent accumulation chains keep the FP adders busy) —
+  // the 9 separate dot loops this replaces were memory-bound
   double A[3][3], b[3];
-  for (int i = 0; i < ntaps; i++) {
-    const float* gi = gbuf + (size_t)i * n;
-    double bi = 0.0;
-    for (int x = 0; x < n; x++) bi += (double)gi[x] * (srcf[x] - M[x]);
-    b[i] = 128.0 * bi;
-    for (int j = i; j < ntaps; j++) {
-      const float* gj = gbuf + (size_t)j * n;
-      double a = 0.0;
-      for (int x = 0; x < n; x++) a += (double)gi[x] * gj[x];
-      A[i][j] = A[j][i] = a;
+  {
+    const float* g0 = gbuf;
+    const float* g1 = gbuf + (ntaps > 1 ? (size_t)n : 0);
+    const float* g2 = gbuf + (ntaps > 2 ? 2 * (size_t)n : 0);
+    double A00 = 0, A01 = 0, A02 = 0, A11 = 0, A12 = 0, A22 = 0;
+    double b0 = 0, b1 = 0, b2 = 0;
+    if (ntaps == 3) {
+      for (int x = 0; x < n; x++) {
+        const double t = (double)srcf[x] - M[x];
+        const double a = g0[x], bb = g1[x], c = g2[x];
+        b0 += a * t; b1 += bb * t; b2 += c * t;
+        A00 += a * a; A01 += a * bb; A02 += a * c;
+        A11 += bb * bb; A12 += bb * c; A22 += c * c;
+      }
+    } else if (ntaps == 2) {
+      for (int x = 0; x < n; x++) {
+        const double t = (double)srcf[x] - M[x];
+        const double a = g0[x], bb = g1[x];
+        b0 += a * t; b1 += bb * t;
+        A00 += a * a; A01 += a * bb; A11 += bb * bb;
+      }
+    } else {
+      for (int x = 0; x < n; x++) {
+        const double t = (double)srcf[x] - M[x];
+        const double a = g0[x];
+        b0 += a * t;
+        A00 += a * a;
+      }
     }
+    b[0] = 128.0 * b0; b[1] = 128.0 * b1; b[2] = 128.0 * b2;
+    A[0][0] = A00; A[0][1] = A[1][0] = A01; A[0][2] = A[2][0] = A02;
+    A[1][1] = A11; A[1][2] = A[2][1] = A12; A[2][2] = A22;
   }
   double reg = 1e-4 * (A[0][0] > 1.0 ? A[0][0] : 1.0);
   for (int i = 0; i < ntaps; i++) A[i][i] += reg;
@@ -4233,7 +4494,25 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
       }
     }
   };
-  run_threaded(rows * cols, n_threads, worker);
+  // restoration units are few (256x256 px each) but heavy: thread even at
+  // small unit counts (run_threaded's B<64 guard targets per-block search
+  // batches, not whole-unit solves)
+  {
+    const int B = rows * cols;
+    int nth = n_threads < B ? n_threads : B;
+    if (nth <= 1) {
+      worker(0, B);
+    } else {
+      std::vector<std::thread> ths;
+      const int per = (B + nth - 1) / nth;
+      for (int t = 0; t < nth; t++) {
+        const int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
+        if (b0 >= b1) break;
+        ths.emplace_back(worker, b0, b1);
+      }
+      for (auto& th : ths) th.join();
+    }
+  }
   return 0;
 }
 
@@ -4392,30 +4671,45 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           }
         }
       };
-      // lazily-computed pass cache: (r, s) -> slot in fltbuf
+      // lazily-computed pass cache: (r, s) -> slot in fltbuf. Slots are
+      // INDICES, not pointers: fltbuf.resize below relocates the buffer,
+      // so pointers must be re-derived at each use
       int cache_r[24], cache_s[24], ncache = 0;
-      auto get_pass = [&](int r, int s) -> const int32_t* {
+      auto get_pass = [&](int r, int s) -> int {
         for (int i = 0; i < ncache; i++)
-          if (cache_r[i] == r && cache_s[i] == s)
-            return fltbuf.data() + (size_t)i * n;
+          if (cache_r[i] == r && cache_s[i] == s) return i;
         if ((size_t)(ncache + 1) * n > fltbuf.size())
           fltbuf.resize((size_t)(ncache + 1) * n);
-        int32_t* slot = fltbuf.data() + (size_t)ncache * n;
-        pass(r, s, slot);
+        pass(r, s, fltbuf.data() + (size_t)ncache * n);
         cache_r[ncache] = r;
         cache_s[ncache] = s;
-        ncache++;
-        return slot;
+        return ncache++;
+      };
+      auto slot_ptr = [&](int i) -> const int32_t* {
+        return i < 0 ? nullptr : fltbuf.data() + (size_t)i * n;
       };
       int best_set = -1, best_x0 = 0, best_x1 = 0;
       double best_sse = 0.0;
+      // predicted-SSE search: the LS moments already determine the float
+      // residual of each candidate set at its quantized weights, so the
+      // exact integer SSE pass (the priciest per-set loop) runs only for
+      // the two best-predicted sets below
+      struct Cand {
+        int set, x0, x1, dq0, dq1, i0, i1;
+        double pred;
+      };
+      Cand cl[16];
+      double tt = -1.0;  // sum t^2 (set-independent), computed once
       for (int si = 0; si < nsets; si++) {
         const int set = full ? si : kReduced[si];
         const SgrParams& P = kSets[set];
-        const int32_t* flt0 = P.r0 > 0 ? get_pass(2, P.s0) : nullptr;
-        const int32_t* flt1 = P.r1 > 0 ? get_pass(1, P.s1) : nullptr;
+        const int i0 = P.r0 > 0 ? get_pass(2, P.s0) : -1;
+        const int i1 = P.r1 > 0 ? get_pass(1, P.s1) : -1;
+        const int32_t* flt0 = slot_ptr(i0);
+        const int32_t* flt1 = slot_ptr(i1);
         // least squares on (flt - u) vs (src<<4 - u), double accumulation
-        double h00 = 0, h11 = 0, h01 = 0, c0_ = 0, c1_ = 0;
+        double h00 = 0, h11 = 0, h01 = 0, c0_ = 0, c1_ = 0, tt_ = 0;
+        const bool need_tt = tt < 0.0;
         for (int rr_ = 0; rr_ < uh; rr_++) {
           const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
           const int32_t* dr_ = &rec[(size_t)(y0 + rr_) * rstride + x0];
@@ -4423,6 +4717,7 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           for (int cc = 0; cc < uw; cc++) {
             const int32_t u = dr_[cc] << 4;
             const double t = (double)((sr[cc] << 4) - u);
+            if (need_tt) tt_ += t * t;
             if (flt0) {
               const double f0 = (double)(flt0[o + cc] - u);
               h00 += f0 * f0;
@@ -4439,6 +4734,7 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
             }
           }
         }
+        if (need_tt) tt = tt_;
         const double scale = 128.0;  // 1 << SGRPROJ_PRJ_BITS
         double b0 = 0.0, b1 = 0.0;
         if (flt0 && flt1) {
@@ -4472,7 +4768,28 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           dq0 = xq0;
           dq1 = 128 - dq0 - xqd1;
         }
-        // exact integer output SSE
+        // predicted residual (x16 domain) at the quantized weights:
+        // sum (t - (dq0 f0 + dq1 f1)/128)^2, ignoring the final integer
+        // rounding/clipping (bounded by +-0.5px per sample)
+        const double w0 = dq0 / 128.0, w1 = dq1 / 128.0;
+        double pred = tt;
+        if (flt0) pred += w0 * w0 * h00 - 2.0 * w0 * c0_;
+        if (flt1) pred += w1 * w1 * h11 - 2.0 * w1 * c1_;
+        if (flt0 && flt1) pred += 2.0 * w0 * w1 * h01;
+        cl[si] = {set, xq0, xqd1, dq0, dq1, i0, i1, pred};
+      }
+      // exact integer SSE for the two best-predicted sets only
+      int o1 = 0, o2 = -1;
+      for (int si = 1; si < nsets; si++) {
+        if (cl[si].pred < cl[o1].pred) { o2 = o1; o1 = si; }
+        else if (o2 < 0 || cl[si].pred < cl[o2].pred) o2 = si;
+      }
+      for (int pass_i = 0; pass_i < 2; pass_i++) {
+        const int si = pass_i == 0 ? o1 : o2;
+        if (si < 0) continue;
+        const Cand& C = cl[si];
+        const int32_t* cf0 = slot_ptr(C.i0);
+        const int32_t* cf1 = slot_ptr(C.i1);
         int64_t sse = 0;
         for (int rr_ = 0; rr_ < uh; rr_++) {
           const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
@@ -4481,8 +4798,8 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           for (int cc = 0; cc < uw; cc++) {
             const int64_t u = (int64_t)(dr_[cc] << 4);
             int64_t v = u << 7;
-            if (flt0) v += (int64_t)dq0 * (flt0[o + cc] - u);
-            if (flt1) v += (int64_t)dq1 * (flt1[o + cc] - u);
+            if (cf0) v += (int64_t)C.dq0 * (cf0[o + cc] - u);
+            if (cf1) v += (int64_t)C.dq1 * (cf1[o + cc] - u);
             int64_t wv = (v + (1 << 10)) >> 11;  // PRJ+RST rounding shift
             if (wv < 0) wv = 0;
             if (wv > maxv) wv = maxv;
@@ -4491,9 +4808,9 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           }
         }
         if (best_set < 0 || (double)sse < best_sse) {
-          best_set = set;
-          best_x0 = xq0;
-          best_x1 = xqd1;
+          best_set = C.set;
+          best_x0 = C.x0;
+          best_x1 = C.x1;
           best_sse = (double)sse;
         }
       }
