@@ -951,7 +951,11 @@ class FrameEncoder:
             modes.update(
                 self._batch_search(
                     small, origin, luma_only=luma_only,
-                    k_luma=_kdesc_policy() or None if luma_only else None,
+                    # exhaustive (encode_bottomup, s<=2) keeps full-width
+                    # searches: the narrowed-K descent + refine is the
+                    # fast-preset trade only
+                    k_luma=(_kdesc_policy() or None)
+                    if (luma_only and not exhaustive) else None,
                 )
             )
             if luma_only:
@@ -1089,6 +1093,12 @@ class FrameEncoder:
                             walk(r + dr, c + dc_, half)
                     return
                 k = (r, c, s4, s4)
+                # bottom-tier cells carry no part entry (the DP emits codes
+                # only for tiers above min_leaf_mi): a full bottom-tier cell
+                # reached via SPLIT descent is an implicit NONE leaf — the
+                # native walk's codes[0] grid defaults to NONE likewise
+                if code is None and s4 == sizes[0] and full:
+                    code = PARTITION_NONE
                 if code == PARTITION_NONE and s4 in desc and k in modes:
                     leaves.append(k)
 

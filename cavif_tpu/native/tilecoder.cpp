@@ -4113,8 +4113,12 @@ int bs_partition_tile(
     if (small.empty()) break;
     if (n_rows + (int)small.size() > blocks_cap) return 2;
     int base = n_rows;
+    // exhaustive (encode_bottomup) keeps full-width searches; the
+    // narrowed-K descent is the fast-preset trade only (mirrors python)
     search_batch(small, luma_only, base,
-                 luma_only && kdesc > 0 && kdesc < K_luma ? kdesc : K_luma);
+                 luma_only && !exhaustive && kdesc > 0 && kdesc < K_luma
+                     ? kdesc
+                     : K_luma);
     register_rows(base, (int)small.size());
     n_rows += (int)small.size();
     if (luma_only) {
@@ -4265,7 +4269,7 @@ int bs_partition_tile(
   // -- narrowed-K refine: descent-tier leaves the DP actually chose get a
   // full-K luma re-search (later rows overwrite earlier modes on the
   // python side; DP costs are final so only the coded mode improves) ----
-  if (kdesc > 0 && kdesc < K_luma && nsz >= 3) {
+  if (!exhaustive && kdesc > 0 && kdesc < K_luma && nsz >= 3) {
     std::vector<Item> ref;
     std::vector<int> oldid;
     std::function<void(int, int, int)> walk = [&](int t, int i, int j) {
