@@ -29,8 +29,10 @@ def test_encode8_with_alpha():
         .with_bit_depth(BitDepth.Eight)
     )
     out = enc.encode_rgba(img)
-    assert 50 < out.color_byte_size < 10_000
-    assert 50 < out.alpha_byte_size < 10_000
+    # the reference's exact windows (ravif/src/lib.rs:57-58); measured
+    # payloads here: color 216 B, alpha 117 B
+    assert 50 < out.color_byte_size < 1000
+    assert 50 < out.alpha_byte_size < 1000
     parsed = read_avif(out.avif_file)
     assert parsed.alpha_item is not None
     assert parsed.width == 256 and parsed.height == 200
@@ -47,6 +49,9 @@ def test_encode8_opaque_drops_alpha_and_auto_is_ten_bit():
     enc = Encoder.new().with_quality(33.0).with_speed(10)
     out = enc.encode_rgba(img)
     assert out.alpha_byte_size == 0
+    # the reference's exact window (ravif/src/lib.rs:90, "expected ~= 215");
+    # measured here: 154 B
+    assert 150 < out.color_byte_size < 500
     parsed = read_avif(out.avif_file)
     assert parsed.alpha_item is None
     assert parsed.bit_depth == 10  # Auto == Ten
@@ -76,4 +81,10 @@ def test_encode8_cleans_alpha():
     dirty = sizes[AlphaColorMode.UnassociatedDirty]
     clean = sizes[AlphaColorMode.UnassociatedClean]
     assert clean.alpha_byte_size == dirty.alpha_byte_size
+    # reference window for the alpha payload (ravif/src/lib.rs:144);
+    # measured here: 344 B. (The reference's clean-color window (2000,6000)
+    # is tied to its exact synthetic noise image, which this test does not
+    # reproduce byte-for-byte — our cleaner collapses this image's hidden
+    # region to 566 B, well past the halving property being pinned.)
+    assert 200 < clean.alpha_byte_size < 1000
     assert clean.color_byte_size < dirty.color_byte_size / 2
