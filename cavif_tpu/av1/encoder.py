@@ -42,6 +42,66 @@ from .symbols import (
 # search::CAND_MODES): 7 non-directional then the 6 diagonals at delta 0
 CAND_MODES_SEARCH = [0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8]
 
+_DEV_DEFAULT = [None]
+
+
+def _device_backend_default() -> bool:
+    """True when an accelerator backend is attached (jax default backend is
+    TPU): the fused device pass-1 becomes the default compute path. Probed
+    once per process (jax init can take seconds through a tunnel)."""
+    if _DEV_DEFAULT[0] is None:
+        try:
+            import jax
+
+            _DEV_DEFAULT[0] = jax.default_backend() == "tpu"
+        except Exception:
+            _DEV_DEFAULT[0] = False
+    return _DEV_DEFAULT[0]
+
+
+class _DevModes:
+    """Mapping view over the device pass-1 grids: ctx.modes[(r, c, w4, h4)]
+    -> (y_mode, y_delta, uv_mode, uv_delta, total, luma). Blocks not in the
+    device grids (none in practice — the grids cover every shape the
+    partition walk emits) fall through to the host-searched dict."""
+
+    __slots__ = ("grids", "partials", "nplanes")
+
+    def __init__(self, grids, partials, nplanes):
+        self.grids = grids
+        self.partials = partials
+        self.nplanes = nplanes
+
+    def __getitem__(self, key):
+        r, c, w4, h4 = key
+        shape = (w4 * 4, h4 * 4)
+        g = self.grids
+        gy = g.get((shape, "y_mode"))
+        if gy is None or r % h4 or c % w4:
+            return self.partials[key]
+        by, bx = r // h4, c // w4
+        ym = int(gy[by, bx])
+        gd = g.get((shape, "y_delta"))
+        yd = int(gd[by, bx]) if gd is not None else 0
+        um = ud = 0
+        if self.nplanes > 1:
+            gu = g.get((shape, "uv_mode"))
+            if gu is not None:
+                um = int(gu[by, bx])
+                gud = g.get((shape, "uv_delta"))
+                ud = int(gud[by, bx]) if gud is not None else 0
+            else:
+                # sub-8px blocks inherit the 8px square parent's uv choice
+                # (host cascade semantics; deltas are not codeable there)
+                um = int(g[((8, 8), "uv_mode")][r // 2, c // 2])
+        return (ym, yd, um, ud, 0.0, 0.0)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
 
 def _chroma_ncand_policy() -> int:
     """Chroma SAD-prefilter candidate count: the 7 non-diagonal modes.
@@ -82,8 +142,12 @@ class _TileCtx:
 
 
 class FrameEncoder:
-    def __init__(self, planes: np.ndarray, cfg: AV1Config):
+    def __init__(self, planes: np.ndarray, cfg: AV1Config, src8=None):
         self.cfg = cfg
+        # compact device upload: the original uint8 image ((H, W, 3) rgb or
+        # (H, W) alpha) when the caller has one — the tunnel-attached TPU
+        # is H2D-bandwidth-bound, so color conversion runs on device
+        self._src8 = src8
         # replay caches (tile key -> op streams); created eagerly because
         # tile threads fill them concurrently (lazy creation would race and
         # drop entries)
@@ -128,10 +192,23 @@ class FrameEncoder:
         self._native_search = _native_available() and not os.environ.get(
             "CAVIF_TPU_PY_SEARCH"
         )
-        # opt-in TPU/XLA whole-plane pass-1 (CAVIF_TPU_DEVICE_SEARCH=
-        # xla|pallas): the always-searched tiers run as one device program
-        # per tile; partial/cascade/rect blocks stay on the host path
-        self._device_search = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
+        # device (TPU/XLA) whole-frame pass-1: DEFAULT when a TPU backend
+        # is attached; CAVIF_TPU_DEVICE_SEARCH overrides (""/"0"/"off"
+        # force the host path, "xla"/"pallas" force the device path even
+        # on the CPU backend — used by the differential tests)
+        dev = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
+        if dev is None:
+            self._device_search = (
+                "xla" if _device_backend_default() else None
+            )
+        elif dev in ("", "0", "off", "none", "host"):
+            self._device_search = None
+        else:
+            self._device_search = dev
+        self._dev_state = None  # (grids, part) | False (failed) | None
+        import threading
+
+        self._dev_lock = threading.Lock()
         # the encoder's total thread budget (cfg.threads) bounds search
         # workers too — batch mode runs many single-threaded encoders
         self._search_threads = cfg.threads or (os.cpu_count() or 1)
@@ -374,13 +451,6 @@ class FrameEncoder:
         (V approximated by U's cost). With luma_only, chroma is not
         searched (uv fields stay DC; the caller inherits the parent's
         choice) and total == luma."""
-        if self._device_search and not luma_only:
-            # opt-in TPU/XLA path: grid-aligned square tiers run on the
-            # device; returns None when nothing is device-coverable (and
-            # routes the remainder through the host paths itself)
-            out = self._batch_search_device(blocks, origin)
-            if out is not None:
-                return out
         if self._native_search:
             return self._batch_search_native(blocks, origin, luma_only,
                                              k_luma)
@@ -543,86 +613,6 @@ class FrameEncoder:
                         )
         return modes
 
-    def _batch_search_device(self, blocks, origin):
-        """Whole-plane device search (ops/block_search) for grid-aligned
-        square candidates; returns None when the candidate set is not
-        device-coverable (the caller falls back to the host path).
-
-        The device program searches every aligned n x n block of the
-        tile's plane slice in one jitted call (XLA) or one fused Pallas
-        kernel; mode indices and winning RD costs come back and are
-        assembled into the host result format (total = luma + 2 * U,
-        matching the host chroma proxy). Angle-delta refinement is not
-        applied on this path (delta 0), a documented trade of the opt-in
-        backend."""
-        from ..ops.block_search import CAND_MODES as DEV_MODES
-        from ..ops.block_search import plane_mode_search_costs
-
-        sizes = {4, 8}  # 16x16 and 32x32 px tiers
-        r0, c0 = origin
-        lam = self._lambda()
-        backend = (
-            "pallas" if self._device_search == "pallas" else "xla"
-        )
-        planes = self._src_stack()
-        npl = min(self.num_planes, 2)  # host chroma proxy uses U only
-        out = {}
-        rest = []
-        grids = {}
-        y0, x0 = r0 * 4, c0 * 4
-        th = planes.shape[1] - y0
-        tw = planes.shape[2] - x0
-        for b in blocks:
-            r, c, w4b, h4b = b
-            n = w4b * 4
-            covered = (
-                w4b == h4b and w4b in sizes
-                and (r - r0) % w4b == 0 and (c - c0) % w4b == 0
-                and (r - r0 + w4b) * 4 <= (th // n) * n
-                and (c - c0 + w4b) * 4 <= (tw // n) * n
-            )
-            (grids.setdefault(w4b, []) if covered else rest).append(b)
-        if not grids:
-            return None
-        if os.environ.get("CAVIF_TPU_DEVICE_SEARCH_MARK"):
-            # test hook: prove the device path actually engaged
-            print("[device-search] tiers=%s blocks=%d"
-                  % (sorted(grids), sum(map(len, grids.values()))),
-                  file=sys.stderr)
-        for w4b, cand in grids.items():
-            n = w4b * 4
-            gh, gw = (th // n) * n, (tw // n) * n
-            sl = np.ascontiguousarray(
-                planes[:npl, y0 : y0 + gh, x0 : x0 + gw]
-            )
-            modes_d, costs_d = plane_mode_search_costs(
-                sl, self.dc_q, self.ac_q, lam, self.bit_depth,
-                n=n, backend=backend,
-            )
-            for (r, c, w4_, h4_) in cand:
-                by, bx = (r - r0) // w4b, (c - c0) // w4b
-                ym = DEV_MODES[int(modes_d[0, by, bx])]
-                yc = float(costs_d[0, by, bx])
-                if npl > 1:
-                    uvm = DEV_MODES[int(modes_d[1, by, bx])]
-                    uc = float(costs_d[1, by, bx])
-                else:
-                    uvm, uc = DC_PRED, 0.0
-                out[(r, c, w4_, h4_)] = (
-                    ym, 0, uvm, 0, yc + 2.0 * uc, yc,
-                )
-        if rest:
-            if self._native_search:
-                out.update(self._batch_search_native(rest, origin, False))
-            else:
-                saved = self._device_search
-                self._device_search = None
-                try:
-                    out.update(self._batch_search(rest, origin, False))
-                finally:
-                    self._device_search = saved
-        return out
-
     def _search_widths(self):
         """(K_luma, K_chroma, joint_uv) RD-width policy — shared by the
         python-orchestrated and native cascades (they must agree for the
@@ -763,6 +753,11 @@ class FrameEncoder:
     # block cost): per-leaf mode/skip/tx_type overhead and per-partition
     # symbol overhead. Larger OVH_BLOCK biases toward larger blocks.
     OVH_BLOCK = 15.0
+    # device-DP block-rate proxy: the device searches full-width at every
+    # tier (no narrowed-K descent), whose min-selection bias favors small
+    # blocks; 23 re-centers it (A/B: 768/1024px corpus at Q80/Q90 lands at
+    # or under the host cascade's bytes at >= its PSNR)
+    DEV_OVH_BLOCK = 23.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
     # per-half block-overhead factor in the HORZ/VERT cost proxy: biases
@@ -855,6 +850,124 @@ class FrameEncoder:
                    costs[:, 0].tolist(), costs[:, 1].tolist())
         return part, dict(zip(keys, vals))
 
+    def _device_grids(self):
+        """Whole-frame device pass-1 (ops/device_pass1): every square tier,
+        rect halves, angle deltas, joint U+V, and the partition DP in ONE
+        jitted program — one upload, one packed fetch. Lazily computed once
+        per frame (tile threads share it via the lock); a failure falls
+        back to the host cascade for the rest of the encode. Returns
+        (grids, part_dict) or None."""
+        if not self._device_search:
+            return None
+        with self._dev_lock:
+            if self._dev_state is not None:
+                return self._dev_state or None
+            try:
+                from ..ops.device_pass1 import run_pass1
+
+                if self._src8 is not None:
+                    mc = self.cfg.matrix_coefficients
+                    if self.num_planes == 1:
+                        model = "mono"
+                    elif mc == 0:
+                        model = "gbr"
+                    else:
+                        model = "ycbcr"
+                    h, w = self._src8.shape[:2]
+                    ph, pw = self.planes[0].src.shape
+                    pad = ((0, ph - h), (0, pw - w))
+                    if self._src8.ndim == 3:
+                        pad = pad + ((0, 0),)
+                    src = np.pad(self._src8, pad, mode="edge")
+                else:
+                    model = "planes"
+                    src = self._src_stack().astype(np.int16)
+                tcl, trl = self._tile_split()
+                sb_cols = (self.mi_cols + 15) >> 4
+                sb_rows = (self.mi_rows + 15) >> 4
+                th = (((sb_rows + (1 << trl) - 1) >> trl)) * 64
+                tw = (((sb_cols + (1 << tcl) - 1) >> tcl)) * 64
+                grids = run_pass1(
+                    src,
+                    depth=self.bit_depth,
+                    model=model,
+                    num_planes=self.num_planes,
+                    tile_px=(th, tw),
+                    min_px=self.min_leaf_mi * 4,
+                    use_deltas=self.cfg.tweaks.fine_directional_intra,
+                    dc_q=self.dc_q,
+                    ac_q=self.ac_q,
+                    lam=self._lambda(),
+                    # the device DP sees full-width costs at every tier
+                    # (no narrowed-K descent), so its min-selection bias
+                    # toward small blocks needs a larger block-rate proxy
+                    # than the host cascade's 15 (A/B-calibrated; env
+                    # override is calibration tooling)
+                    ovh_block=float(os.environ.get(
+                        "CAVIF_TPU_DEV_OVH", self.DEV_OVH_BLOCK)),
+                    ovh_split=self.OVH_SPLIT,
+                    rect_ovh=float(os.environ.get(
+                        "CAVIF_TPU_DEV_RECT_OVH", self.RECT_OVH)),
+                )
+                part = self._dev_part_dict(grids)
+                if os.environ.get("CAVIF_TPU_DEVICE_SEARCH_MARK"):
+                    print(
+                        "[device-search] frame=%dx%d model=%s grids=%d"
+                        % (pw if self._src8 is not None else src.shape[2],
+                           ph if self._src8 is not None else src.shape[1],
+                           model, len(grids)),
+                        file=sys.stderr,
+                    )
+                self._dev_state = (grids, part)
+            except Exception as e:  # pragma: no cover - device failure
+                print(
+                    "cavif-tpu: device pass-1 failed (%s: %s); "
+                    "falling back to the host search" % (type(e).__name__, e),
+                    file=sys.stderr,
+                )
+                self._dev_state = False
+                self._device_search = None
+                return None
+        return self._dev_state
+
+    def _dev_part_dict(self, grids) -> dict:
+        """Materialize the device DP codes into the walk's part dict
+        {(r, c, n4_mi): PARTITION_*} (vectorized assembly — ~20k entries)."""
+        code_map = np.asarray(
+            (PARTITION_NONE, PARTITION_SPLIT, PARTITION_HORZ,
+             PARTITION_VERT), dtype=np.int32,
+        )
+        part: dict = {}
+        for (shape, name), g in grids.items():
+            if name != "code":
+                continue
+            n4 = shape[0] // 4
+            nby, nbx = g.shape
+            rr = np.repeat(np.arange(nby) * n4, nbx)
+            cc = np.tile(np.arange(nbx) * n4, nby)
+            part.update(
+                zip(
+                    zip(rr.tolist(), cc.tolist(), [n4] * g.size),
+                    code_map[g.ravel()].tolist(),
+                )
+            )
+        return part
+
+    def _rdo_partition_device(self, partials, origin):
+        """Pass-1 via the whole-frame device program: decisions come from
+        the device grids; any partial block whose shape/alignment the grids
+        do not cover (none in practice) is host-searched and merged."""
+        grids, part = self._dev_state
+        rest = []
+        for (r, c, w4b, h4b) in partials:
+            shape = (w4b * 4, h4b * 4)
+            if (shape, "y_mode") not in grids or r % h4b or c % w4b:
+                rest.append((r, c, w4b, h4b))
+        pdict = (
+            self._batch_search_native(rest, origin) if rest else {}
+        )
+        return part, _DevModes(grids, pdict, self.num_planes)
+
     def _rdo_partition(self, partials, origin, mi_r0, mi_r1, mi_c0, mi_c1):
         """Bottom-up NONE/SPLIT decision per full block.
 
@@ -864,7 +977,9 @@ class FrameEncoder:
         total (plus a partition-rate proxy) beats coding the block whole.
         `partials` (edge slivers from the geometry walk) are searched too.
         Returns (part_decisions, modes)."""
-        if (self._native_search and not self._device_search
+        if self._device_search and self._device_grids() is not None:
+            return self._rdo_partition_device(partials, origin)
+        if (self._native_search
                 and not os.environ.get("CAVIF_TPU_PY_CASCADE")):
             return self._rdo_partition_native(
                 partials, mi_r0, mi_r1, mi_c0, mi_c1
@@ -1706,6 +1821,9 @@ class FrameEncoder:
         # adaptive-q maps are shared by every tile thread: build them
         # eagerly so the fan-out never races the lazy caches
         self._sb_qmaps()
+        if self._device_search:
+            with span("device_pass1"):
+                self._device_grids()
         with span("tiles_pass1+2"):
             tiles = self._encode_tiles(tcl, trl)
         # Deblocking is output-only for still pictures (intra prediction
@@ -2185,8 +2303,8 @@ def _embed(levels: np.ndarray, txh: int, txw: int) -> np.ndarray:
     return out
 
 
-def encode_planes(planes: np.ndarray, cfg: AV1Config) -> bytes:
-    return FrameEncoder(planes, cfg).encode()
+def encode_planes(planes: np.ndarray, cfg: AV1Config, src8=None) -> bytes:
+    return FrameEncoder(planes, cfg, src8=src8).encode()
 
 
 def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:

@@ -271,6 +271,7 @@ def _search_body(n: int, bit_depth: int):
     return search
 
 
+@lru_cache(maxsize=None)
 def _partition_body(bit_depth: int, min_n: int = 8, max_n: int = 32,
                     ovh_block: float = 15.0, ovh_split: float = 2.0):
     """The full device pass-1: per-tier 13-mode searches over every aligned
@@ -306,6 +307,15 @@ def _partition_body(bit_depth: int, min_n: int = 8, max_n: int = 32,
     return program
 
 
+@lru_cache(maxsize=None)
+def _partition_jit(bit_depth: int, min_n: int, max_n: int):
+    """jit-compiled (and cached — a fresh jax.jit per call would recompile
+    every invocation) multi-tier partition program."""
+    import jax
+
+    return jax.jit(_partition_body(bit_depth, min_n, max_n))
+
+
 def plane_partition_search(
     planes: np.ndarray,
     dc_q: int,
@@ -325,7 +335,7 @@ def plane_partition_search(
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    f = jax.jit(_partition_body(bit_depth, min_n, max_n))
+    f = _partition_jit(bit_depth, min_n, max_n)
     arr = np.ascontiguousarray(planes, np.int32)
     if mesh is not None:
         arr = jax.device_put(arr, NamedSharding(mesh, P("data", "tile", None)))

@@ -1,0 +1,552 @@
+"""Whole-frame fused device pass-1: the encoder's partition + intra-mode
+search as ONE jitted TPU program per frame.
+
+Why one program: the attached chip is reached through a tunnel whose
+round-trip latency (~30 ms) and H2D bandwidth (~32 MB/s) dwarf the compute —
+a 4x-wider candidate search measured +2 ms on a v5e while a single extra
+host<->device exchange costs a tunnel round trip. So the frame goes up ONCE
+as uint8 (color conversion runs on device), every search the host cascade
+performs (square tiers 4..32 px, both rectangular halves of every square,
+the full angle-delta fan of all eight directional modes, joint U+V chroma)
+runs brute-force on the MXU, the bottom-up NONE/SPLIT/HORZ/VERT partition
+DP folds the costs on device, and the decisions come back DOWN as one packed
+int8 buffer (single fetch).
+
+Because compute is free relative to the tunnel, this path searches strictly
+MORE than the host cascade: full RD on every candidate (no SAD prefilter),
+every angle delta of every directional winner candidate (the host refines
+only the per-block winner), chroma searched at every tier and for rect
+halves (the host spreads the parent's chroma cost instead). Decisions are
+therefore not byte-identical to the host path; quality is pinned >= host by
+tests/test_device_search.py.
+
+Reference behavior implemented: rav1e's intra partition/mode RDO as
+configured by cavif (/root/reference/ravif/src/av1encoder.rs:649-708,
+SpeedSettings partition_range / fine_directional_intra per SURVEY.md §2.2);
+cost model matches cavif_tpu/av1/encoder.py _batch_search (same transform-
+domain RD with the |level|+2nnz rate proxy and the diag/delta rate nudges).
+
+Sharding: the plane tensors shard over a (data, tile) mesh like
+ops/block_search (the per-block neighbor shifts become halo exchanges under
+GSPMD); __graft_entry__.dryrun_multichip exercises the multi-device wiring.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..av1.transforms import dct2_matrix, get_gain
+
+# candidate order: 5 non-directional (elementwise predictors), then the
+# directional family (one MXU matmul): V, H, 6 diagonals at delta 0, then
+# every (mode, delta != 0) pair when use_deltas
+NONDIR5 = (0, 9, 10, 11, 12)  # DC, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH
+DIR_MODES = (1, 2, 3, 4, 5, 6, 7, 8)  # V, H, D45, D135, D113, D157, D203, D67
+DELTAS = (-3, -2, -1, 1, 2, 3)
+
+SQ_TIERS = (4, 8, 16, 32)  # px; 64 stays force-split (TX_64X64 policy)
+RECT_SHAPES = ((8, 4), (4, 8), (16, 8), (8, 16), (32, 16), (16, 32))
+
+
+def _dir_cands(use_deltas: bool):
+    c = [(m, 0) for m in DIR_MODES]
+    if use_deltas:
+        c += [(m, d) for m in DIR_MODES for d in DELTAS]
+    return tuple(c)
+
+
+def _cand_tables(use_deltas: bool, lam_unit_diag=7.0, lam_unit_delta=6.0):
+    """Static per-candidate (mode_id, delta, rate-penalty-in-lambda-units)
+    arrays in the concatenated cost order. Penalties mirror the host
+    search: +7*lam for the diagonal modes (angle+mode rate proxy,
+    encoder.py _batch_search) and +6*lam for a nonzero delta (the host
+    refine's acceptance margin, encoder.py _refine_deltas)."""
+    dirs = _dir_cands(use_deltas)
+    modes = list(NONDIR5) + [m for (m, _) in dirs]
+    deltas = [0] * len(NONDIR5) + [d for (_, d) in dirs]
+    pen = [0.0] * len(NONDIR5)
+    for m, d in dirs:
+        p = 0.0
+        if m >= 3:  # diagonal family
+            p += lam_unit_diag
+        if d != 0:
+            p += lam_unit_delta
+        pen.append(p)
+    return (
+        np.asarray(modes, np.int8),
+        np.asarray(deltas, np.int8),
+        np.asarray(pen, np.float32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _dir_matrix(cands, bw: int, bh: int) -> np.ndarray:
+    """Constant matrix mapping the per-block extended-neighbor vector
+    ext = [al, above_ext(bw+bh), left_ext(bw+bh)] (length E = 2(bw+bh)+1)
+    to all directional predictors at once:
+    preds_flat = floor((ext @ M + 16) / 32), exact in f32 (integer weights
+    <= 32, neighbors < 2^10). Pure V/H enter with weight 32.
+    Generalizes ops/pallas_search._dir_matrix to rect shapes and deltas."""
+    from ..av1.predict import _dir_grids
+
+    L = bw + bh
+    E = 2 * L + 1
+    out = np.zeros((E, len(cands) * bh * bw), dtype=np.float64)
+
+    def pa(k):  # above_ext[k]
+        return 1 + k
+
+    def plft(k):  # left_ext[k]
+        return 1 + L + k
+
+    for ci, (mode, delta) in enumerate(cands):
+        M = out[:, ci * bh * bw : (ci + 1) * bh * bw].reshape(E, bh, bw)
+        kind, a1, a2, a3, a4, mask = _dir_grids(mode, bw, bh, delta)
+        if kind == "vh":
+            if a1 == 90:  # V: pred[i, j] = above_ext[j]
+                for j in range(bw):
+                    M[pa(j), :, j] += 32
+            else:  # H: pred[i, j] = left_ext[i]
+                for i in range(bh):
+                    M[plft(i), i, :] += 32
+        elif kind == "above":
+            b, w0, b1, w1 = a1, a2, a3, a4
+            for i in range(bh):
+                for j in range(bw):
+                    if mask[i, j]:
+                        M[pa(b[i, j]), i, j] += w0[i, j]
+                        M[pa(b1[i, j]), i, j] += w1[i, j]
+                    else:
+                        M[pa(L - 1), i, j] += 32
+        elif kind == "left":
+            b, w0, b1, w1 = a1, a2, a3, a4
+            for i in range(bh):
+                for j in range(bw):
+                    if mask[i, j]:
+                        M[plft(b[i, j]), i, j] += w0[i, j]
+                        M[plft(b1[i, j]), i, j] += w1[i, j]
+                    else:
+                        M[plft(L - 1), i, j] += 32
+        else:  # zone2: ab = [al] + above_ext, lc = [al] + left_ext
+            (b1g, wa0, wa1), (b2g, wl0, wl1) = a1, a2
+
+            def p_ab(k):
+                return k  # k == 0 is al; k >= 1 is above_ext[k-1] at index k
+
+            def p_lc(k):
+                return 0 if k == 0 else 1 + L + (k - 1)
+
+            for i in range(bh):
+                for j in range(bw):
+                    if mask[i, j]:
+                        M[p_ab(b1g[i, j]), i, j] += wa0[i, j]
+                        M[p_ab(b1g[i, j] + 1), i, j] += wa1[i, j]
+                    else:
+                        M[p_lc(b2g[i, j]), i, j] += wl0[i, j]
+                        M[p_lc(b2g[i, j] + 1), i, j] += wl1[i, j]
+    return np.ascontiguousarray(out.astype(np.float32))
+
+
+def _nbrs(planes, bw: int, bh: int, bit_depth: int, tile_px):
+    """Per-block neighbor tensors over the whole (P, H, W) plane stack for
+    the aligned (bh, bw) block grid, with spec availability fallbacks AND
+    tile-boundary masking (tiles are prediction-independent; a block whose
+    above/left row belongs to another tile treats it as unavailable, which
+    is exactly the pass-2 walk's rr4/cc4 availability).
+
+    Returns dict with above_s/left_s (resolved (P, nby, nbx, n)), al_s, dc,
+    ext (P, nby, nbx, E) — the [al, above_ext, left_ext] vector for the
+    directional matmul."""
+    import jax.numpy as jnp
+
+    P, H, W = planes.shape
+    nby, nbx = H // bh, W // bw
+    th, tw = tile_px
+    base = 1 << (bit_depth - 1)
+    L = bw + bh
+
+    rows = planes[:, bh - 1 :: bh, :]  # (P, nby, W): last row of each brow
+    rows_sh = jnp.concatenate(
+        [jnp.zeros_like(rows[:, :1]), rows[:, :-1]], axis=1
+    )  # row above each block row
+    above = rows_sh.reshape(P, nby, nbx, bw)
+    cols = planes[:, :, bw - 1 :: bw]  # (P, H, nbx)
+    cols_sh = jnp.concatenate(
+        [jnp.zeros_like(cols[:, :, :1]), cols[:, :, :-1]], axis=2
+    )
+    left = cols_sh.reshape(P, nby, bh, nbx).transpose(0, 1, 3, 2)
+    corn = rows_sh[:, :, bw - 1 :: bw]  # (P, nby, nbx): px above-right-corner
+    al = jnp.concatenate([jnp.zeros_like(corn[:, :, :1]), corn[:, :, :-1]], 2)
+
+    by = jnp.arange(nby)
+    bx = jnp.arange(nbx)
+    have_a = jnp.broadcast_to(
+        (((by * bh) % th) != 0)[None, :, None], (P, nby, nbx)
+    )
+    have_l = jnp.broadcast_to(
+        (((bx * bw) % tw) != 0)[None, None, :], (P, nby, nbx)
+    )
+    ha = have_a[..., None]
+    hl = have_l[..., None]
+    a0 = above[..., 0:1]
+    l0 = left[..., 0:1]
+    above_s = jnp.where(ha, above, jnp.where(hl, l0, base - 1))
+    left_s = jnp.where(hl, left, jnp.where(ha, a0, base + 1))
+    al_s = jnp.where(
+        have_a & have_l,
+        al,
+        jnp.where(
+            have_a, above[..., 0], jnp.where(have_l, left[..., 0], base)
+        ),
+    )
+    # DC per availability (host predict_all_batch semantics, incl. rect)
+    sum_a = above.sum(-1)
+    sum_l = left.sum(-1)
+    avg_both = (sum_a + sum_l + (L >> 1)) // L
+    avg_a = (sum_a + (bw >> 1)) >> (bw.bit_length() - 1)
+    avg_l = (sum_l + (bh >> 1)) >> (bh.bit_length() - 1)
+    dc = jnp.where(
+        have_a & have_l,
+        avg_both,
+        jnp.where(have_a, avg_a, jnp.where(have_l, avg_l, base)),
+    )
+
+    # extended neighbors (length L each side): real pixels along the row
+    # above / column left, clamped at the plane edge (host pass-1 reads the
+    # same padded source rows, replicating past the end)
+    xi = jnp.minimum(bx[:, None] * bw + jnp.arange(L)[None, :], W - 1)
+    above_ext = rows_sh[:, :, xi]  # (P, nby, nbx, L)
+    yi = jnp.minimum(by[:, None] * bh + jnp.arange(L)[None, :], H - 1)
+    left_ext = cols_sh[:, yi, :].transpose(0, 1, 3, 2)  # (P, nby, nbx, L)
+
+    both_missing = ~have_a & ~have_l
+    only_a = have_a & ~have_l
+    only_l = ~have_a & have_l
+    above_ext = jnp.where(
+        both_missing[..., None],
+        base - 1,
+        jnp.where(only_l[..., None], left_ext[..., 0:1], above_ext),
+    )
+    left_ext = jnp.where(
+        both_missing[..., None],
+        base + 1,
+        jnp.where(only_a[..., None], above_ext[..., 0:1], left_ext),
+    )
+    al_ext = jnp.where(
+        both_missing,
+        base,
+        jnp.where(
+            only_a,
+            above_ext[..., 0],
+            jnp.where(only_l, left_ext[..., 0], al),
+        ),
+    )
+    ext = jnp.concatenate(
+        [al_ext[..., None], above_ext, left_ext], axis=-1
+    ).astype(jnp.float32)
+    return dict(
+        above_s=above_s, left_s=left_s, al_s=al_s, dc=dc, ext=ext,
+        nby=nby, nbx=nbx,
+    )
+
+
+def _cost_body(bw: int, bh: int, bit_depth: int, tile_px,
+               use_deltas: bool):
+    """Traceable whole-plane RD cost for one block shape: returns
+    fn(planes, dc_q, ac_q, lam) -> (P, nby, nbx, C) f32 costs in the
+    static candidate order of _cand_tables(use_deltas).
+
+    TPU formulation: the 2D DCT runs in Kronecker form
+    coef_flat = res_flat @ (Dh (x) Dw)^T — one (rows, n2) @ (n2, n2)
+    matmul with n2 = bh*bw in the contraction, which keeps the MXU's
+    systolic array full where the separable form degenerates into
+    batched 4x4..32x32 matmuls (<1% utilization). Matmuls run at the
+    default (bf16-input, f32-accumulate) precision: the ~0.4% coefficient
+    wobble only perturbs RD rankings at near-ties, and pass 2 recomputes
+    every chosen prediction/transform exactly on the host. Measured 6x
+    per-shape speedup over highest-precision separable einsums."""
+    import jax.numpy as jnp
+
+    from ..av1 import tables
+
+    dirs = _dir_cands(use_deltas)
+    mdir = _dir_matrix(dirs, bw, bh)  # (E, C_dir*bh*bw)
+    _, _, pen = _cand_tables(use_deltas)
+    n2 = bh * bw
+    dh = dct2_matrix(bh, np.float64)
+    dw = dct2_matrix(bw, np.float64)
+    # vec(Dh @ R @ Dw^T) = (Dh (x) Dw) vec(R)
+    kron_t = np.ascontiguousarray(
+        np.kron(dh, dw).T.astype(np.float32)
+    )  # (n2, n2)
+    gain = np.float32(get_gain(bw, bh))
+    sm_h = np.asarray(tables.get(f"sm_weights_{bh}"), np.int32)
+    sm_w = np.asarray(tables.get(f"sm_weights_{bw}"), np.int32)
+    dcm = np.zeros((1, n2), np.float32)
+    dcm[0, 0] = 1.0
+    # chunk the directional family so the (..., CH, n2) expansions stay
+    # bounded (~128 MB at f32 for a 1024^2 3-plane frame)
+    cdir = len(dirs)
+    chunk = max(1, min(cdir, (1 << 23) // (n2 * 8)))
+
+    def body(planes, dc_q, ac_q, lam):
+        P, H, W = planes.shape
+        nb = _nbrs(planes, bw, bh, bit_depth, tile_px)
+        nby, nbx = nb["nby"], nb["nbx"]
+        blocks_f = (
+            planes.reshape(P, nby, bh, nbx, bw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(P, nby, nbx, n2)
+            .astype(jnp.float32)
+        )
+        acf = ac_q * gain
+        dcf = dc_q * gain
+        m = jnp.asarray(dcm)  # (1, n2), 1.0 at the DC lane
+        inv_scale = (1.0 - m) * (1.0 / acf) + m * (1.0 / dcf)
+        scale = (1.0 - m) * acf + m * dcf
+        bias = (1.0 - m) * 0.35 + m * 0.5  # AC deadzone / DC round
+        KT = jnp.asarray(kron_t)
+
+        def rd(preds_flat):
+            # preds_flat: (P, nby, nbx, CH, n2) -> (P, nby, nbx, CH)
+            res = blocks_f[..., None, :] - preds_flat
+            coef = jnp.einsum(
+                "...j,jk->...k", res, KT,
+                preferred_element_type=jnp.float32,
+            )
+            t = coef * inv_scale
+            lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + bias)
+            errc = coef - lv * scale
+            rate = jnp.abs(lv).sum(axis=-1) + 2.0 * (lv != 0.0).sum(axis=-1)
+            return (errc * errc).sum(axis=-1) + lam * rate
+
+        shape = (P, nby, nbx, bh, bw)
+        a2 = nb["above_s"][..., None, :].astype(jnp.float32)
+        l2 = nb["left_s"][..., :, None].astype(jnp.float32)
+        dc = jnp.broadcast_to(
+            nb["dc"][..., None, None].astype(jnp.float32), shape
+        )
+        wh = jnp.asarray(sm_h, jnp.float32)[:, None]  # (bh, 1)
+        ww = jnp.asarray(sm_w, jnp.float32)[None, :]  # (1, bw)
+        below = nb["left_s"][..., bh - 1][..., None, None].astype(jnp.float32)
+        right = nb["above_s"][..., bw - 1][..., None, None].astype(jnp.float32)
+        tsm = wh * a2 + (256.0 - wh) * below + ww * l2 + (256.0 - ww) * right
+        smooth = jnp.floor((tsm + 256.0) * (1.0 / 512.0))
+        smooth_v = jnp.floor((wh * a2 + (256.0 - wh) * below + 128.0) / 256.0)
+        smooth_h = jnp.floor((ww * l2 + (256.0 - ww) * right + 128.0) / 256.0)
+        alb = nb["al_s"][..., None, None].astype(jnp.float32)
+        b = l2 + a2 - alb
+        pl_ = jnp.abs(b - l2)
+        pt = jnp.abs(b - a2)
+        ptl = jnp.abs(b - alb)
+        paeth = jnp.where(
+            (pl_ <= pt) & (pl_ <= ptl),
+            l2 + 0.0 * b,
+            jnp.where(pt <= ptl, a2 + 0.0 * b, alb + 0.0 * b),
+        )
+        nd = jnp.stack([
+            dc,
+            jnp.broadcast_to(smooth, shape),
+            jnp.broadcast_to(smooth_v, shape),
+            jnp.broadcast_to(smooth_h, shape),
+            jnp.broadcast_to(paeth, shape),
+        ], axis=3)
+        costs = [rd(nd.reshape(P, nby, nbx, 5, n2))]
+        # directional family: one MXU matmul per chunk of candidates
+        ext = nb["ext"]  # (P, nby, nbx, E) f32
+        M = jnp.asarray(mdir)
+        for c0 in range(0, cdir, chunk):
+            c1 = min(cdir, c0 + chunk)
+            sl = M[:, c0 * n2 : c1 * n2]
+            d = jnp.einsum(
+                "...e,ec->...c", ext, sl,
+                preferred_element_type=jnp.float32,
+            )
+            d = jnp.floor((d + 16.0) * (1.0 / 32.0))
+            costs.append(rd(d.reshape(P, nby, nbx, c1 - c0, n2)))
+        cost = jnp.concatenate(costs, axis=-1)  # (P, nby, nbx, C)
+        return cost + lam * jnp.asarray(pen)[None, None, None, :]
+
+    return body
+
+
+def _convert(src, model: str, depth: int):
+    """On-device plane derivation from the compact upload (uint8 image or
+    int16 planes) — exactly the host conversion formulas
+    (ops/colorspace.py; reference av1encoder.rs:483-524)."""
+    import jax.numpy as jnp
+
+    from . import colorspace
+
+    if model == "ycbcr":
+        return colorspace.rgb_to_ycbcr(src, depth=depth).transpose(2, 0, 1)
+    if model == "gbr":
+        return colorspace.rgb_to_gbr(src, depth=depth).transpose(2, 0, 1)
+    if model == "mono":
+        x = src.astype(jnp.int32)
+        if depth == 10:
+            x = (x << 2) | (x >> 6)
+        return x[None]
+    return src.astype(jnp.int32)  # "planes"
+
+
+@lru_cache(maxsize=None)
+def _program(key):
+    """Build + jit the whole-frame pass-1 program for one static config.
+
+    key = (H, W, depth, model, P, th, tw, min_px, use_deltas,
+           ovh_block, ovh_split, rect_ovh)
+    Returns (jitted fn(src, dc_q, ac_q, lam) -> packed int8, spec) where
+    spec is [(tag, (bw, bh), name, (nby, nbx)), ...] describing the packed
+    layout for the host unpacker."""
+    (H, W, depth, model, P, th, tw, min_px, use_deltas,
+     ovh_block, ovh_split, rect_ovh) = key
+    import jax
+    import jax.numpy as jnp
+
+    mode_ids_d, delta_vals_d, _ = _cand_tables(use_deltas)
+    mode_ids_0, delta_vals_0, _ = _cand_tables(False)
+    dp_tiers = [s for s in SQ_TIERS if s >= min_px]
+
+    shapes = [(s, s) for s in SQ_TIERS] + list(RECT_SHAPES)
+    bodies = {}
+    for (bw, bh) in shapes:
+        # angle deltas are codeable only for blocks >= 8x8 (use_angle_delta)
+        ud = bool(use_deltas) and min(bw, bh) >= 8
+        # chroma below 8 px inherits the 8px square parent's uv choice
+        # (the host cascade's chroma-cost-spreading analog); skipping the
+        # sub-8px chroma searches also shrinks the packed fetch
+        uv = P > 1 and min(bw, bh) >= 8
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, (th, tw), ud), ud, uv)
+
+    spec = []
+    for (bw, bh) in shapes:
+        nby, nbx = H // bh, W // bw
+        ud, uv = bodies[(bw, bh)][1:]
+        names = ["y_mode"] + (["y_delta"] if ud else [])
+        if uv:
+            names += ["uv_mode"] + (["uv_delta"] if ud else [])
+        for nm in names:
+            spec.append(((bw, bh), nm, (nby, nbx)))
+    for s in dp_tiers[1:]:
+        spec.append(((s, s), "code", (H // s, W // s)))
+
+    def program(src, dc_q, ac_q, lam):
+        planes = _convert(src, model, depth)
+        out8 = []
+        totals = {}  # (bw, bh) -> (y_min [+ uv_min] cost grid, has_uv)
+        uv_min8 = [None]
+        for (bw, bh) in shapes:
+            body, ud, uv = bodies[(bw, bh)]
+            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
+            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
+            costs = body(planes, dc_q, ac_q, lam)  # (P, nby, nbx, C)
+            y = costs[0]
+            yi = jnp.argmin(y, axis=-1)
+            out8.append(mi[yi])
+            if ud:
+                out8.append(dv[yi])
+            tot = jnp.min(y, axis=-1)
+            if uv:
+                uvc = costs[1] + costs[2]  # joint U+V (shared uv mode)
+                ui = jnp.argmin(uvc, axis=-1)
+                out8.append(mi[ui])
+                if ud:
+                    out8.append(dv[ui])
+                uvm = jnp.min(uvc, axis=-1)
+                tot = tot + uvm
+                if (bw, bh) == (8, 8):
+                    uv_min8[0] = uvm
+            totals[(bw, bh)] = (tot, uv)
+
+        # bottom-up partition DP (host _rdo_partition merge semantics:
+        # candidate order NONE, SPLIT, HORZ, VERT; ties to the earlier).
+        # At the 8px merge the sub-8px children/halves carry luma-only
+        # costs: the 8px parent's own chroma cost rides the SPLIT/HORZ/
+        # VERT sides (the host's uv-share spreading, summed back up).
+        ovb = lam * ovh_block
+        ovs = lam * ovh_split
+        rovh = lam * (ovh_split + rect_ovh * ovh_block)
+        bc = totals[(dp_tiers[0], dp_tiers[0])][0] + ovb
+        codes = []
+        for s in dp_tiers[1:]:
+            nby, nbx = H // s, W // s
+            q = bc.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
+            none_c = totals[(s, s)][0] + ovb
+            split_c = ovs + q
+            h2 = s // 2
+            htot, huv = totals[(s, h2)]
+            vtot, _ = totals[(h2, s)]
+            horz_c = rovh + htot[0::2] + htot[1::2]
+            vert_c = rovh + vtot[:, 0::2] + vtot[:, 1::2]
+            if P > 1 and not totals[(h2, h2)][1]:
+                # children below 8px are luma-only: the parent's chroma
+                # cost joins the split side (and rect halves likewise)
+                split_c = split_c + uv_min8[0]
+                horz_c = horz_c + uv_min8[0]
+                vert_c = vert_c + uv_min8[0]
+            cand = jnp.stack([none_c, split_c, horz_c, vert_c])
+            codes.append(jnp.argmin(cand, axis=0).astype(jnp.int8))
+            bc = jnp.min(cand, axis=0)
+        out8.extend(codes)
+        return jnp.concatenate(
+            [g.reshape(-1).astype(jnp.int8) for g in out8]
+        )
+
+    return jax.jit(program), spec
+
+
+def run_pass1(
+    src: np.ndarray,
+    *,
+    depth: int,
+    model: str,
+    num_planes: int,
+    tile_px: tuple,
+    min_px: int,
+    use_deltas: bool,
+    dc_q: int,
+    ac_q: int,
+    lam: float,
+    ovh_block: float = 15.0,
+    ovh_split: float = 2.0,
+    rect_ovh: float = 4.0,
+) -> dict:
+    """Run the fused pass-1 for one frame. src: (H, W, 3) uint8 for
+    ycbcr/gbr, (H, W) uint8 for mono, or (P, H, W) int16/int32 planes for
+    model="planes"; H, W must be multiples of 64 (the encoder's padded
+    dims). Returns {((bw, bh), name): int8 grid} host arrays; grids for
+    the DP codes exist for tiers above min_px ("code": 0 NONE, 1 SPLIT,
+    2 HORZ, 3 VERT). The totals grid layout indexes [by, bx] of the
+    aligned block grid over the padded plane."""
+    import jax.numpy as jnp
+
+    if model == "planes":
+        P, H, W = src.shape
+    else:
+        H, W = src.shape[:2]
+        P = num_planes
+    key = (
+        H, W, depth, model, P, int(tile_px[0]), int(tile_px[1]),
+        int(min_px), bool(use_deltas),
+        float(ovh_block), float(ovh_split), float(rect_ovh),
+    )
+    prog, spec = _program(key)
+    packed = np.asarray(
+        prog(
+            jnp.asarray(src),
+            jnp.float32(dc_q),
+            jnp.float32(ac_q),
+            jnp.float32(lam),
+        )
+    )
+    out = {}
+    off = 0
+    for (shape, name, (nby, nbx)) in spec:
+        n = nby * nbx
+        out[(shape, name)] = packed[off : off + n].reshape(nby, nbx)
+        off += n
+    assert off == packed.size, (off, packed.size)
+    return out

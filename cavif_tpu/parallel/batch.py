@@ -77,11 +77,38 @@ def encode_batch(
     if len(images) <= 1:
         return [job(i) for i in range(len(images))]
     if processes is None:
-        processes = len(images) >= 3 and _fork_ok()
+        # device pass-1 pipelines best from threads (one jax client, the
+        # chip overlaps the per-image uploads); forking with a live jax
+        # runtime is also deadlock-prone
+        processes = (
+            len(images) >= 3 and _fork_ok() and not _device_engaged()
+        )
     if processes and _fork_ok():
         return _encode_batch_procs(enc, images, min(workers, len(images)))
     with ThreadPoolExecutor(max_workers=min(workers, len(images))) as ex:
         return list(ex.map(job, range(len(images))))
+
+
+def _device_engaged() -> bool:
+    dev = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
+    if dev is not None:
+        return dev not in ("", "0", "off", "none", "host")
+    from ..av1.encoder import _device_backend_default
+
+    return _device_backend_default()
+
+
+def _child_disable_device() -> None:
+    """Forked pool workers must not touch the device: the parent's jax
+    runtime does not survive fork, and N workers would contend for the one
+    chip. Each child encodes on the host path."""
+    os.environ["CAVIF_TPU_DEVICE_SEARCH"] = "0"
+    try:
+        from ..av1 import encoder
+
+        encoder._DEV_DEFAULT[0] = False
+    except Exception:
+        pass
 
 
 def _fork_ok() -> bool:
@@ -100,7 +127,9 @@ def _encode_batch_procs(enc, images, workers: int) -> List[BatchResult]:
 
     ctx = multiprocessing.get_context("fork")
     out: List[Optional[BatchResult]] = [None] * len(images)
-    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
+    with ProcessPoolExecutor(
+        max_workers=workers, mp_context=ctx, initializer=_child_disable_device
+    ) as ex:
         futs = {
             ex.submit(_encode_one, enc, np.asarray(images[i])): i
             for i in range(len(images))

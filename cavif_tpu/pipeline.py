@@ -36,7 +36,8 @@ def _convert_planes(enc, rgb: np.ndarray, depth: int) -> np.ndarray:
     return colorspace.rgb_to_gbr_host(rgb, depth=depth)
 
 
-def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth: int):
+def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
+                    depth: int, rgb8=None, alpha8=None):
     from .av1.encoder import encode_planes
 
     h, w = planes.shape[:2]
@@ -53,7 +54,7 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth:
         tune=enc.tune,
     )
     if alpha is None:
-        return encode_planes(planes, color_cfg), None
+        return encode_planes(planes, color_cfg, src8=rgb8), None
     alpha_cfg = AV1Config(
         width=w,
         height=h,
@@ -72,8 +73,8 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray], depth:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:
-        fc = ex.submit(encode_planes, planes, color_cfg)
-        fa = ex.submit(encode_planes, alpha, alpha_cfg)
+        fc = ex.submit(encode_planes, planes, color_cfg, rgb8)
+        fa = ex.submit(encode_planes, alpha, alpha_cfg, alpha8)
         return fc.result(), fa.result()
 
 
@@ -104,7 +105,11 @@ def encode_rgba_pipeline(enc, rgba: np.ndarray):
     with trace.span("convert"):
         planes = _convert_planes(enc, rgba[..., :3], depth)
         alpha = colorspace.alpha_plane_host(rgba[..., 3], depth=depth)
-    color, alpha_payload = _encode_streams(enc, planes, alpha, depth)
+    color, alpha_payload = _encode_streams(
+        enc, planes, alpha, depth,
+        rgb8=np.ascontiguousarray(rgba[..., :3]),
+        alpha8=np.ascontiguousarray(rgba[..., 3]),
+    )
     with trace.span("mux"):
         out = _finish(enc, color, alpha_payload, w, h, depth)
     trace.report(f"rgba {w}x{h}")
@@ -117,7 +122,9 @@ def encode_rgb_pipeline(enc, rgb: np.ndarray):
     trace.reset()
     with trace.span("convert"):
         planes = _convert_planes(enc, rgb, depth)
-    color, _ = _encode_streams(enc, planes, None, depth)
+    color, _ = _encode_streams(
+        enc, planes, None, depth, rgb8=np.ascontiguousarray(rgb)
+    )
     with trace.span("mux"):
         out = _finish(enc, color, None, w, h, depth)
     trace.report(f"rgb {w}x{h}")
