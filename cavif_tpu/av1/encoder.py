@@ -178,10 +178,8 @@ class FrameEncoder:
         self.bit_depth = cfg.bit_depth
         self.dc_q = tables.dc_q(self.base_q, self.bit_depth)
         self.ac_q = tables.ac_q(self.base_q, self.bit_depth)
-        # partition search range from the speed preset (SURVEY.md 2.2),
-        # clamped to [4x4, 32x32]: 64x64 leaves would take TX_64X64 whose
-        # residual path trips a libaom-decoder strictness (dav1d accepts),
-        # so 64 stays split. The 4x4 tier is noise-floor-pruned below.
+        # partition search range from the speed preset (SURVEY.md 2.2).
+        # The 4x4 tier is noise-floor-pruned below.
         minp, maxp = cfg.tweaks.partition_range
         self.min_leaf_mi = max(minp // 4, 1)
         # pass-1 search backend: the threaded C++ bs_search when the native
@@ -214,8 +212,16 @@ class FrameEncoder:
         self._search_threads = cfg.threads or (os.cpu_count() or 1)
         # The preset's upper bound is rav1e's search policy; our RD search is
         # cheap enough to always consider up to 32x32 (the DP only picks a
-        # larger leaf when it wins), which strictly improves RD here.
-        self.max_leaf_mi = max(8, self.min_leaf_mi)
+        # larger leaf when it wins), which strictly improves RD here. The
+        # 64x64 tier (TX_64X64 residuals, 32x32 coded area) engages exactly
+        # when the reference preset searches it: partition_range (4, 64) at
+        # speed 0-1 low_quality (av1encoder.rs:563-570).
+        self.max_leaf_mi = max(16 if maxp >= 64 else 8, self.min_leaf_mi)
+        if self.max_leaf_mi > 8:
+            # the 64 tier lives in the python cascade (+ numpy 64 search);
+            # the device program and the native whole-tile cascade top out
+            # at 32px
+            self._device_search = None
         # Output filters (deblock/LR) need the decoder-exact recon and the
         # replayable op streams; `fast_deblock` (preset, SURVEY.md 2.2)
         # skips the simulation/search and signals the heuristic level.
@@ -293,6 +299,7 @@ class FrameEncoder:
         ctx.part, ctx.modes = self._rdo_partition(
             partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
         )
+        self._last_part = ctx.part  # introspection/debug aid
 
         tw = OpTileWriter(tp)
         ctx.skeleton = True
@@ -424,6 +431,7 @@ class FrameEncoder:
         ctx.part, ctx.modes = self._rdo_partition(
             partials, ctx.origin, mi_r0, mi_r1, mi_c0, mi_c1
         )
+        self._last_part = ctx.part  # introspection/debug aid
 
         # pass 2: sequential recon + op emission (SB markers allow the
         # loop-restoration pass to splice read_lr ops in later)
@@ -452,8 +460,24 @@ class FrameEncoder:
         searched (uv fields stay DC; the caller inherits the parent's
         choice) and total == luma."""
         if self._native_search:
-            return self._batch_search_native(blocks, origin, luma_only,
-                                             k_luma)
+            big = [b for b in blocks if max(b[2], b[3]) >= 16]
+            if not big:
+                return self._batch_search_native(blocks, origin, luma_only,
+                                                 k_luma)
+            # 64px candidates (s0/s1 low_quality tier) take the numpy
+            # 64-dim cost model below; the rest stay native
+            rest = [b for b in blocks if max(b[2], b[3]) < 16]
+            out = (
+                self._batch_search_native(rest, origin, luma_only, k_luma)
+                if rest else {}
+            )
+            saved = self._native_search
+            self._native_search = False
+            try:
+                out.update(self._batch_search(big, origin, luma_only))
+            finally:
+                self._native_search = saved
+            return out
         from .predict import (
             NONDIRECTIONAL_MODES,
             predict_all_batch,
@@ -473,7 +497,6 @@ class FrameEncoder:
         modes: dict = {}
         CHUNK = 1024  # bounds temporaries to ~200 MB at 32x32
         for (bw, bh, pl_cls), all_items in groups.items():
-            force_skip = max(bw, bh) == 64
             for c0i in range(0, len(all_items), CHUNK):
                 items = all_items[c0i : c0i + CHUNK]
                 B = len(items)
@@ -534,60 +557,67 @@ class FrameEncoder:
                     )
                     preds = np.concatenate([preds7, preds6], axis=1)
                 res = (src[:, None] - preds).astype(np.float32)
-                if force_skip:
-                    cost = (res * res).sum(axis=(2, 3), dtype=np.float64)
+                # stage 1: SAD prefilter keeps the best K candidates;
+                # DC always survives (low rate often beats low SAD).
+                # K follows the speed preset (complex_prediction_modes
+                # at s<=1 evaluates everything; fast speeds keep 2)
+                sp = self.cfg.tweaks.speed_preset
+                if self.cfg.tweaks.complex_prediction_modes:
+                    K = preds.shape[1]
+                elif sp <= 6:
+                    K = 5 if pl_cls == 0 else 3  # mirror native widths
                 else:
-                    # stage 1: SAD prefilter keeps the best K candidates;
-                    # DC always survives (low rate often beats low SAD).
-                    # K follows the speed preset (complex_prediction_modes
-                    # at s<=1 evaluates everything; fast speeds keep 2)
-                    sp = self.cfg.tweaks.speed_preset
-                    if self.cfg.tweaks.complex_prediction_modes:
-                        K = preds.shape[1]
-                    elif sp <= 6:
-                        K = 5 if pl_cls == 0 else 3  # mirror native widths
-                    else:
-                        K = 2
-                    if k_luma and pl_cls == 0:
-                        K = min(K, k_luma)
-                    sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
-                    sad[:, 7:] += lam * 0.5  # nudge ties toward cheap modes
-                    sad[:, 0] = -1.0
-                    keep = np.argsort(sad, axis=1)[:, :K]  # (B, K)
-                    res_k = np.take_along_axis(
-                        res, keep[:, :, None, None], axis=1
-                    )
-                    # stage 2: transform-domain RD on the survivors
-                    # (Parseval: pixel SSE of the quant error == coef SSE)
-                    coef = transforms.forward_dct2d(res_k)
-                    levels = transforms.quantize_block(
-                        coef, self.dc_q, self.ac_q, bw, bh,
-                        bit_depth=self.bit_depth,
-                    )
-                    g = transforms.get_gain(bw, bh)
-                    deq = levels.astype(np.float32) * np.float32(
-                        float(self.ac_q) * g
-                    )
-                    deq[..., 0, 0] = levels[..., 0, 0] * np.float32(
-                        float(self.dc_q) * g
-                    )
-                    errc = coef - deq
-                    rate = np.abs(levels).sum(axis=(2, 3)) + 2 * np.count_nonzero(
-                        levels, axis=(2, 3)
-                    )
-                    cost_k = (errc * errc).sum(
+                    K = 2
+                if k_luma and pl_cls == 0:
+                    K = min(K, k_luma)
+                sad = np.abs(res).sum(axis=(2, 3), dtype=np.float64)
+                sad[:, 7:] += lam * 0.5  # nudge ties toward cheap modes
+                sad[:, 0] = -1.0
+                keep = np.argsort(sad, axis=1)[:, :K]  # (B, K)
+                res_k = np.take_along_axis(
+                    res, keep[:, :, None, None], axis=1
+                )
+                # stage 2: transform-domain RD on the survivors
+                # (Parseval: pixel SSE of the quant error == coef SSE).
+                # 64-dim transforms code only the top-left 32x32
+                # coefficients; the dropped tail is pure distortion.
+                coef = transforms.forward_dct2d(res_k)
+                cw, ch = min(bw, 32), min(bh, 32)
+                tail = 0.0
+                if (cw, ch) != (bw, bh):
+                    tail = (coef * coef).sum(
                         axis=(2, 3), dtype=np.float64
-                    ) + lam * rate
-                    cost = np.full(
-                        (B, preds.shape[1]), np.inf, dtype=np.float64
                     )
-                    np.put_along_axis(cost, keep, cost_k, axis=1)
+                    coef = np.ascontiguousarray(coef[..., :ch, :cw])
+                    tail -= (coef * coef).sum(axis=(2, 3), dtype=np.float64)
+                levels = transforms.quantize_block(
+                    coef, self.dc_q, self.ac_q, cw, ch,
+                    bit_depth=self.bit_depth,
+                )
+                g = transforms.get_gain(cw, ch)
+                deq = levels.astype(np.float32) * np.float32(
+                    float(self.ac_q) * g
+                )
+                deq[..., 0, 0] = levels[..., 0, 0] * np.float32(
+                    float(self.dc_q) * g
+                )
+                errc = coef - deq
+                rate = np.abs(levels).sum(axis=(2, 3)) + 2 * np.count_nonzero(
+                    levels, axis=(2, 3)
+                )
+                cost_k = (errc * errc).sum(
+                    axis=(2, 3), dtype=np.float64
+                ) + lam * rate + tail
+                cost = np.full(
+                    (B, preds.shape[1]), np.inf, dtype=np.float64
+                )
+                np.put_along_axis(cost, keep, cost_k, axis=1)
                 cost[:, 7:] += lam * 7.0  # diag angle+mode rate proxy (A/B-tuned)
                 best = np.argmin(cost, axis=1)
                 deltas = np.zeros(B, dtype=np.int32)
                 if (
                     self.cfg.tweaks.fine_directional_intra
-                    and not force_skip
+                    and max(bw, bh) < 64
                     and min(bw, bh) >= 8
                 ):
                     best, deltas, cost = self._refine_deltas(
@@ -979,8 +1009,10 @@ class FrameEncoder:
         Returns (part_decisions, modes)."""
         if self._device_search and self._device_grids() is not None:
             return self._rdo_partition_device(partials, origin)
-        if (self._native_search
+        if (self._native_search and self.max_leaf_mi <= 8
                 and not os.environ.get("CAVIF_TPU_PY_CASCADE")):
+            # the C++ whole-tile cascade tops out at the 32px tier; the
+            # 64-leaf presets (s0/s1 low_quality) run the python cascade
             return self._rdo_partition_native(
                 partials, mi_r0, mi_r1, mi_c0, mi_c1
             )
@@ -1115,7 +1147,9 @@ class FrameEncoder:
         rect_parent = {}
         for s4 in sizes:
             half = s4 // 2
-            if s4 < 2 or half not in cost_a:
+            if s4 < 2 or s4 > 8 or half not in cost_a:
+                # no 64-px rect halves: 64x32/32x64 transforms stay out of
+                # scope (the 64 tier is square NONE leaves only)
                 continue
             q = quad_sum(cost_a[half])
             pa = cost_a[s4]
@@ -1342,10 +1376,9 @@ class FrameEncoder:
         rr, cc = r - r0, c - c0
         bw, bh = w4 * 4, h4 * 4
         y0, x0 = r * 4, c * 4
-        # 64-dim tx residuals wait on a libaom strictness issue (see leaf
-        # policy note); all other sizes code residuals (tx_type = DCT_DCT
-        # signaled for sqr_up <= 16)
-        force_skip = max(bw, bh) == 64
+        # 64-dim tx codes the top-left 32x32 coefficients (decoder zeroes
+        # the rest); tx_type = DCT_DCT signaled for sqr_up <= 16
+        force_skip = False
         cfl_allowed = max(bw, bh) <= 32
         y_mode, y_delta, uv_mode, uv_delta = ctx.modes[(r, c, w4, h4)][:4]
         if min(w4, h4) < 2:
@@ -1496,7 +1529,7 @@ class FrameEncoder:
                 txw,
                 txh,
                 levels,
-                tx_block_eq_block=(pl == 0 and txw == bw and txh == bh),
+                tx_block_eq_block=(txw == bw and txh == bh),
                 y_mode=y_mode,
                 v_adst=va,
                 h_adst=ha,

@@ -215,24 +215,98 @@ def _idct32(s, c):
     return res
 
 
+def _brev(x: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (x & 1)
+        x >>= 1
+    return out
+
+
+def _odd_order(n):
+    """AV1 idct odd-lane input order: bit-reversed within the odds."""
+    half = n // 2
+    bits = max(half - 1, 1).bit_length() if half > 1 else 0
+    return [1 + 2 * _brev(i, bits) for i in range(half)]
+
+
 def _reorder(n):
     """Input reorder for idctN stage 1: even/odd split applied recursively."""
     if n == 1:
         return [0]
     evens = [2 * i for i in _reorder(n // 2)]
-    odds = list(range(1, n, 2))
-    # odd part order for AV1 idct: bit-reversed within odds
+    return evens + _odd_order(n)
+
+
+def _idct_generic(s, n, c, hb=_hb):
+    """AV1 idctN butterfly network, generic over n (4..64): the recursive
+    stage structure extracted from (and exactly reproducing, test
+    test_bitstream.py::test_idct_generic_matches_explicit) the explicit
+    _idct8/16/32 above. `s` is the reordered input; `hb` is the rotation
+    primitive — float _hb for the basis matrices, or a rounding
+    half-butterfly for integer mirrors."""
     if n == 4:
-        odd_order = [1, 3]
-    elif n == 8:
-        odd_order = [1, 5, 3, 7]
-    elif n == 16:
-        odd_order = [1, 9, 5, 13, 3, 11, 7, 15]
-    elif n == 32:
-        odd_order = [1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31]
-    else:
-        odd_order = odds
-    return evens + odd_order
+        b0 = hb(c[32], s[0], c[32], s[1])
+        b1 = hb(c[32], s[0], -c[32], s[1])
+        b2 = hb(c[48], s[2], -c[16], s[3])
+        b3 = hb(c[16], s[2], c[48], s[3])
+        return [b0 + b3, b1 + b2, b1 - b2, b0 - b3]
+    m = n // 2
+    t = _idct_generic(s[:m], m, c, hb)
+    x = list(s[m:])
+    # stage b: cross-middle rotations, angles from the odd input order
+    oo = _odd_order(n)
+    scale = 64 // n
+    b = [0.0] * m
+    for p in range(m // 2):
+        q = oo[p] * scale
+        b[p] = hb(c[64 - q], x[p], -c[q], x[m - 1 - p])
+        b[m - 1 - p] = hb(c[q], x[p], c[64 - q], x[m - 1 - p])
+    # stage c: add/sub in pairs, sign pattern alternating by pair parity
+    x = b
+    nx = [0.0] * m
+    for k in range(m // 2):
+        a0, a1 = x[2 * k], x[2 * k + 1]
+        if k % 2 == 0:
+            nx[2 * k], nx[2 * k + 1] = a0 + a1, a0 - a1
+        else:
+            nx[2 * k], nx[2 * k + 1] = a1 - a0, a1 + a0
+    x = nx
+    # merge levels: rotation (cross-middle pairs, middle half of each
+    # 2g-block) then add/sub within g-doubled groups
+    g = 2
+    while g <= m // 2:
+        G = 2 * g
+        amul = 64 * g // m
+        nx = list(x)
+        for p in range(m // 2):
+            pm = p % G
+            if not (G // 4 <= pm < 3 * G // 4):
+                continue
+            j = m - 1 - p
+            a = amul * (1 + 4 * _brev(p // G, max((m // (2 * G)) - 1, 0).bit_length()))
+            if pm < G // 2:
+                nx[p] = hb(-c[a], x[p], c[64 - a], x[j])
+                nx[j] = hb(c[64 - a], x[p], c[a], x[j])
+            else:
+                nx[p] = hb(-c[64 - a], x[p], -c[a], x[j])
+                nx[j] = hb(-c[a], x[p], c[64 - a], x[j])
+        x = nx
+        if G < m:  # the final level's add/sub IS the cross-merge below
+            nx = [0.0] * m
+            for base in range(0, m, G):
+                odd_grp = (base // G) % 2
+                for i in range(G // 2):
+                    lo, hi = x[base + i], x[base + G - 1 - i]
+                    if odd_grp == 0:
+                        nx[base + i], nx[base + G - 1 - i] = lo + hi, lo - hi
+                    else:
+                        nx[base + i], nx[base + G - 1 - i] = hi - lo, hi + lo
+            x = nx
+        g *= 2
+    return [t[i] + x[m - 1 - i] for i in range(m)] + [
+        t[m - 1 - i] - x[i] for i in range(m)
+    ]
 
 
 def _idct_1d(x, n):
@@ -246,6 +320,8 @@ def _idct_1d(x, n):
         return _idct16(s, c)
     if n == 32:
         return _idct32(s, c)
+    if n == 64:
+        return _idct_generic(s, 64, c)
     raise ValueError(n)
 
 

@@ -464,7 +464,12 @@ class TileWriter:
         else:
             above_nz = any(self.above_ctx[plane][c4 + i] for i in range(w4))
             left_nz = any(self.left_ctx[plane][r4 + i] for i in range(h4))
-            sctx = 7 + int(above_nz) + int(left_nz)
+            # chroma base offset is 10 when the plane block is larger than
+            # the tx (libaom get_txb_skip_ctx ctx_offset) — only 64px
+            # blocks with 32x32 chroma txbs hit this
+            sctx = (7 if tx_block_eq_block else 10) + int(above_nz) + int(
+                left_nz
+            )
         self.code(
             1 if eob == 0 else 0,
             ("txb_skip", tctx, sctx),

@@ -738,7 +738,9 @@ struct TileCoder {
         int anz = 0, lnz = 0;
         for (int i = 0; i < bw4; i++) anz |= above_ctx[plane][c4 + i] != 0;
         for (int i = 0; i < bh4; i++) lnz |= left_ctx[plane][r4 + i] != 0;
-        sctx = 7 + anz + lnz;
+        // chroma base offset 10 when the plane block exceeds the tx size
+        // (libaom get_txb_skip_ctx) — 64px blocks with 32x32 chroma txbs
+        sctx = (eq_block ? 7 : 10) + anz + lnz;
       }
       code(cdf_txb_skip[tctx][sctx], eob == 0 ? 1 : 0, 2);
     }
@@ -1020,8 +1022,101 @@ static void reorder_for_idct(const int64_t* in, int64_t* out, int n) {
   for (int i = 0; i < n; i++) out[i] = in[ro[i]];
 }
 
+// 64-point inverse DCT: the same recursive stage network the explicit
+// iidct8/16/32 above instantiate, one level deeper (even half = iidct32;
+// the 32-lane odd part runs cross-middle hbf rotations with bit-reversed
+// odd cospi angles, then alternating-sign add/sub merges). Mirrors
+// av1/itx.py _idct_generic, which is pinned equal to the explicit 8/16/32
+// networks in tests; decoder-exactness of this integer form is pinned
+// end-to-end (libaom+dav1d recon equality, tests/test_tx64.py).
+static int brev_k(int x, int bits) {
+  int out = 0;
+  for (int i = 0; i < bits; i++) { out = (out << 1) | (x & 1); x >>= 1; }
+  return out;
+}
+
+static void iidct_generic(const int64_t* s, int64_t* out, int n,
+                          const int32_t* c) {
+  if (n == 4) { iidct4(s, out, c); return; }
+  const int m = n / 2;
+  int64_t t[32], x[32], nx[32];
+  iidct_generic(s, t, m, c);
+  for (int i = 0; i < m; i++) x[i] = s[m + i];
+  // stage b: cross-middle rotations, angles = bit-reversed odds * (64/n);
+  // the odd input order has m entries, so the reversal width is log2(m)
+  const int scale = 64 / n;
+  int obits = 0;
+  while ((1 << obits) < m) obits++;
+  for (int p = 0; p < m / 2; p++) {
+    int q = (1 + 2 * brev_k(p, obits)) * scale;
+    int64_t a0 = x[p], a1 = x[m - 1 - p];
+    nx[p] = hbf(c[64 - q], a0, -c[q], a1);
+    nx[m - 1 - p] = hbf(c[q], a0, c[64 - q], a1);
+  }
+  // stage c: add/sub pairs, sign pattern alternating by pair parity
+  for (int k = 0; k < m / 2; k++) {
+    int64_t a0 = nx[2 * k], a1 = nx[2 * k + 1];
+    if (k % 2 == 0) { x[2 * k] = a0 + a1; x[2 * k + 1] = a0 - a1; }
+    else { x[2 * k] = a1 - a0; x[2 * k + 1] = a1 + a0; }
+  }
+  // merge levels: rotation on the middle half of each 2g-block, then
+  // add/sub within the doubled groups (final level: the cross-merge below
+  // is its add/sub)
+  for (int g = 2; g <= m / 2; g *= 2) {
+    const int G = 2 * g;
+    const int amul = 64 * g / m;
+    int blocks = m / (2 * G);
+    int bbits = 0;
+    while ((1 << bbits) < blocks) bbits++;
+    for (int i = 0; i < m; i++) nx[i] = x[i];
+    for (int p = 0; p < m / 2; p++) {
+      int pm = p % G;
+      if (pm < G / 4 || pm >= 3 * G / 4) continue;
+      int j = m - 1 - p;
+      int a = amul * (1 + 4 * brev_k(p / G, bbits));
+      if (pm < G / 2) {
+        nx[p] = hbf(-c[a], x[p], c[64 - a], x[j]);
+        nx[j] = hbf(c[64 - a], x[p], c[a], x[j]);
+      } else {
+        nx[p] = hbf(-c[64 - a], x[p], -c[a], x[j]);
+        nx[j] = hbf(-c[a], x[p], c[64 - a], x[j]);
+      }
+    }
+    if (G < m) {
+      for (int base = 0; base < m; base += G) {
+        int odd_grp = (base / G) & 1;
+        for (int i = 0; i < G / 2; i++) {
+          int64_t lo = nx[base + i], hi = nx[base + G - 1 - i];
+          if (!odd_grp) { x[base + i] = lo + hi; x[base + G - 1 - i] = lo - hi; }
+          else { x[base + i] = hi - lo; x[base + G - 1 - i] = hi + lo; }
+        }
+      }
+    } else {
+      for (int i = 0; i < m; i++) x[i] = nx[i];
+    }
+  }
+  for (int i = 0; i < m; i++) {
+    out[i] = t[i] + x[m - 1 - i];
+    out[n - 1 - i] = t[i] - x[m - 1 - i];
+  }
+}
+
 static void idct_1d(const int64_t* in, int64_t* out, int n, const int32_t* c) {
-  int64_t s[32];
+  int64_t s[64];
+  if (n == 64) {
+    // reorder: even lanes follow the 32-pt order doubled; odd lanes in
+    // bit-reversed odd order
+    int64_t ev[32];
+    for (int i = 0; i < 32; i++) ev[i] = in[2 * i];
+    reorder_for_idct(ev, s, 32);
+    for (int i = 0; i < 32; i++) {
+      int brv = 0, v = i;
+      for (int b = 0; b < 5; b++) { brv = (brv << 1) | (v & 1); v >>= 1; }
+      s[32 + i] = in[1 + 2 * brv];
+    }
+    iidct_generic(s, out, 64, c);
+    return;
+  }
   reorder_for_idct(in, s, n);
   if (n == 4) iidct4(s, out, c);
   else if (n == 8) iidct8(s, out, c);
@@ -1169,7 +1264,8 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
                            int v_adst, int h_adst, int32_t* out) {
   const int32_t* c = g_tables.cospi.data();
   int lw = bitlength((uint32_t)txw) - 1, lh = bitlength((uint32_t)txh) - 1;
-  int tx_scale = ((txw > txh ? txw : txh) >= 32) ? 1 : 0;  // 64 handled as skip
+  int mxd = txw > txh ? txw : txh;
+  int tx_scale = mxd >= 64 ? 2 : (mxd >= 32 ? 1 : 0);
   int cf_max = (1 << (bit_depth + 7)) - 1;
   // shift pairs (after row pass, after col pass)
   int s0, s1 = 4;
@@ -1203,7 +1299,7 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
       buf[(size_t)y * txw + x] = v;
     }
   // row pass (horizontal transform)
-  int64_t tmp[32], o[32];
+  int64_t tmp[64], o[64];
   for (int y = 0; y < txh; y++) {
     itx_1d(&buf[(size_t)y * txw], o, txw, h_adst, c);
     for (int x = 0; x < txw; x++)
@@ -2047,7 +2143,9 @@ struct BlockPipe {
     int bw = w4 * 4, bh = h4 * 4;
     int x0 = c * 4, y0 = r * 4;
     int mx = bw > bh ? bw : bh;
-    bool force_skip = mx == 64;
+    // 64-dim tx codes its top-left 32x32 coefficients (inv_txfm_exact
+    // runs the full 64-lane inverse network)
+    bool force_skip = false;
     int cfl_allowed = mx <= 32;
     if (edge_filter) {
       auto smooth_of = [&](const std::vector<int16_t>& g) {
@@ -2319,7 +2417,7 @@ struct BlockPipe {
     if (skip) return;
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
-      int eq = (t.pl == 0 && t.txw == bw && t.txh == bh) ? 1 : 0;
+      int eq = (t.txw == bw && t.txh == bh) ? 1 : 0;
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
                       t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode,
                       t.va, t.ha);

@@ -71,13 +71,14 @@ def probe(payload: bytes, want_pixels: bool = False) -> Tuple[bool, str, Optiona
             import numpy as np
 
             class ImgFull(ctypes.Structure):
+                # aom_image_t: planes/stride are [3]-sized (aom_image.h)
                 _fields_ = Img._fields_ + [
                     ("r_w", ctypes.c_uint),
                     ("r_h", ctypes.c_uint),
                     ("x_chroma_shift", ctypes.c_uint),
                     ("y_chroma_shift", ctypes.c_uint),
-                    ("planes", ctypes.c_void_p * 4),
-                    ("stride", ctypes.c_int * 4),
+                    ("planes", ctypes.c_void_p * 3),
+                    ("stride", ctypes.c_int * 3),
                 ]
 
             imf = ctypes.cast(

@@ -201,7 +201,8 @@ class Replayer:
         else:
             a_nz = any(self.above_ctx[plane][c4 + i] for i in range(w4))
             l_nz = any(self.left_ctx[plane][r4 + i] for i in range(h4))
-            sctx = 7 + int(a_nz) + int(l_nz)
+            # chroma base offset 10 when the plane block exceeds the tx
+            sctx = (7 if tx_eq_block else 10) + int(a_nz) + int(l_nz)
         az = self.rd(("txbskip", tctx, sctx), 2,
                      T.txb_skip_cdf(self.qc, tctx, sctx),
                      f"txb_skip p{plane} ctx{sctx}")
