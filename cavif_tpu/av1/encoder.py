@@ -783,10 +783,13 @@ class FrameEncoder:
     # block cost): per-leaf mode/skip/tx_type overhead and per-partition
     # symbol overhead. Larger OVH_BLOCK biases toward larger blocks.
     OVH_BLOCK = 15.0
-    # device-DP block-rate proxy: the device searches full-width at every
-    # tier (no narrowed-K descent), whose min-selection bias favors small
-    # blocks; 23 re-centers it (A/B: 768/1024px corpus at Q80/Q90 lands at
-    # or under the host cascade's bytes at >= its PSNR)
+    # wider searches lower the apparent cost of small blocks (min-of-K
+    # selection bias), so the block-rate proxy scales with search width:
+    # 15 at the narrowed fast tiers, 21 for the exhaustive bottom-up
+    # presets (s<=2, full 13-candidate width — A/B at Q80: s1 lands 1.9%
+    # under s4's bytes at matched PSNR, restoring the reference's
+    # "slow speeds compress better" ordering), 23 on the device (61-wide)
+    OVH_BLOCK_EXH = 21.0
     DEV_OVH_BLOCK = 23.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
@@ -855,7 +858,7 @@ class FrameEncoder:
             self.max_leaf_mi, part_arr, self.dc_q, self.ac_q,
             self.bit_depth, self._lambda(), gain_tab, K, Kp,
             tweaks.fine_directional_intra, sp <= 2, self.num_planes,
-            joint, tweaks.encode_bottomup, self.OVH_BLOCK, self.OVH_SPLIT,
+            joint, tweaks.encode_bottomup, self._ovh_block(), self.OVH_SPLIT,
             self.BOTTOM_KAPPA, self.RECT_OVH,
             n_threads=getattr(self, "_search_threads", 1),
             qmap=self._sb_qmaps()[1], lammap=self._sb_qmaps()[2],
@@ -1048,13 +1051,13 @@ class FrameEncoder:
         modes = self._batch_search(cands, origin)
 
         floor = self.BOTTOM_KAPPA * lam * (
-            self.OVH_SPLIT + 3.0 * self.OVH_BLOCK
+            self.OVH_SPLIT + 3.0 * self._ovh_block()
         )
         # encode_bottomup (preset, SURVEY.md 2.2: s<=2): full bottom-up
         # RDO — every tier is searched under every parent, no descent
         # pruning (the reference's exhaustive bottom-up encode)
         exhaustive = self.cfg.tweaks.encode_bottomup
-        ovh_b = lam * self.OVH_BLOCK
+        ovh_b = lam * self._ovh_block()
         ovh_s = lam * self.OVH_SPLIT
         for s4 in reversed(sizes[:-2]):
             ps4 = s4 * 2  # parent tier (always searched or cascaded)
@@ -1197,7 +1200,7 @@ class FrameEncoder:
         # bottom-up NONE/SPLIT/HORZ/VERT argmin; candidate order matches
         # the scalar reference (ties resolve to the earlier candidate)
         part: dict = {}
-        rect_ovh = lam * (self.OVH_SPLIT + self.RECT_OVH * self.OVH_BLOCK)
+        rect_ovh = lam * (self.OVH_SPLIT + self.RECT_OVH * self._ovh_block())
         bc = None  # best_cost grid of the tier below
         for s4 in sizes:
             none_c = cost_a[s4] + ovh_b
@@ -1596,6 +1599,14 @@ class FrameEncoder:
         """RD weight between pixel SSE and the |level| rate proxy."""
         qstep = self.ac_q * 0.125
         return 0.8 * qstep * qstep / 16.0
+
+    def _ovh_block(self) -> float:
+        """Search-width-scaled block-rate proxy (see OVH_BLOCK_EXH)."""
+        return (
+            self.OVH_BLOCK_EXH
+            if self.cfg.tweaks.encode_bottomup
+            else self.OVH_BLOCK
+        )
 
     def _lambda_mul(self):
         """Per-superblock lambda multipliers for activity-masked
