@@ -498,6 +498,168 @@ def _program(key):
     return jax.jit(program), spec
 
 
+_BATCH_JITS: dict = {}  # (program key, mesh fingerprint) -> sharded jit
+
+
+@lru_cache(maxsize=None)
+def _program_batch(key):
+    """Batched twin of _program for same-shaped RGB images: one jitted
+    program over (B, H, W, 3) uint8 — the whole-batch device pass-1 that
+    shards over a (data = images, tile = block rows) mesh. Shares the
+    per-shape cost bodies (their leading plane axis carries B*3). Returns
+    (jitted fn, spec) with every spec grid carrying a leading B."""
+    (B, H, W, depth, th, tw, min_px, use_deltas,
+     ovh_block, ovh_split, rect_ovh) = key
+    import jax
+    import jax.numpy as jnp
+
+    from . import colorspace
+
+    mode_ids_d, delta_vals_d, _ = _cand_tables(use_deltas)
+    mode_ids_0, delta_vals_0, _ = _cand_tables(False)
+    dp_tiers = [s for s in SQ_TIERS if s >= min_px]
+    shapes = [(s, s) for s in SQ_TIERS] + list(RECT_SHAPES)
+    bodies = {}
+    for (bw, bh) in shapes:
+        ud = bool(use_deltas) and min(bw, bh) >= 8
+        uv = min(bw, bh) >= 8
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, (th, tw), ud), ud, uv)
+
+    spec = []
+    for (bw, bh) in shapes:
+        nby, nbx = H // bh, W // bw
+        ud, uv = bodies[(bw, bh)][1:]
+        names = ["y_mode"] + (["y_delta"] if ud else [])
+        if uv:
+            names += ["uv_mode"] + (["uv_delta"] if ud else [])
+        for nm in names:
+            spec.append(((bw, bh), nm, (nby, nbx)))
+    for s in dp_tiers[1:]:
+        spec.append(((s, s), "code", (H // s, W // s)))
+
+    def program(src, dc_q, ac_q, lam):
+        ycbcr = colorspace.rgb_to_ycbcr(src, depth=depth)  # (B, H, W, 3)
+        planes = ycbcr.transpose(0, 3, 1, 2).reshape(B * 3, H, W)
+        out8 = []
+        totals = {}
+        uv_min8 = [None]
+        for (bw, bh) in shapes:
+            body, ud, uv = bodies[(bw, bh)]
+            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
+            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
+            costs = body(planes, dc_q, ac_q, lam)  # (B*3, nby, nbx, C)
+            nby, nbx = costs.shape[1], costs.shape[2]
+            c = costs.reshape(B, 3, nby, nbx, -1)
+            y = c[:, 0]
+            yi = jnp.argmin(y, axis=-1)
+            out8.append(mi[yi])
+            if ud:
+                out8.append(dv[yi])
+            tot = jnp.min(y, axis=-1)
+            if uv:
+                uvc = c[:, 1] + c[:, 2]
+                ui = jnp.argmin(uvc, axis=-1)
+                out8.append(mi[ui])
+                if ud:
+                    out8.append(dv[ui])
+                uvm = jnp.min(uvc, axis=-1)
+                tot = tot + uvm
+                if (bw, bh) == (8, 8):
+                    uv_min8[0] = uvm
+            totals[(bw, bh)] = (tot, uv)
+
+        ovb = lam * ovh_block
+        ovs = lam * ovh_split
+        rovh = lam * (ovh_split + rect_ovh * ovh_block)
+        bc = totals[(dp_tiers[0], dp_tiers[0])][0] + ovb
+        codes = []
+        for s in dp_tiers[1:]:
+            nby, nbx = H // s, W // s
+            q = bc.reshape(B, nby, 2, nbx, 2).sum(axis=(2, 4))
+            none_c = totals[(s, s)][0] + ovb
+            h2 = s // 2
+            htot, _ = totals[(s, h2)]
+            vtot, _ = totals[(h2, s)]
+            split_c = ovs + q
+            horz_c = rovh + htot[:, 0::2] + htot[:, 1::2]
+            vert_c = rovh + vtot[:, :, 0::2] + vtot[:, :, 1::2]
+            if not totals[(h2, h2)][1]:
+                split_c = split_c + uv_min8[0]
+                horz_c = horz_c + uv_min8[0]
+                vert_c = vert_c + uv_min8[0]
+            cand = jnp.stack([none_c, split_c, horz_c, vert_c])
+            codes.append(jnp.argmin(cand, axis=0).astype(jnp.int8))
+            bc = jnp.min(cand, axis=0)
+        out8.extend(codes)
+        return jnp.concatenate(
+            [g.reshape(B, -1).astype(jnp.int8) for g in out8], axis=1
+        )
+
+    return jax.jit(program), spec
+
+
+def run_pass1_batch(
+    srcs: np.ndarray,
+    *,
+    depth: int,
+    tile_px: tuple,
+    min_px: int,
+    use_deltas: bool,
+    dc_q: int,
+    ac_q: int,
+    lam: float,
+    ovh_block: float = 23.0,
+    ovh_split: float = 2.0,
+    rect_ovh: float = 4.0,
+    mesh=None,
+) -> list:
+    """Whole-batch device pass-1 over same-shaped RGB images.
+    srcs: (B, H, W, 3) uint8, H/W multiples of 64 (padded). With a mesh,
+    the batch shards over (data = images, tile = block rows) — GSPMD turns
+    the neighbor-row shifts into halo exchanges along `tile` and the
+    output gathers back replicated. Returns a list of B per-image grid
+    dicts in run_pass1's format."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W = srcs.shape[:3]
+    key = (
+        B, H, W, depth, int(tile_px[0]), int(tile_px[1]), int(min_px),
+        bool(use_deltas), float(ovh_block), float(ovh_split),
+        float(rect_ovh),
+    )
+    prog, spec = _program_batch(key)
+    arr = jnp.asarray(srcs)
+    args = (jnp.float32(dc_q), jnp.float32(ac_q), jnp.float32(lam))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ins = NamedSharding(mesh, P("data", "tile", None, None))
+        mkey = (key, tuple(sorted(mesh.shape.items())),
+                tuple(d.id for d in mesh.devices.flat))
+        f = _BATCH_JITS.get(mkey)
+        if f is None:
+            f = jax.jit(
+                prog,
+                in_shardings=(ins, None, None, None),
+                out_shardings=NamedSharding(mesh, P()),  # replicated (tiny)
+            )
+            _BATCH_JITS[mkey] = f
+        arr = jax.device_put(arr, ins)
+        packed = np.asarray(f(arr, *args))
+    else:
+        packed = np.asarray(prog(arr, *args))
+    out = [dict() for _ in range(B)]
+    off = 0
+    for (shape, name, (nby, nbx)) in spec:
+        n = nby * nbx
+        for b in range(B):
+            out[b][(shape, name)] = packed[b, off : off + n].reshape(nby, nbx)
+        off += n
+    assert off == packed.shape[1], (off, packed.shape)
+    return out
+
+
 def run_pass1(
     src: np.ndarray,
     *,

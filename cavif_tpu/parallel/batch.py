@@ -143,6 +143,82 @@ def _encode_batch_procs(enc, images, workers: int) -> List[BatchResult]:
     return out
 
 
+def encode_batch_sharded(
+    images: Sequence[np.ndarray],
+    encoder=None,
+    mesh=None,
+    max_workers: Optional[int] = None,
+) -> List[bytes]:
+    """Whole-batch encode with ONE sharded device pass-1 feeding per-image
+    host serialization — the end-to-end (data = images, tile = block rows)
+    scale-out path of SURVEY.md §2.4/§5.8.
+
+    All images must be same-shaped (H, W, 3) uint8 RGB. The batched device
+    program (ops/device_pass1.run_pass1_batch) computes every image's
+    partition + mode decisions over the mesh in one call (replicated
+    output: every process receives all grids, so multi-process runs
+    produce byte-identical AVIFs to single-process ones); host threads
+    then run pass 2 + EC + mux per image. Returns AVIF bytes per image.
+    """
+    from .. import Encoder
+    from ..av1.config import AV1Config
+    from ..av1.encoder import FrameEncoder
+    from ..av1.speed import SpeedTweaks
+    from ..ops import colorspace
+    from ..ops.device_pass1 import run_pass1_batch
+    from ..pipeline import _finish, _matrix_coefficients
+
+    enc = encoder if encoder is not None else Encoder.new()
+    imgs = [np.ascontiguousarray(np.asarray(im)[..., :3]) for im in images]
+    if not imgs:
+        return []
+    h, w = imgs[0].shape[:2]
+    assert all(im.shape == imgs[0].shape for im in imgs), "same-shape batch"
+    depth = enc.output_depth.bits
+    cfg = AV1Config(
+        width=w, height=h, bit_depth=depth, quantizer=enc.quantizer,
+        tweaks=SpeedTweaks.from_preset(enc.speed, enc.quantizer),
+        chroma_sampling="444", full_range=True,
+        matrix_coefficients=_matrix_coefficients(enc.color_model),
+        threads=1, tune=enc.tune,
+    )
+    # scout: static geometry (padded dims, tile split, quantizers, lambda)
+    scout = FrameEncoder(np.zeros((h, w, 3), np.int32), cfg)
+    ph, pw = scout.planes[0].src.shape
+    tcl, trl = scout._tile_split()
+    sb_cols = (scout.mi_cols + 15) >> 4
+    sb_rows = (scout.mi_rows + 15) >> 4
+    th = ((sb_rows + (1 << trl) - 1) >> trl) * 64
+    tw = ((sb_cols + (1 << tcl) - 1) >> tcl) * 64
+    if scout.max_leaf_mi > 8:
+        raise ValueError(
+            "64px-leaf presets (speed<=1 low quality) use the host cascade"
+        )
+    batch = np.stack(
+        [np.pad(im, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+         for im in imgs]
+    )
+    grids = run_pass1_batch(
+        batch, depth=depth, tile_px=(th, tw),
+        min_px=scout.min_leaf_mi * 4,
+        use_deltas=cfg.tweaks.fine_directional_intra,
+        dc_q=scout.dc_q, ac_q=scout.ac_q, lam=scout._lambda(),
+        ovh_block=FrameEncoder.DEV_OVH_BLOCK, mesh=mesh,
+    )
+
+    def one(i: int) -> bytes:
+        planes = colorspace.rgb_to_ycbcr_host(imgs[i], depth=depth)
+        fe = FrameEncoder(planes, cfg, src8=imgs[i])
+        fe._device_search = "inject"
+        fe._dev_state = (grids[i], fe._dev_part_dict(grids[i]))
+        color = fe.encode()
+        return _finish(enc, color, None, w, h, depth).avif_file
+
+    workers = min(len(imgs), max_workers or (os.cpu_count() or 1))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(one, range(len(imgs))))
+
+
 def plane_mode_search_batch(
     planes: np.ndarray,
     dc_q: int,

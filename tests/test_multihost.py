@@ -60,7 +60,7 @@ print(f"proc {pid} ok: {len(out_modes.addressable_shards)} shards verified")
 """ % ROOT
 
 
-def test_two_process_mesh():
+def _run_two_procs(worker_src: str, ok_marker: str = "ok:"):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -76,7 +76,7 @@ def test_two_process_mesh():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(i), coord],
+            [sys.executable, "-c", worker_src, str(i), coord],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
@@ -93,4 +93,50 @@ def test_two_process_mesh():
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, err[-1200:]
-        assert "ok:" in out, out
+        assert ok_marker in out, out
+    return outs
+
+
+def test_two_process_mesh():
+    _run_two_procs(WORKER)
+
+
+# End-to-end whole-batch encode over a 2-process global mesh: every process
+# computes the sharded device pass-1 (replicated grids out), host-serializes
+# all images, and the resulting AVIFs must be byte-identical to a
+# single-process (and meshless) run — SURVEY §2.4 DP over a 2-host layout.
+E2E_WORKER = """
+import os, sys, hashlib
+import numpy as np
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+from jax.sharding import Mesh
+from cavif_tpu import Encoder
+from cavif_tpu.parallel.batch import encode_batch_sharded
+
+devs = np.array(jax.devices())
+assert devs.size == 8, devs
+mesh = Mesh(devs.reshape(4, 2), ("data", "tile"))
+
+rng = np.random.default_rng(0)
+imgs = [rng.integers(0, 256, (128, 192, 3), np.uint8) for _ in range(4)]
+enc = Encoder.new().with_quality(70).with_speed(4)
+ref = encode_batch_sharded(imgs, enc)            # meshless reference
+got = encode_batch_sharded(imgs, enc, mesh=mesh)  # 2-process global mesh
+assert [len(b) for b in got] == [len(b) for b in ref]
+assert all(a == b for a, b in zip(ref, got)), "mesh run diverged"
+digest = hashlib.sha256(b"".join(got)).hexdigest()[:16]
+print(f"proc {pid} e2e ok: {digest}")
+""" % ROOT
+
+
+def test_two_process_batch_encode_identical():
+    outs = _run_two_procs(E2E_WORKER, ok_marker="e2e ok:")
+    # both processes must produce the same AVIF bytes
+    digests = [out.split("e2e ok: ")[1].strip() for _, out, _ in outs]
+    assert digests[0] == digests[1], digests
