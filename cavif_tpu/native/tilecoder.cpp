@@ -1457,6 +1457,16 @@ static void fdct2d_lee(const T* res, int h, int w, T* out, T* work) {
   lee_rec(w, h, xt, out, scr);
 }
 
+// AC quantizer deadzone (transforms.AC_BIAS); env override is A/B tooling.
+static double ac_bias_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_AC_BIAS");
+    v = e ? atof(e) : 0.42;
+  }
+  return v;
+}
+
 // Mode_To_Txfm_Type: per intra mode, (vertical_adst, horizontal_adst);
 // IDTX/flip types never arise for the derived chroma transform.
 static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
@@ -2052,7 +2062,7 @@ struct BlockPipe {
         bool is_dc = (y == 0 && x == 0);
         double t = cbuf[y * txw + x] * (is_dc ? inv_dc : inv_ac);
         // DC rounds to nearest; AC uses a deadzone (transforms.AC_BIAS)
-        double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : 0.35));
+        double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : ac_bias_env()));
         int32_t lv = (int32_t)(t < 0 ? -a : a);
         int lim = is_dc ? max_dc : max_ac;
         if (lv > lim) lv = lim;
@@ -2623,8 +2633,10 @@ static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
   int coeff_max = (1 << (bd + 7)) - 1;
   int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
   int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
-  // DC (deadzone 0.5), then a branch-free AC loop (deadzone 0.35) that
-  // the compiler can vectorize: 4-way unrolled float accumulators
+  // DC (deadzone 0.5), then a branch-free AC loop (deadzone AC_BIAS,
+  // shared with the pass-2 quantizer) the compiler can vectorize:
+  // 4-way unrolled float accumulators
+  const float acb = (float)ac_bias_env();
   float t0 = sc.coef[0] * inv_dc;
   int la0 = (int)(std::fabs(t0) + 0.5f);
   if (la0 > max_dc) la0 = max_dc;
@@ -2641,7 +2653,7 @@ static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
     {                                                                   \
       float c_ = sc.coef[i + J];                                        \
       float at = std::fabs(c_) * inv_ac;                                \
-      int la = (int)(at + 0.35f);                                       \
+      int la = (int)(at + acb);                                       \
       la = la > max_ac ? max_ac : la;                                   \
       float e = std::fabs(c_) - la * s_ac;                              \
       acc##S += e * e;                                                  \
@@ -2654,7 +2666,7 @@ static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
   for (; i < n; i++) {
     float c_ = sc.coef[i];
     float at = std::fabs(c_) * inv_ac;
-    int la = (int)(at + 0.35f);
+    int la = (int)(at + acb);
     la = la > max_ac ? max_ac : la;
     float e = std::fabs(c_) - la * s_ac;
     acc0 += e * e;

@@ -25,7 +25,7 @@ from functools import lru_cache, partial
 
 import numpy as np
 
-from ..av1.transforms import dct2_matrix, get_gain
+from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 
 NONDIRECTIONAL = (0, 1, 2, 9, 10, 11, 12)  # DC,V,H,SMOOTH,SM_V,SM_H,PAETH
 DIAG_MODES = (3, 4, 5, 6, 7, 8)  # D45,D135,D113,D157,D203,D67 at delta 0
@@ -251,7 +251,7 @@ def _search_body(n: int, bit_depth: int):
         dcf = dc_q.astype(jnp.float32) * gain
         t = coef * (1.0 / acf)
         t = t.at[..., 0, 0].set(coef[..., 0, 0] * (1.0 / dcf))
-        lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + 0.35)  # AC deadzone
+        lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + AC_BIAS)  # AC deadzone
         lv = lv.at[..., 0, 0].set(
             jnp.sign(t[..., 0, 0]) * jnp.floor(jnp.abs(t[..., 0, 0]) + 0.5)
         )

@@ -37,7 +37,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from ..av1.transforms import dct2_matrix, get_gain
+from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 
 # candidate order: 5 non-directional (elementwise predictors), then the
 # directional family (one MXU matmul): V, H, 6 diagonals at delta 0, then
@@ -306,7 +306,7 @@ def _cost_body(bw: int, bh: int, bit_depth: int, tile_px,
         m = jnp.asarray(dcm)  # (1, n2), 1.0 at the DC lane
         inv_scale = (1.0 - m) * (1.0 / acf) + m * (1.0 / dcf)
         scale = (1.0 - m) * acf + m * dcf
-        bias = (1.0 - m) * 0.35 + m * 0.5  # AC deadzone / DC round
+        bias = (1.0 - m) * AC_BIAS + m * 0.5  # AC deadzone / DC round
         KT = jnp.asarray(kron_t)
 
         def rd(preds_flat):

@@ -36,7 +36,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from ..av1.transforms import dct2_matrix, get_gain
+from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 from .block_search import CAND_MODES, DIAG_MODES, _neighbors
 
 
@@ -146,7 +146,7 @@ def _pallas_kernel(n: int, bit_depth: int, chunk: int, interpret: bool):
         def qparams(m):
             inv_scale = (1.0 - m) * (1.0 / acf) + m * (1.0 / dcf)
             scale = (1.0 - m) * acf + m * dcf
-            bias = (1.0 - m) * 0.35 + m * 0.5
+            bias = (1.0 - m) * AC_BIAS + m * 0.5
             return inv_scale, scale, bias
 
         inv_scale, scale, bias = qparams(dcm)

@@ -26,11 +26,22 @@ from PIL import Image
 from ab_quality import gray, images, ssim
 
 
+def _mono(r, q):
+    """Sort by rate and drop duplicate-rate points (PCHIP needs strictly
+    increasing x; quality sweeps can plateau in bytes)."""
+    i = np.argsort(r)
+    r, q = np.asarray(r)[i], np.asarray(q)[i]
+    keep = np.concatenate([[True], np.diff(r) > 0])
+    return r[keep], q[keep]
+
+
 def _bd_quality(r1, q1, r2, q2):
     """BD quality delta (encoder 2 minus encoder 1) at matched rate:
     PCHIP interpolation over log10(rate), integrated on the overlap."""
     from scipy.interpolate import PchipInterpolator
 
+    r1, q1 = _mono(r1, q1)
+    r2, q2 = _mono(r2, q2)
     lr1, lr2 = np.log10(r1), np.log10(r2)
     lo = max(lr1.min(), lr2.min())
     hi = min(lr1.max(), lr2.max())
