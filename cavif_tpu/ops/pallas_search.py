@@ -207,19 +207,28 @@ def _pallas_kernel(n: int, bit_depth: int, chunk: int, interpret: bool):
         )
         costs.append(rd_cost(jnp.broadcast_to(paeth, shape)))
         # 6 directional modes: one MXU matmul for the whole family, then
-        # flat-lane RD scoring via the Kronecker DCT (no lane unfolds)
-        ext = ext_ref[...].astype(jnp.float32)  # (CH, 4n+1)
+        # flat-lane RD scoring via the Kronecker DCT (no lane unfolds).
+        # At n = 32 the two big constants live in VMEM as bf16 (kron 2MB +
+        # Mdir 1.6MB vs 7.2MB at f32, which did not fit) and the matmuls
+        # run at the MXU's native bf16 — the same precision trade the XLA
+        # fused program makes; pass 2 recomputes chosen modes exactly.
+        big = n > 16
+        cdt = jnp.bfloat16 if big else jnp.float32
+        prec = None if big else jax.lax.Precision.HIGHEST
+        ext = ext_ref[...].astype(cdt)  # (CH, 4n+1)
         dall = jnp.dot(
-            ext, mdir_ref[...], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            ext, mdir_ref[...].astype(cdt),
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (CH, 6*n*n)
         dall = jnp.floor((dall + 16.0) * (1.0 / 32.0))
         blkf = blocksf_ref[...].astype(jnp.float32)  # (CH, n*n)
         KT = kront_ref[...]
         for mi in range(6):
             resf = blkf - dall[:, mi * n * n : (mi + 1) * n * n]
-            coef = jnp.dot(resf, KT, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            coef = jnp.dot(resf.astype(cdt), KT.astype(cdt),
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
             t = coef * inv_scale_f
             lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + bias_f)
             errc = coef - lv * scale_f
@@ -281,7 +290,9 @@ def _pallas_kernel(n: int, bit_depth: int, chunk: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((NB, 16), jnp.float32),
             interpret=interpret,
         )(qvec, blocks, blocks.reshape(NB, n * n), above_s, left_s, scal,
-          ext, jnp.asarray(dct_t), jnp.asarray(kron_t), jnp.asarray(mdir),
+          ext, jnp.asarray(dct_t),
+          jnp.asarray(kron_t, jnp.bfloat16 if n > 16 else jnp.float32),
+          jnp.asarray(mdir, jnp.bfloat16 if n > 16 else jnp.float32),
           jnp.asarray(dc_mask), jnp.asarray(dc_mask_flat),
           jnp.asarray(sm_w.reshape(1, n)), jnp.asarray(sm_w.reshape(n, 1)))
 
@@ -332,19 +343,14 @@ def plane_mode_search_pallas(
     CAND_MODES. `interpret=True` runs the kernel in the Pallas interpreter
     (CPU-testable).
 
-    Hardware path requires n <= 16: at n = 32 the constant matrices
-    (kron DCT 4MB + Mdir 3.2MB) plus the 3-pass f32 matmul scratch exceed
-    the 16MB VMEM scope; such calls fall back to the XLA backend."""
+    At n = 32 the kernel stores its two large constants (Kronecker DCT,
+    directional matrix) in VMEM as bf16 and runs those matmuls at the
+    MXU's native precision (chunk drops to 32 for VMEM headroom); the
+    n <= 16 tiers keep exact f32 arithmetic."""
     import jax.numpy as jnp
 
-    if n > 16 and not interpret:
-        from .block_search import plane_mode_search, plane_mode_search_costs
-
-        if return_costs:
-            return plane_mode_search_costs(
-                planes, dc_q, ac_q, lam, bit_depth, n=n
-            )
-        return plane_mode_search(planes, dc_q, ac_q, lam, bit_depth, n=n)
+    if n > 16:
+        chunk = min(chunk, 32)
 
     planes = np.ascontiguousarray(planes, np.int32)
     N, H, W = planes.shape

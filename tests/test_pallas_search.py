@@ -117,3 +117,26 @@ def test_pallas_matches_xla(n):
         c = _oracle_costs(planes, nb, n, pi, by, bx, dc_q, ac_q, lam)
         r, g = int(ref[pi, by, bx]), int(got[pi, by, bx])
         assert c[g] <= c[r] * 1.02, (pi, by, bx, r, g, c[r], c[g])
+
+
+def test_pallas_hw_n32():
+    """The 32px tier on REAL TPU hardware (bf16 VMEM constants): runs the
+    fused kernel on-chip and pins agreement with the XLA lowering up to
+    RD near-ties. Skipped on the CPU backend (conftest defaults the suite
+    to hermetic CPU; set CAVIF_TPU_TEST_DEVICE=1 to exercise it)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real accelerator")
+    from cavif_tpu.ops.block_search import plane_mode_search_costs
+
+    rng = np.random.default_rng(3)
+    planes = rng.integers(0, 1024, (2, 256, 256), np.int32)
+    pm, pc = plane_mode_search_pallas(
+        planes, 499, 616, 30.0, 10, n=32, return_costs=True
+    )
+    xm, xc = plane_mode_search_costs(planes, 499, 616, 30.0, 10, n=32)
+    assert pm.shape == xm.shape == (2, 8, 8)
+    assert (pm == xm).mean() >= 0.6  # bf16 near-ties may flip
+    rel = np.abs(pc - xc) / (np.abs(xc) + 1.0)
+    assert np.median(rel) < 0.02, float(np.median(rel))
