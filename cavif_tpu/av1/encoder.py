@@ -51,6 +51,15 @@ def _device_backend_default() -> bool:
     once per process (jax init can take seconds through a tunnel)."""
     if _DEV_DEFAULT[0] is None:
         try:
+            # persistent XLA compile cache: the fused pass-1 compiles per
+            # image shape (~20 s through the tunnel); cache across runs
+            os.environ.setdefault(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/cavif_tpu/jax"),
+            )
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2"
+            )
             import jax
 
             _DEV_DEFAULT[0] = jax.default_backend() == "tpu"
@@ -898,6 +907,14 @@ class FrameEncoder:
             try:
                 from ..ops.device_pass1 import run_pass1
 
+                # bucket the device-program shape to 256px multiples: the
+                # fused program compiles per (H, W) (~20 s through the
+                # tunnel, persistently cached), so mixed-size batches reuse
+                # compilations; the extra padded pixels are free compute
+                # and the grids beyond the mi bounds are simply never read
+                ph, pw = self.planes[0].src.shape
+                bh_ = -(-ph // 256) * 256
+                bw_ = -(-pw // 256) * 256
                 if self._src8 is not None:
                     mc = self.cfg.matrix_coefficients
                     if self.num_planes == 1:
@@ -907,14 +924,17 @@ class FrameEncoder:
                     else:
                         model = "ycbcr"
                     h, w = self._src8.shape[:2]
-                    ph, pw = self.planes[0].src.shape
-                    pad = ((0, ph - h), (0, pw - w))
+                    pad = ((0, bh_ - h), (0, bw_ - w))
                     if self._src8.ndim == 3:
                         pad = pad + ((0, 0),)
                     src = np.pad(self._src8, pad, mode="edge")
                 else:
                     model = "planes"
-                    src = self._src_stack().astype(np.int16)
+                    src = np.pad(
+                        self._src_stack().astype(np.int16),
+                        ((0, 0), (0, bh_ - ph), (0, bw_ - pw)),
+                        mode="edge",
+                    )
                 tcl, trl = self._tile_split()
                 sb_cols = (self.mi_cols + 15) >> 4
                 sb_rows = (self.mi_rows + 15) >> 4

@@ -150,6 +150,9 @@ def _dir_matrix(cands, bw: int, bh: int) -> np.ndarray:
 
 
 def _nbrs(planes, bw: int, bh: int, bit_depth: int, tile_px):
+    """tile_px entries may be python ints or traced int32 scalars (the
+    fused programs pass them dynamically so one compilation serves every
+    tile split of a shape bucket)."""
     """Per-block neighbor tensors over the whole (P, H, W) plane stack for
     the aligned (bh, bw) block grid, with spec availability fallbacks AND
     tile-boundary masking (tiles are prediction-independent; a block whose
@@ -252,7 +255,7 @@ def _nbrs(planes, bw: int, bh: int, bit_depth: int, tile_px):
     )
 
 
-def _cost_body(bw: int, bh: int, bit_depth: int, tile_px,
+def _cost_body(bw: int, bh: int, bit_depth: int,
                use_deltas: bool):
     """Traceable whole-plane RD cost for one block shape: returns
     fn(planes, dc_q, ac_q, lam) -> (P, nby, nbx, C) f32 costs in the
@@ -291,7 +294,7 @@ def _cost_body(bw: int, bh: int, bit_depth: int, tile_px,
     cdir = len(dirs)
     chunk = max(1, min(cdir, (1 << 23) // (n2 * 8)))
 
-    def body(planes, dc_q, ac_q, lam):
+    def body(planes, dc_q, ac_q, lam, tile_px):
         P, H, W = planes.shape
         nb = _nbrs(planes, bw, bh, bit_depth, tile_px)
         nby, nbx = nb["nby"], nb["nbx"]
@@ -396,12 +399,13 @@ def _convert(src, model: str, depth: int):
 def _program(key):
     """Build + jit the whole-frame pass-1 program for one static config.
 
-    key = (H, W, depth, model, P, th, tw, min_px, use_deltas,
+    key = (H, W, depth, model, P, min_px, use_deltas,
            ovh_block, ovh_split, rect_ovh)
-    Returns (jitted fn(src, dc_q, ac_q, lam) -> packed int8, spec) where
+    Returns (jitted fn(src, dc_q, ac_q, lam, th, tw) -> packed int8, spec)
+    where
     spec is [(tag, (bw, bh), name, (nby, nbx)), ...] describing the packed
     layout for the host unpacker."""
-    (H, W, depth, model, P, th, tw, min_px, use_deltas,
+    (H, W, depth, model, P, min_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key
     import jax
     import jax.numpy as jnp
@@ -419,7 +423,7 @@ def _program(key):
         # (the host cascade's chroma-cost-spreading analog); skipping the
         # sub-8px chroma searches also shrinks the packed fetch
         uv = P > 1 and min(bw, bh) >= 8
-        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, (th, tw), ud), ud, uv)
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
 
     spec = []
     for (bw, bh) in shapes:
@@ -433,7 +437,7 @@ def _program(key):
     for s in dp_tiers[1:]:
         spec.append(((s, s), "code", (H // s, W // s)))
 
-    def program(src, dc_q, ac_q, lam):
+    def program(src, dc_q, ac_q, lam, th, tw):
         planes = _convert(src, model, depth)
         out8 = []
         totals = {}  # (bw, bh) -> (y_min [+ uv_min] cost grid, has_uv)
@@ -442,7 +446,7 @@ def _program(key):
             body, ud, uv = bodies[(bw, bh)]
             mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
             dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
-            costs = body(planes, dc_q, ac_q, lam)  # (P, nby, nbx, C)
+            costs = body(planes, dc_q, ac_q, lam, (th, tw))
             y = costs[0]
             yi = jnp.argmin(y, axis=-1)
             out8.append(mi[yi])
@@ -508,7 +512,7 @@ def _program_batch(key):
     shards over a (data = images, tile = block rows) mesh. Shares the
     per-shape cost bodies (their leading plane axis carries B*3). Returns
     (jitted fn, spec) with every spec grid carrying a leading B."""
-    (B, H, W, depth, th, tw, min_px, use_deltas,
+    (B, H, W, depth, min_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key
     import jax
     import jax.numpy as jnp
@@ -523,7 +527,7 @@ def _program_batch(key):
     for (bw, bh) in shapes:
         ud = bool(use_deltas) and min(bw, bh) >= 8
         uv = min(bw, bh) >= 8
-        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, (th, tw), ud), ud, uv)
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
 
     spec = []
     for (bw, bh) in shapes:
@@ -537,7 +541,7 @@ def _program_batch(key):
     for s in dp_tiers[1:]:
         spec.append(((s, s), "code", (H // s, W // s)))
 
-    def program(src, dc_q, ac_q, lam):
+    def program(src, dc_q, ac_q, lam, th, tw):
         ycbcr = colorspace.rgb_to_ycbcr(src, depth=depth)  # (B, H, W, 3)
         planes = ycbcr.transpose(0, 3, 1, 2).reshape(B * 3, H, W)
         out8 = []
@@ -547,7 +551,7 @@ def _program_batch(key):
             body, ud, uv = bodies[(bw, bh)]
             mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
             dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
-            costs = body(planes, dc_q, ac_q, lam)  # (B*3, nby, nbx, C)
+            costs = body(planes, dc_q, ac_q, lam, (th, tw))
             nby, nbx = costs.shape[1], costs.shape[2]
             c = costs.reshape(B, 3, nby, nbx, -1)
             y = c[:, 0]
@@ -624,13 +628,14 @@ def run_pass1_batch(
 
     B, H, W = srcs.shape[:3]
     key = (
-        B, H, W, depth, int(tile_px[0]), int(tile_px[1]), int(min_px),
+        B, H, W, depth, int(min_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),
         float(rect_ovh),
     )
     prog, spec = _program_batch(key)
     arr = jnp.asarray(srcs)
-    args = (jnp.float32(dc_q), jnp.float32(ac_q), jnp.float32(lam))
+    args = (jnp.float32(dc_q), jnp.float32(ac_q), jnp.float32(lam),
+            jnp.int32(tile_px[0]), jnp.int32(tile_px[1]))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -641,7 +646,7 @@ def run_pass1_batch(
         if f is None:
             f = jax.jit(
                 prog,
-                in_shardings=(ins, None, None, None),
+                in_shardings=(ins, None, None, None, None, None),
                 out_shardings=NamedSharding(mesh, P()),  # replicated (tiny)
             )
             _BATCH_JITS[mkey] = f
@@ -691,7 +696,7 @@ def run_pass1(
         H, W = src.shape[:2]
         P = num_planes
     key = (
-        H, W, depth, model, P, int(tile_px[0]), int(tile_px[1]),
+        H, W, depth, model, P,
         int(min_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
     )
@@ -702,6 +707,8 @@ def run_pass1(
             jnp.float32(dc_q),
             jnp.float32(ac_q),
             jnp.float32(lam),
+            jnp.int32(tile_px[0]),
+            jnp.int32(tile_px[1]),
         )
     )
     out = {}
