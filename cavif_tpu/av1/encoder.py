@@ -85,24 +85,22 @@ class _DevModes:
         r, c, w4, h4 = key
         shape = (w4 * 4, h4 * 4)
         g = self.grids
-        gy = g.get((shape, "y_mode"))
+        gy = g.get((shape, "y_md"))
         if gy is None or r % h4 or c % w4:
             return self.partials[key]
         by, bx = r // h4, c // w4
-        ym = int(gy[by, bx])
-        gd = g.get((shape, "y_delta"))
-        yd = int(gd[by, bx]) if gd is not None else 0
+        v = int(gy[by, bx])  # mode | (delta + 3) << 4 (nibble-packed)
+        ym, yd = v & 15, ((v >> 4) & 7) - 3
         um = ud = 0
         if self.nplanes > 1:
-            gu = g.get((shape, "uv_mode"))
+            gu = g.get((shape, "uv_md"))
             if gu is not None:
-                um = int(gu[by, bx])
-                gud = g.get((shape, "uv_delta"))
-                ud = int(gud[by, bx]) if gud is not None else 0
+                uvv = int(gu[by, bx])
+                um, ud = uvv & 15, ((uvv >> 4) & 7) - 3
             else:
                 # sub-8px blocks inherit the 8px square parent's uv choice
                 # (host cascade semantics; deltas are not codeable there)
-                um = int(g[((8, 8), "uv_mode")][r // 2, c // 2])
+                um = int(g[((8, 8), "uv_md")][r // 2, c // 2]) & 15
         return (ym, yd, um, ud, 0.0, 0.0)
 
     def get(self, key, default=None):
@@ -1006,16 +1004,34 @@ class FrameEncoder:
             )
         return part
 
-    def _rdo_partition_device(self, partials, origin):
+    def _rdo_partition_device(self, partials, origin,
+                              mi_r0, mi_r1, mi_c0, mi_c1):
         """Pass-1 via the whole-frame device program: decisions come from
-        the device grids; any partial block whose shape/alignment the grids
-        do not cover (none in practice) is host-searched and merged."""
+        the device grids; 4px leaves (whose mode grids are deliberately
+        not fetched — the tunnel's D2H is the bottleneck and the DP picks
+        few of them) and any partial block the grids don't cover are
+        host-searched and merged."""
         grids, part = self._dev_state
         rest = []
         for (r, c, w4b, h4b) in partials:
             shape = (w4b * 4, h4b * 4)
-            if (shape, "y_mode") not in grids or r % h4b or c % w4b:
+            if (shape, "y_md") not in grids or r % h4b or c % w4b:
                 rest.append((r, c, w4b, h4b))
+        if self.min_leaf_mi <= 1:
+            # 4px leaves = in-bounds children of 8px cells the DP split
+            # (this tile's range only; the part dict is frame-global)
+            for (r, c, n4), code in part.items():
+                if n4 != 2 or code != PARTITION_SPLIT:
+                    continue
+                if not (mi_r0 <= r < mi_r1 and mi_c0 <= c < mi_c1):
+                    continue
+                if r + 2 > self.mi_rows or c + 2 > self.mi_cols:
+                    continue
+                for dr in (0, 1):
+                    for dc_ in (0, 1):
+                        if (r + dr < self.mi_rows
+                                and c + dc_ < self.mi_cols):
+                            rest.append((r + dr, c + dc_, 1, 1))
         pdict = (
             self._batch_search_native(rest, origin) if rest else {}
         )
@@ -1031,7 +1047,9 @@ class FrameEncoder:
         `partials` (edge slivers from the geometry walk) are searched too.
         Returns (part_decisions, modes)."""
         if self._device_search and self._device_grids() is not None:
-            return self._rdo_partition_device(partials, origin)
+            return self._rdo_partition_device(
+                partials, origin, mi_r0, mi_r1, mi_c0, mi_c1
+            )
         if (self._native_search and self.max_leaf_mi <= 8
                 and not os.environ.get("CAVIF_TPU_PY_CASCADE")):
             # the C++ whole-tile cascade tops out at the 32px tier; the

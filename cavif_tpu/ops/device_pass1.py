@@ -427,11 +427,14 @@ def _program(key):
 
     spec = []
     for (bw, bh) in shapes:
+        if (bw, bh) == (4, 4):
+            # 4px modes are not fetched: D2H through the tunnel runs at
+            # ~5 MB/s and the (H/4)^2 grid is the largest one; the host
+            # re-searches the few 4px leaves the DP actually picks
+            continue
         nby, nbx = H // bh, W // bw
         ud, uv = bodies[(bw, bh)][1:]
-        names = ["y_mode"] + (["y_delta"] if ud else [])
-        if uv:
-            names += ["uv_mode"] + (["uv_delta"] if ud else [])
+        names = ["y_md"] + (["uv_md"] if uv else [])
         for nm in names:
             spec.append(((bw, bh), nm, (nby, nbx)))
     for s in dp_tiers[1:]:
@@ -444,21 +447,20 @@ def _program(key):
         uv_min8 = [None]
         for (bw, bh) in shapes:
             body, ud, uv = bodies[(bw, bh)]
-            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
-            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
+            # mode and delta+3 nibble-packed into one int8 per block
+            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0, jnp.int32)
+            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0, jnp.int32)
+            md = mi | ((dv + 3) << 4)
+            emit = (bw, bh) != (4, 4)
             costs = body(planes, dc_q, ac_q, lam, (th, tw))
             y = costs[0]
-            yi = jnp.argmin(y, axis=-1)
-            out8.append(mi[yi])
-            if ud:
-                out8.append(dv[yi])
+            if emit:
+                out8.append(md[jnp.argmin(y, axis=-1)])
             tot = jnp.min(y, axis=-1)
             if uv:
                 uvc = costs[1] + costs[2]  # joint U+V (shared uv mode)
-                ui = jnp.argmin(uvc, axis=-1)
-                out8.append(mi[ui])
-                if ud:
-                    out8.append(dv[ui])
+                if emit:
+                    out8.append(md[jnp.argmin(uvc, axis=-1)])
                 uvm = jnp.min(uvc, axis=-1)
                 tot = tot + uvm
                 if (bw, bh) == (8, 8):
@@ -531,11 +533,14 @@ def _program_batch(key):
 
     spec = []
     for (bw, bh) in shapes:
+        if (bw, bh) == (4, 4):
+            # 4px modes are not fetched: D2H through the tunnel runs at
+            # ~5 MB/s and the (H/4)^2 grid is the largest one; the host
+            # re-searches the few 4px leaves the DP actually picks
+            continue
         nby, nbx = H // bh, W // bw
         ud, uv = bodies[(bw, bh)][1:]
-        names = ["y_mode"] + (["y_delta"] if ud else [])
-        if uv:
-            names += ["uv_mode"] + (["uv_delta"] if ud else [])
+        names = ["y_md"] + (["uv_md"] if uv else [])
         for nm in names:
             spec.append(((bw, bh), nm, (nby, nbx)))
     for s in dp_tiers[1:]:
@@ -549,23 +554,21 @@ def _program_batch(key):
         uv_min8 = [None]
         for (bw, bh) in shapes:
             body, ud, uv = bodies[(bw, bh)]
-            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0)
-            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0)
+            mi = jnp.asarray(mode_ids_d if ud else mode_ids_0, jnp.int32)
+            dv = jnp.asarray(delta_vals_d if ud else delta_vals_0, jnp.int32)
+            md = mi | ((dv + 3) << 4)
+            emit = (bw, bh) != (4, 4)
             costs = body(planes, dc_q, ac_q, lam, (th, tw))
             nby, nbx = costs.shape[1], costs.shape[2]
             c = costs.reshape(B, 3, nby, nbx, -1)
             y = c[:, 0]
-            yi = jnp.argmin(y, axis=-1)
-            out8.append(mi[yi])
-            if ud:
-                out8.append(dv[yi])
+            if emit:
+                out8.append(md[jnp.argmin(y, axis=-1)])
             tot = jnp.min(y, axis=-1)
             if uv:
                 uvc = c[:, 1] + c[:, 2]
-                ui = jnp.argmin(uvc, axis=-1)
-                out8.append(mi[ui])
-                if ud:
-                    out8.append(dv[ui])
+                if emit:
+                    out8.append(md[jnp.argmin(uvc, axis=-1)])
                 uvm = jnp.min(uvc, axis=-1)
                 tot = tot + uvm
                 if (bw, bh) == (8, 8):
