@@ -289,13 +289,16 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
     sm_w = np.asarray(tables.get(f"sm_weights_{bw}"), np.int32)
     dcm = np.zeros((1, n2), np.float32)
     dcm[0, 0] = 1.0
-    # chunk the directional family so the (..., CH, n2) expansions stay
-    # bounded (~128 MB at f32 for a 1024^2 3-plane frame)
     cdir = len(dirs)
-    chunk = max(1, min(cdir, (1 << 23) // (n2 * 8)))
 
     def body(planes, dc_q, ac_q, lam, tile_px):
         P, H, W = planes.shape
+        # chunk the candidate family so the (P, nblocks, CH, n2) f32
+        # expansions stay bounded (~1 GB) at ANY plane size — an 8K frame
+        # has 500k+ blocks at the smallest tiers
+        nblocks = (H // bh) * (W // bw)
+        per_cand = P * nblocks * n2 * 4
+        chunk = max(1, min(cdir, (1 << 30) // max(per_cand, 1)))
         nb = _nbrs(planes, bw, bh, bit_depth, tile_px)
         nby, nbx = nb["nby"], nb["nbx"]
         blocks_f = (
