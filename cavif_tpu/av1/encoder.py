@@ -62,6 +62,19 @@ def _device_backend_default() -> bool:
             )
             import jax
 
+            try:
+                # the TPU plugin's sitecustomize may have imported jax
+                # before our env default could land; set the config
+                # directly so the cache engages either way
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ["JAX_COMPILATION_CACHE_DIR"],
+                )
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0
+                )
+            except Exception:
+                pass
             _DEV_DEFAULT[0] = jax.default_backend() == "tpu"
         except Exception:
             _DEV_DEFAULT[0] = False
