@@ -1,10 +1,12 @@
-"""Multi-process scaling benchmark for the sharded whole-plane mode search.
+"""Multi-process scaling benchmark for the sharded whole-batch pass-1.
 
-The pod-scale story (SURVEY.md §2.4/§5.8): the batched pass-1 search —
-the encoder's dominant device workload — runs pjit-sharded over a global
-(data, tile) mesh spanning multiple processes. This harness measures that
-program's throughput at 1 and 2 processes (gloo collectives on CPU; the
-same code lays onto ICI/DCN on a TPU pod) and prints the scaling factor.
+The pod-scale story (SURVEY.md §2.4/§5.8): the FULL batched device pass-1
+(ops/device_pass1.run_pass1_batch — every tier/rect/delta search plus the
+partition DP, the program behind every TPU encode) runs pjit-sharded over
+a global (data, tile) mesh spanning multiple processes. This harness
+measures that program's throughput at 1 and 2 processes (gloo collectives
+on CPU; the same code lays onto ICI/DCN on a TPU pod) and prints the
+scaling factor.
 
 Usage:  python tools/scale_bench.py [--n 4] [--size 512]
 Prints one JSON line: {"mp_s_1proc": ..., "mp_s_2proc": ..., "scaling": ...}
@@ -37,28 +39,21 @@ if np_proc > 1:
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=np_proc, process_id=pid)
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from cavif_tpu.ops.block_search import _kernel
+from jax.sharding import Mesh
+from cavif_tpu.ops.device_pass1 import run_pass1_batch
 
 devs = np.array(jax.devices())
 mesh = Mesh(devs.reshape(np_proc * 2, len(devs) // (np_proc * 2)),
             ("data", "tile"))
-n = 16
 rng = np.random.default_rng(0)
-planes = rng.integers(0, 1024, (n_img, 4 * size // n, size)).astype(np.int32)
-f = _kernel(n, 10)
-args = (np.float32(499), np.float32(616), np.float32(30.0))
-sh = NamedSharding(mesh, P("data", "tile", None))
-jf = jax.jit(f, in_shardings=(sh, None, None, None),
-             out_shardings=NamedSharding(mesh, P("data", "tile", None)))
-arr = jax.device_put(jnp.asarray(planes), sh)
-jf(arr, *args)[0].block_until_ready()  # compile + warm
+srcs = rng.integers(0, 256, (n_img, size, size, 3), dtype=np.uint8)
+kw = dict(depth=10, tile_px=(size, size), min_px=4, use_deltas=True,
+          dc_q=499, ac_q=616, lam=30.0, mesh=mesh)
+run_pass1_batch(srcs, **kw)  # compile + warm
 t0 = time.perf_counter()
-reps = 5
+reps = 3
 for _ in range(reps):
-    out = jf(arr, *args)
-out[0].block_until_ready()
+    out = run_pass1_batch(srcs, **kw)
 dt = (time.perf_counter() - t0) / reps
 mp = n_img * size * size / 1e6
 if pid == 0:
@@ -112,8 +107,9 @@ def main():
         "mp_s_1proc": round(r1, 2),
         "mp_s_2proc": round(r2, 2),
         "scaling": round(r2 / r1, 3),
-        "note": "search-kernel MP/s, virtual CPU mesh (8 devices total; "
-                "2-proc splits them 4+4 with gloo collectives)",
+        "note": "whole-batch device pass-1 MP/s, virtual CPU mesh (8 "
+                "devices total; 2-proc splits them 4+4 with gloo "
+                "collectives)",
     }))
 
 
