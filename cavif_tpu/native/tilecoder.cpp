@@ -1467,6 +1467,30 @@ static double ac_bias_env() {
   return v;
 }
 
+// Magnitude-tiered AC bias: coefficients landing above CAVIF_TPU_AC_T
+// (in level units) round with CAVIF_TPU_AC_BIAS_HI instead — the cheap
+// form of trellis marginal-rate weighting (small levels cost more bits
+// per step than large ones). Measured NEGATIVE on the BD corpus (best
+// tiered variant ties flat 0.42 on SSIM and loses PSNR), so the defaults
+// collapse to the flat bias; kept as A/B tooling. Closing the remaining
+// BD-SSIM gap needs context-aware (CDF) coefficient rates — a trellis.
+static double ac_bias_hi_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_AC_BIAS_HI");
+    v = e ? atof(e) : ac_bias_env();
+  }
+  return v;
+}
+static double ac_thresh_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_AC_T");
+    v = e ? atof(e) : 1e30;
+  }
+  return v;
+}
+
 // Mode_To_Txfm_Type: per intra mode, (vertical_adst, horizontal_adst);
 // IDTX/flip types never arise for the derived chroma transform.
 static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
@@ -2061,8 +2085,9 @@ struct BlockPipe {
       for (int x = 0; x < cw; x++) {
         bool is_dc = (y == 0 && x == 0);
         double t = cbuf[y * txw + x] * (is_dc ? inv_dc : inv_ac);
-        // DC rounds to nearest; AC uses a deadzone (transforms.AC_BIAS)
-        double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : ac_bias_env()));
+        double ab = std::fabs(t) >= ac_thresh_env() ? ac_bias_hi_env()
+                                                    : ac_bias_env();
+        double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : ab));
         int32_t lv = (int32_t)(t < 0 ? -a : a);
         int lim = is_dc ? max_dc : max_ac;
         if (lv > lim) lv = lim;
