@@ -1482,6 +1482,34 @@ static double ac_bias_hi_env() {
   }
   return v;
 }
+// CDF-derived bits to code |level| = l (AC; sign included; context-
+// averaged default CDFs at qctx 3 — derivation in the round-2 log).
+// Drives the post-quant level-adjustment pass: the |level|+2 proxy
+// underprices the 3->2 and 2->1 reductions ~3-4x.
+static const double LEVEL_BITS[20] = {
+    0.27, 3.87, 8.00, 11.39, 12.53, 13.49, 13.82, 14.96, 15.92, 16.24,
+    17.38, 18.34, 18.66, 19.80, 20.76, 20.82, 22.82, 22.82, 24.82, 24.82};
+static inline double level_bits(int l) {
+  if (l < 20) return LEVEL_BITS[l];
+  return 24.82 + 0.6 * (l - 19);
+}
+// trellis strength: lambda multiplier per CDF bit (0 = off, the default).
+// Swept on the BD corpus: U <= 0.6 never triggers (the 0.42 deadzone
+// already sits at the RD boundary under this rate model) and stronger
+// settings lose BD-PSNR and BD-SSIM monotonically — post-quant level
+// REDUCTION is the wrong direction here (the deadzone softening that
+// shipped earlier moved levels UP and improved both metrics). Kept as
+// A/B tooling; a real trellis would need per-context CDF rates and
+// joint eob moves.
+static double trellis_u_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_TRELLIS_U");
+    v = e ? atof(e) : 0.0;
+  }
+  return v;
+}
+
 static double ac_thresh_env() {
   static double v = -1.0;
   if (v < 0.0) {
@@ -2095,6 +2123,35 @@ struct BlockPipe {
         lvbuf[y * cw + x] = lv;
         nz |= lv != 0;
       }
+    // CDF-rate level adjustment (trellis-lite): per AC coefficient, step
+    // the level down while the distortion added stays under the true
+    // marginal bit cost (LEVEL_BITS) times lambda * U — the linear proxy
+    // underprices small-level reductions. Runs before the EOB cut so
+    // freshly-zeroed tails get trimmed too.
+    double tru = trellis_u_env();
+    if (nz && lam > 0.0 && tru > 0.0) {
+      double s_ac = (double)ac_q * gsz;
+      nz = false;
+      for (int y = 0; y < ch; y++)
+        for (int x = 0; x < cw; x++) {
+          if (y == 0 && x == 0) { nz |= lvbuf[0] != 0; continue; }
+          int lv = lvbuf[y * cw + x];
+          if (lv) {
+            double cf = std::fabs(cbuf[(size_t)y * txw + x]);
+            int l = lv < 0 ? -lv : lv;
+            for (int step = 0; step < 2 && l > 0; step++) {
+              double d_cur = cf - l * s_ac;
+              double d_new = cf - (l - 1) * s_ac;
+              double dd = d_new * d_new - d_cur * d_cur;
+              double dr = level_bits(l) - level_bits(l - 1);
+              if (dd < lam * tru * dr) l--;
+              else break;
+            }
+            lvbuf[y * cw + x] = lv < 0 ? -l : l;
+            nz |= l != 0;
+          }
+        }
+    }
     // EOB optimization: drop the coefficient tail when the rate saved
     // (|level| + 2 per coefficient, in the search's rate-proxy units)
     // outweighs the added distortion (Parseval: coefficient-domain SSE).
