@@ -238,11 +238,12 @@ def _itx_1d(jnp, lanes, n: int, is_adst: bool, c, sp):
 
 
 @lru_cache(maxsize=None)
-def _inv_kernel(txw: int, txh: int, bit_depth: int, v_adst: int,
-                h_adst: int):
-    """Jitted batched inverse: (B, ch, cw) int32 dequantized-LEVELS input
+def inv_body(txw: int, txh: int, bit_depth: int, v_adst: int,
+             h_adst: int):
+    """Traceable batched inverse: (B, ch, cw) int32 LEVELS input
     -> (B, txh, txw) int32 residuals. Mirrors native inv_txfm_exact's
-    dequant scaling, rect 1/sqrt2, row/col shifts — bit-exact."""
+    dequant scaling, rect 1/sqrt2, row/col shifts — bit-exact.
+    Unjitted so it composes inside larger device programs."""
     import jax
     import jax.numpy as jnp
 
@@ -297,7 +298,15 @@ def _inv_kernel(txw: int, txh: int, bit_depth: int, v_adst: int,
         outc = [(o + (1 << (s1 - 1))) >> s1 for o in outc]
         return jnp.stack(outc, axis=1)  # (B, txh, txw)
 
-    return jax.jit(run, static_argnums=())
+    return run
+
+
+@lru_cache(maxsize=None)
+def _inv_kernel(txw: int, txh: int, bit_depth: int, v_adst: int,
+                h_adst: int):
+    import jax
+
+    return jax.jit(inv_body(txw, txh, bit_depth, v_adst, h_adst))
 
 
 def inv_txfm_batch(levels: np.ndarray, txw: int, txh: int, dc_q: int,

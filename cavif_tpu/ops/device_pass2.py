@@ -1,0 +1,229 @@
+"""Pass-2 reconstruction wavefront on device (uniform-grid executor).
+
+The sequential heart of pass 2 — predict each block from LIVE
+reconstruction, add the exact-integer inverse residual, update the
+reconstruction — expressed as ONE jitted device program. Blocks are
+scheduled into wavefront levels by the true read-dependency DAG (a block
+depends on every block whose pixels its spec neighbor reads touch,
+including above-right/below-left extensions when the BlockDecoded mask
+makes them available); each level executes as a batch: static-index
+gathers of the extended neighbors from the carried recon plane, the
+bit-exact batched predictors (ops/device_predict), the bit-exact integer
+inverse transforms (ops/device_itx), and scatter-updates of the plane.
+
+This is the on-device form of FrameEncoder's pass-2 walk for a uniform
+n x n NONE partition of one plane (the VERDICT round-1 item-4 core):
+given the skeleton's decisions and coded levels, the device reconstructs
+the plane bit-identically to the host walk / the real decoders
+(tests/test_device_pass2.py pins equality against a live FrameEncoder
+encode). The forward (quantization) side stays host-side for now — its
+float64 arithmetic has no TPU equivalent, so a full device pass 2 would
+re-define the quantizer in f32 and re-pin quality, a follow-up.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+def _mask_flags(nby: int, nbx: int):
+    """have_ar / have_bl per 16px block of 64px superblocks, walking the
+    real coding order (z-order within each SB) against the spec
+    BlockDecoded mask — mirrors FrameEncoder._reset_mask/_neighbors_ext
+    for a uniform 16px grid."""
+    have_ar = np.zeros((nby, nbx), bool)
+    have_bl = np.zeros((nby, nbx), bool)
+    zorder = []
+    for qy in (0, 2):
+        for qx in (0, 2):
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    zorder.append((qy + sy, qx + sx))
+    sb_rows = (nby + 3) // 4
+    sb_cols = (nbx + 3) // 4
+    for sbr in range(sb_rows):
+        for sbc in range(sb_cols):
+            mask = np.zeros((18, 18), np.uint8)
+            mask[0, :] = 1
+            mask[1:17, 0] = 1
+            for (zy, zx) in zorder:
+                by, bx = sbr * 4 + zy, sbc * 4 + zx
+                if by >= nby or bx >= nbx:
+                    continue
+                sy, sx = zy * 4, zx * 4  # mi units inside the SB (+1 off)
+                ha = by > 0
+                hl = bx > 0
+                have_ar[by, bx] = ha and bool(mask[sy, sx + 4 + 1])
+                have_bl[by, bx] = hl and bool(mask[sy + 4 + 1, sx])
+                mask[sy + 1 : sy + 5, sx + 1 : sx + 5] = 1
+    return have_ar, have_bl
+
+
+def _schedule(nby: int, nbx: int, have_ar, have_bl):
+    """Topological wavefront levels of the read-dependency DAG."""
+    level = np.zeros((nby, nbx), np.int32)
+    # below-left reads create forward references: iterate to a fixed point
+    for _ in range(2 * (nby + nbx)):
+        changed = False
+        for by in range(nby):
+            for bx in range(nbx):
+                lv = 0
+                if by > 0:
+                    lv = max(lv, level[by - 1, bx] + 1)
+                    if have_ar[by, bx] and bx + 1 < nbx:
+                        lv = max(lv, level[by - 1, bx + 1] + 1)
+                if bx > 0:
+                    lv = max(lv, level[by, bx - 1] + 1)
+                    if have_bl[by, bx] and by + 1 < nby:
+                        lv = max(lv, level[by + 1, bx - 1] + 1)
+                if lv > level[by, bx]:
+                    level[by, bx] = lv
+                    changed = True
+        if not changed:
+            break
+    steps = []
+    for s in range(int(level.max()) + 1):
+        steps.append([tuple(p) for p in np.argwhere(level == s)])
+    return steps
+
+
+@lru_cache(maxsize=None)
+def _wavefront_kernel(key):
+    """Build + jit the whole-plane wavefront recon program for one static
+    schedule. key = (H, W, n, bit_depth, schedule, flags, txmeta) with
+    schedule/flags/txmeta as nested tuples (fully static)."""
+    (H, W, n, bit_depth, steps, har_t, hbl_t, va_t, ha_t) = key
+    import jax
+    import jax.numpy as jnp
+
+    from .device_itx import inv_body
+    from .device_predict import pred_body
+
+    nbx = W // n
+    base = 1 << (bit_depth - 1)
+    maxv = (1 << bit_depth) - 1
+    L = 2 * n
+    pred = pred_body(n, n, bit_depth, True)
+    invs = {
+        (va, ha): inv_body(n, n, bit_depth, va, ha)
+        for va in (0, 1) for ha in (0, 1)
+    }
+    har = np.asarray(har_t, bool).reshape(-1, nbx)
+    hbl = np.asarray(hbl_t, bool).reshape(-1, nbx)
+    vag = np.asarray(va_t, np.int8).reshape(-1, nbx)
+    hag = np.asarray(ha_t, np.int8).reshape(-1, nbx)
+
+    def run(levels, cand, dc_q, ac_q):
+        # levels: (nby, nbx, n, n) int32; cand: (nby, nbx) int32
+        recon = jnp.zeros((H, W), jnp.int32)
+        for blocks in steps:
+            groups = {}
+            for (by, bx) in blocks:
+                groups.setdefault(
+                    (int(vag[by, bx]), int(hag[by, bx])), []
+                ).append((by, bx))
+            updates = []
+            for (va, ha_), blist in groups.items():
+                aes, les, als, haf, hlf, cds, lvs = [], [], [], [], [], [], []
+                for (by, bx) in blist:
+                    y0, x0 = by * n, bx * n
+                    have_a = by > 0
+                    have_l = bx > 0
+                    if not have_a and not have_l:
+                        ae = jnp.full((L,), base - 1, jnp.int32)
+                        le = jnp.full((L,), base + 1, jnp.int32)
+                        alv = jnp.int32(base)
+                    elif not have_a:
+                        n_lv = n + (n if hbl[by, bx] else 0)
+                        ys = np.minimum(
+                            y0 + np.minimum(np.arange(L), n_lv - 1), H - 1
+                        )
+                        le = recon[ys, x0 - 1]
+                        ae = jnp.broadcast_to(le[0], (L,))
+                        alv = le[0]
+                    elif not have_l:
+                        n_av = n + (n if har[by, bx] else 0)
+                        xs = np.minimum(
+                            x0 + np.minimum(np.arange(L), n_av - 1), W - 1
+                        )
+                        ae = recon[y0 - 1, xs]
+                        le = jnp.broadcast_to(ae[0], (L,))
+                        alv = ae[0]
+                    else:
+                        n_av = n + (n if har[by, bx] else 0)
+                        xs = np.minimum(
+                            x0 + np.minimum(np.arange(L), n_av - 1), W - 1
+                        )
+                        ae = recon[y0 - 1, xs]
+                        n_lv = n + (n if hbl[by, bx] else 0)
+                        ys = np.minimum(
+                            y0 + np.minimum(np.arange(L), n_lv - 1), H - 1
+                        )
+                        le = recon[ys, x0 - 1]
+                        alv = recon[y0 - 1, x0 - 1]
+                    aes.append(ae)
+                    les.append(le)
+                    als.append(alv)
+                    haf.append(have_a)
+                    hlf.append(have_l)
+                    cds.append(cand[by, bx])
+                    lvs.append(levels[by, bx])
+                p = pred(
+                    jnp.stack(aes), jnp.stack(les), jnp.stack(als),
+                    jnp.asarray(haf), jnp.asarray(hlf), jnp.stack(cds),
+                )
+                resid = invs[(va, ha_)](jnp.stack(lvs), dc_q, ac_q)
+                rec = jnp.clip(p + resid, 0, maxv)
+                for i, (by, bx) in enumerate(blist):
+                    updates.append((by * n, bx * n, rec[i]))
+            for (y0, x0, blk) in updates:
+                recon = jax.lax.dynamic_update_slice(recon, blk, (y0, x0))
+        return recon
+
+    return jax.jit(run)
+
+
+def recon_wavefront_uniform(
+    levels: np.ndarray,
+    modes: np.ndarray,
+    deltas: np.ndarray,
+    va: np.ndarray,
+    ha: np.ndarray,
+    H: int,
+    W: int,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int = 10,
+    n: int = 16,
+) -> np.ndarray:
+    """Device wavefront reconstruction of one plane under a uniform
+    n x n NONE partition (single tile): levels (nby, nbx, n, n) int32,
+    modes/deltas/va/ha (nby, nbx). Returns the (H, W) int32 recon,
+    bit-exact with the host sequential walk."""
+    import jax.numpy as jnp
+
+    from .device_predict import _cand_index
+
+    nby, nbx = H // n, W // n
+    have_ar, have_bl = _mask_flags(nby, nbx)
+    steps = _schedule(nby, nbx, have_ar, have_bl)
+    idx = _cand_index(True)
+    cand = np.asarray(
+        [[idx[(int(modes[y, x]), int(deltas[y, x]))] for x in range(nbx)]
+         for y in range(nby)], np.int32,
+    )
+    key = (
+        H, W, n, bit_depth,
+        tuple(tuple(b) for b in steps),
+        tuple(have_ar.ravel().tolist()),
+        tuple(have_bl.ravel().tolist()),
+        tuple(np.asarray(va, np.int8).ravel().tolist()),
+        tuple(np.asarray(ha, np.int8).ravel().tolist()),
+    )
+    f = _wavefront_kernel(key)
+    return np.asarray(
+        f(jnp.asarray(levels, jnp.int32), jnp.asarray(cand),
+          jnp.int32(dc_q), jnp.int32(ac_q))
+    )
