@@ -16,9 +16,16 @@ n x n NONE partition of one plane (the VERDICT round-1 item-4 core):
 given the skeleton's decisions and coded levels, the device reconstructs
 the plane bit-identically to the host walk / the real decoders
 (tests/test_device_pass2.py pins equality against a live FrameEncoder
-encode). The forward (quantization) side stays host-side for now — its
-float64 arithmetic has no TPU equivalent, so a full device pass 2 would
-re-define the quantizer in f32 and re-pin quality, a follow-up.
+encode). A 256px plane (45 serial levels) reconstructs in 49 ms on the
+tunnel-attached v5e — one round trip for the whole chain.
+
+Two follow-ups before this executor can take the default path:
+(1) the per-level python unrolling compiles fine to ~256px but the trace
+    explodes at 1MP (4k blocks) — the scalable form is a lax.scan over
+    levels with padded dynamic-index gathers;
+(2) the forward (quantization) side stays host-side — float64 has no TPU
+    equivalent, so a full device pass 2 re-defines the quantizer in f32
+    and re-pins quality like the device pass-1 did.
 """
 
 from __future__ import annotations
