@@ -16,16 +16,16 @@ n x n NONE partition of one plane (the VERDICT round-1 item-4 core):
 given the skeleton's decisions and coded levels, the device reconstructs
 the plane bit-identically to the host walk / the real decoders
 (tests/test_device_pass2.py pins equality against a live FrameEncoder
-encode). A 256px plane (45 serial levels) reconstructs in 49 ms on the
-tunnel-attached v5e — one round trip for the whole chain.
-
-Two follow-ups before this executor can take the default path:
-(1) the per-level python unrolling compiles fine to ~256px but the trace
-    explodes at 1MP (4k blocks) — the scalable form is a lax.scan over
-    levels with padded dynamic-index gathers;
-(2) the forward (quantization) side stays host-side — float64 has no TPU
-    equivalent, so a full device pass 2 re-defines the quantizer in f32
-    and re-pins quality like the device pass-1 did.
+encode). Two executors: the unrolled form (small planes; 256px/45
+serial levels in 49 ms on the v5e, one round trip) and the lax.scan form
+(recon_wavefront_scan, same bits, scales to megapixels: 1MP in 0.80 s on
+the chip). The scan datapoint quantifies why pass 2 stays host-side on a
+tunnel-attached chip: the wavefront is a latency-bound serial chain that
+leaves the MXU idle (host C++ does the same plane in ~130 ms); its value
+is freeing host CPU on direct-attached parts. Follow-ups before
+default-path use: batch the per-step inverse transforms as matmuls (the
+tiny per-lane integer butterflies dominate the 0.8 s) and a
+device-defined f32 forward quantizer (float64 has no TPU equivalent).
 """
 
 from __future__ import annotations
@@ -190,6 +190,149 @@ def _wavefront_kernel(key):
         return recon
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
+                           kmax: int):
+    """Scan-form wavefront: the level body traces ONCE and lax.scan walks
+    the levels with padded per-level inputs (gather indices, candidate
+    ids, levels, output positions) — this is what scales the executor to
+    megapixel planes (the unrolled form's trace explodes past ~256px).
+    Invalid lanes of a level write into a pad row below the plane."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_itx import inv_body
+    from .device_predict import pred_body
+
+    base = 1 << (bit_depth - 1)
+    maxv = (1 << bit_depth) - 1
+    L = 2 * n
+    pred = pred_body(n, n, bit_depth, True)
+    invs = [inv_body(n, n, bit_depth, va, ha)
+            for va in (0, 1) for ha in (0, 1)]
+
+    def body(recon, xs):
+        (ay, ax, ly, lx, aly, alx, case, cand, txv, lv, oy, ox) = xs
+        # gathered neighbor rows/cols (values unused where case disables)
+        ae_g = recon[ay, ax]            # (K, L)
+        le_g = recon[ly, lx]            # (K, L)
+        al_g = recon[aly, alx]          # (K,)
+        c = case[:, None]
+        ae = jnp.where(
+            c == 0, base - 1,
+            jnp.where(c == 1, le_g[:, 0:1], ae_g),
+        )
+        le = jnp.where(
+            c == 0, base + 1,
+            jnp.where(c == 2, ae_g[:, 0:1], le_g),
+        )
+        al = jnp.where(
+            case == 0, base,
+            jnp.where(case == 1, le_g[:, 0],
+                      jnp.where(case == 2, ae_g[:, 0], al_g)),
+        )
+        have_a = (case == 2) | (case == 3)
+        have_l = (case == 1) | (case == 3)
+        p = pred(ae, le, al, have_a, have_l, cand)
+        # all four DCT/ADST variants computed, per-block select (itx at
+        # 16px is cheap relative to one variant-dependent retrace)
+        resids = jnp.stack([f(lv, dc_q[0], ac_q[0]) for f in invs])
+        K = lv.shape[0]
+        resid = jnp.take_along_axis(
+            resids,
+            jnp.broadcast_to(txv[None, :, None, None], (1, K, n, n)),
+            axis=0,
+        )[0]
+        rec = jnp.clip(p + resid, 0, maxv)
+        rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
+        cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
+        recon = recon.at[rows, cols].set(rec)
+        return recon, None
+
+    dc_q = [None]
+    ac_q = [None]
+
+    def run(xs, dcq, acq):
+        dc_q[0] = dcq
+        ac_q[0] = acq
+        recon0 = jnp.zeros((H + n, W), jnp.int32)
+        recon, _ = jax.lax.scan(body, recon0, xs)
+        return recon[:H]
+
+    return jax.jit(run)
+
+
+def recon_wavefront_scan(
+    levels: np.ndarray,
+    modes: np.ndarray,
+    deltas: np.ndarray,
+    va: np.ndarray,
+    ha: np.ndarray,
+    H: int,
+    W: int,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int = 10,
+    n: int = 16,
+) -> np.ndarray:
+    """Scan-form twin of recon_wavefront_uniform (same inputs/outputs,
+    bit-exact with it and with the host walk): scales to megapixel
+    planes. Compilation is per (H, W, n, kmax) — level count and content
+    ride in as scanned data."""
+    import jax.numpy as jnp
+
+    from .device_predict import _cand_index
+
+    nby, nbx = H // n, W // n
+    have_ar, have_bl = _mask_flags(nby, nbx)
+    steps = _schedule(nby, nbx, have_ar, have_bl)
+    idx = _cand_index(True)
+    kmax = max(len(b) for b in steps)
+    S = len(steps)
+    L = 2 * n
+    ay = np.zeros((S, kmax, L), np.int32)
+    ax = np.zeros((S, kmax, L), np.int32)
+    ly = np.zeros((S, kmax, L), np.int32)
+    lx = np.zeros((S, kmax, L), np.int32)
+    aly = np.zeros((S, kmax), np.int32)
+    alx = np.zeros((S, kmax), np.int32)
+    case = np.zeros((S, kmax), np.int32)
+    cand = np.zeros((S, kmax), np.int32)
+    txv = np.zeros((S, kmax), np.int32)
+    lvs = np.zeros((S, kmax, n, n), np.int32)
+    oy = np.full((S, kmax), H, np.int32)  # padding writes land in the pad
+    ox = np.zeros((S, kmax), np.int32)
+    ar = np.arange(L)
+    for s, blocks in enumerate(steps):
+        for k, (by, bx) in enumerate(blocks):
+            y0, x0 = by * n, bx * n
+            have_a = by > 0
+            have_l = bx > 0
+            case[s, k] = (2 if have_a else 0) | (1 if have_l else 0)
+            # above row gather (clamped; unused when have_a false)
+            n_av = n + (n if have_ar[by, bx] else 0)
+            xs_i = np.minimum(x0 + np.minimum(ar, n_av - 1), W - 1)
+            ay[s, k] = max(y0 - 1, 0)
+            ax[s, k] = xs_i
+            n_lv = n + (n if have_bl[by, bx] else 0)
+            ys_i = np.minimum(y0 + np.minimum(ar, n_lv - 1), H - 1)
+            ly[s, k] = ys_i
+            lx[s, k] = max(x0 - 1, 0)
+            aly[s, k] = max(y0 - 1, 0)
+            alx[s, k] = max(x0 - 1, 0)
+            cand[s, k] = idx[(int(modes[by, bx]), int(deltas[by, bx]))]
+            txv[s, k] = int(va[by, bx]) * 2 + int(ha[by, bx])
+            lvs[s, k] = levels[by, bx]
+            oy[s, k] = y0
+            ox[s, k] = x0
+    f = _wavefront_scan_kernel(H, W, n, bit_depth, kmax)
+    xs = tuple(
+        jnp.asarray(v)
+        for v in (ay, ax, ly, lx, aly, alx, case, cand, txv, lvs, oy, ox)
+    )
+    return np.asarray(f(xs, jnp.int32(dc_q), jnp.int32(ac_q)))
 
 
 def recon_wavefront_uniform(

@@ -15,7 +15,10 @@ from cavif_tpu.av1.encoder import FrameEncoder
 from cavif_tpu.av1.opstream import OpTileWriter
 from cavif_tpu.av1.speed import SpeedTweaks
 from cavif_tpu.av1.symbols import PARTITION_NONE
-from cavif_tpu.ops.device_pass2 import recon_wavefront_uniform
+from cavif_tpu.ops.device_pass2 import (
+    recon_wavefront_scan,
+    recon_wavefront_uniform,
+)
 
 
 def test_wavefront_recon_matches_host():
@@ -96,4 +99,11 @@ def test_wavefront_recon_matches_host():
     ref = fe.planes[0].recon[:H, :W]
     assert np.array_equal(got, ref), (
         int(np.abs(got - ref).max()), int((got != ref).sum()),
+    )
+    # the scan-form executor (the scalable one) must agree bit-for-bit
+    got2 = recon_wavefront_scan(
+        levels, modes, deltas, va, ha, H, W, fe.dc_q, fe.ac_q, 10, 16
+    )
+    assert np.array_equal(got2, ref), (
+        int(np.abs(got2 - ref).max()), int((got2 != ref).sum()),
     )
