@@ -216,8 +216,16 @@ class FrameEncoder:
         # on the CPU backend — used by the differential tests)
         dev = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
         if dev is None:
+            # tune=ssim's per-SB adaptive quantization lives in the host
+            # pipeline (native per-SB dequant); honoring the user's tune
+            # choice outranks the device default
+            tune = os.environ.get("CAVIF_TPU_TUNE") or getattr(
+                cfg, "tune", "psnr"
+            )
             self._device_search = (
-                "xla" if _device_backend_default() else None
+                "xla"
+                if tune != "ssim" and _device_backend_default()
+                else None
             )
         elif dev in ("", "0", "off", "none", "host"):
             self._device_search = None
