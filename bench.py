@@ -70,7 +70,7 @@ def main() -> None:
     ncpu = os.cpu_count() or 1
     device = _device_engaged()
     nimg = max(16 if device else 8, ncpu)
-    workers = 2 * ncpu if device else None
+    workers = 2 * ncpu + 1 if device else None
     imgs = [
         np.ascontiguousarray(np.roll(img, 13 * i, axis=1))
         for i in range(nimg)

@@ -112,6 +112,11 @@ class Encoder:
     # SSIM at matched bitrate (BASELINE.md), so the default stays the
     # flat-quantizer "psnr" objective that the headline anchors use.
     tune: str = "psnr"
+    # internal: pass-1 compute placement for this encoder instance.
+    # None = auto (chip when attached), "off" = host cascade, "xla" =
+    # force device. The hybrid batch scheduler sets this per image so the
+    # TPU and the host cores encode different images concurrently.
+    device: Optional[str] = None
 
     @staticmethod
     def new() -> "Encoder":

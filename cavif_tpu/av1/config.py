@@ -36,6 +36,12 @@ class AV1Config:
     # bits flow from textured to smooth regions. "psnr" (default) = flat
     # quantizer, the pure-SSE RD objective of the headline anchors.
     tune: Literal["ssim", "psnr"] = "psnr"
+    # per-stream pass-1 compute placement: None = auto (device when a TPU
+    # backend is attached, CAVIF_TPU_DEVICE_SEARCH env override), "off" =
+    # force the host cascade, "xla"/"pallas" = force the device program.
+    # The hybrid batch scheduler (parallel/batch.py) uses this to run the
+    # chip and the host cores on different images concurrently.
+    device: Optional[str] = None
 
     @property
     def monochrome(self) -> bool:

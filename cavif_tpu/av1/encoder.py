@@ -214,7 +214,9 @@ class FrameEncoder:
         # is attached; CAVIF_TPU_DEVICE_SEARCH overrides (""/"0"/"off"
         # force the host path, "xla"/"pallas" force the device path even
         # on the CPU backend — used by the differential tests)
-        dev = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
+        dev = getattr(cfg, "device", None)
+        if dev is None:
+            dev = os.environ.get("CAVIF_TPU_DEVICE_SEARCH")
         if dev is None:
             # tune=ssim's per-SB adaptive quantization lives in the host
             # pipeline (native per-SB dequant); honoring the user's tune

@@ -85,7 +85,47 @@ def encode_batch(
         )
     if processes and _fork_ok():
         return _encode_batch_procs(enc, images, min(workers, len(images)))
+    if (
+        len(images) >= 3
+        and enc.device is None
+        and _device_engaged()
+    ):
+        return _encode_batch_hybrid(enc, images, min(workers, len(images)))
     with ThreadPoolExecutor(max_workers=min(workers, len(images))) as ex:
+        return list(ex.map(job, range(len(images))))
+
+
+def _encode_batch_hybrid(enc, images, workers: int) -> List[BatchResult]:
+    """Heterogeneous fan-out: the chip and the host cores encode DIFFERENT
+    images concurrently. The device pass-1 round trip serializes on the
+    attachment (~0.18 s/frame through a tunnel), so a handful of in-flight
+    device-path encodes saturate the chip; every additional worker would
+    just queue on it while host cores idle. Workers therefore race to
+    acquire one of CAVIF_TPU_DEVICE_SLOTS device slots (default 5, the
+    measured knee on a 4-core host) and
+    fall back to the host cascade (`device="off"`) when none is free —
+    total throughput approaches device MP/s + host MP/s instead of
+    max(one of them). Both paths produce valid AVIFs; decision quality is
+    measured at parity (BASELINE.md device-vs-host table)."""
+    import threading
+    from dataclasses import replace
+
+    slots = int(os.environ.get("CAVIF_TPU_DEVICE_SLOTS", "5"))
+    sem = threading.Semaphore(slots)
+    host_enc = replace(enc, device="off")
+
+    def job(i: int) -> BatchResult:
+        got = sem.acquire(blocking=False)
+        try:
+            e = enc if got else host_enc
+            return BatchResult(index=i, encoded=_encode_one(e, images[i]))
+        except BaseException as exc:  # per-image isolation
+            return BatchResult(index=i, error=exc)
+        finally:
+            if got:
+                sem.release()
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(job, range(len(images))))
 
 

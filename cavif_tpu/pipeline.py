@@ -52,6 +52,7 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
         matrix_coefficients=_matrix_coefficients(enc.color_model),
         threads=enc.threads,
         tune=enc.tune,
+        device=enc.device,
     )
     if alpha is None:
         return encode_planes(planes, color_cfg, src8=rgb8), None
@@ -66,6 +67,7 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
         matrix_coefficients=None,
         threads=enc.threads,
         tune=enc.tune,
+        device=enc.device,
     )
     # the reference forks color || alpha onto rayon (av1encoder.rs:454);
     # here the two independent AV1 encodes overlap on two threads (the
