@@ -2412,9 +2412,31 @@ def encode_planes(planes: np.ndarray, cfg: AV1Config, src8=None) -> bytes:
     return FrameEncoder(planes, cfg, src8=src8).encode()
 
 
+# CDF-derived bits to code |level| = l (sign included; context-averaged
+# default CDFs) — mirrors the native LEVEL_BITS table exactly.
+_LEVEL_BITS = (
+    0.27, 3.87, 8.00, 11.39, 12.53, 13.49, 13.82, 14.96, 15.92, 16.24,
+    17.38, 18.34, 18.66, 19.80, 20.76, 20.82, 22.82, 22.82, 24.82, 24.82,
+)
+
+
+def _level_bits(l: int) -> float:
+    return _LEVEL_BITS[l] if l < 20 else 24.82 + 0.6 * (l - 19)
+
+
+def _eob_bits_env() -> float:
+    import os
+
+    return float(os.environ.get("CAVIF_TPU_EOB_BITS", "1.2") or 0.0)
+
+
 def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:
     """Drop the coefficient tail when rate saved beats distortion added
-    (same rule as the native pipeline; mutates levels in place)."""
+    (same rule as the native pipeline; mutates levels in place).
+    CAVIF_TPU_EOB_BITS > 0 switches the rate model from the |level|+2
+    proxy to CDF-derived level bits + the eob-position-class saving,
+    scaled by that many proxy-units per bit (identical to the native
+    eob_bits_env path)."""
     if not levels.any() or lam <= 0.0:
         return
     scan = tables.scan(cw, ch)
@@ -2425,6 +2447,7 @@ def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:
     g = transforms.get_gain(cw, ch)
     s_ac, s_dc = float(ac_q) * g, float(dc_q) * g
     cflat = coef.reshape(-1)[scan]
+    ueb = _eob_bits_env()
     dd = dr = 0.0
     best = 0.0
     best_cut = eob
@@ -2434,8 +2457,16 @@ def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:
             cf = float(cflat[si])
             dq = lv * (s_dc if scan[si] == 0 else s_ac)
             dd += cf * cf - (cf - dq) * (cf - dq)
-            dr += abs(lv) + 2.0
-        delta = lam * dr - dd
+            if ueb > 0.0:
+                dr += ueb * _level_bits(abs(lv))
+            else:
+                dr += abs(lv) + 2.0
+        dr_eob = dr
+        if ueb > 0.0:
+            cls_d = int(eob - 1).bit_length() - int(si - 1).bit_length()
+            if cls_d > 0:
+                dr_eob += ueb * 2.0 * cls_d
+        delta = lam * dr_eob - dd
         if delta > best:
             best = delta
             best_cut = si

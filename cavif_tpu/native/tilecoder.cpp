@@ -1519,6 +1519,30 @@ static double ac_thresh_env() {
   return v;
 }
 
+// EOB-cut rate model: 0 = the |level|+2 proxy; > 0 = price the
+// dropped tail with CDF-derived LEVEL_BITS plus the eob-position-class
+// saving, scaled by this many proxy-units per bit (python _eob_optimize
+// mirrors it bit-for-bit for the native/python contract). Default 1.2 =
+// the BD-corpus knee: the gap images (photo/bench1024) gain on BOTH
+// axes (BD-PSNR -0.040->-0.015 / -0.043->-0.018, BD-SSIM +0.0003 each)
+// for a small give-back on the far-ahead smooth gradient; corpus mean
+// BD-PSNR +0.336->+0.338, BD-SSIM -0.00368->-0.00355. 1.6 keeps buying
+// PSNR but costs SSIM (photo -0.0073) — past the knee.
+static double eob_bits_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_EOB_BITS");
+    v = e ? atof(e) : 1.2;
+  }
+  return v;
+}
+
+static inline int bitlen_u32(uint32_t x) {
+  int n = 0;
+  while (x) { n++; x >>= 1; }
+  return n;
+}
+
 // Mode_To_Txfm_Type: per intra mode, (vertical_adst, horizontal_adst);
 // IDTX/flip types never arise for the derived chroma transform.
 static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
@@ -2165,6 +2189,7 @@ struct BlockPipe {
       double s_ac = (double)ac_q * gsz, s_dc = (double)dc_q * gsz;
       double dd = 0.0, dr = 0.0, best = 0.0;
       int best_cut = eob;
+      double ueb = eob_bits_env();
       for (int si = eob - 1; si >= 1; si--) {
         int pos = scan[si];
         int lvv = lvbuf[pos];
@@ -2175,9 +2200,21 @@ struct BlockPipe {
           double e_keep = (cf - dq) * (cf - dq);
           double e_drop = cf * cf;
           dd += e_drop - e_keep;
-          dr += (double)(lvv < 0 ? -lvv : lvv) + 2.0;
+          if (ueb > 0.0)
+            dr += ueb * level_bits(lvv < 0 ? -lvv : lvv);
+          else
+            dr += (double)(lvv < 0 ? -lvv : lvv) + 2.0;
         }
-        double delta = lam * dr - dd;  // net gain of cutting at si
+        double dr_eob = dr;
+        if (ueb > 0.0) {
+          // shorter eob = cheaper position class (~2 bits per class:
+          // the eob_pt symbol probability halves-ish per class plus one
+          // extra literal) — price the class shrink into the cut
+          int cls_d = bitlen_u32((uint32_t)(eob - 1)) -
+                      bitlen_u32((uint32_t)(si - 1));
+          if (cls_d > 0) dr_eob += ueb * 2.0 * (double)cls_d;
+        }
+        double delta = lam * dr_eob - dd;  // net gain of cutting at si
         if (delta > best) { best = delta; best_cut = si; }
       }
       if (best_cut < eob) {
