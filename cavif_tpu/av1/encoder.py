@@ -2041,6 +2041,12 @@ class FrameEncoder:
         cands = sorted(
             {max(1, hint // 2), max(1, hint), hint + 2, min(63, 2 * hint + 4)}
         )
+        # level-search subsample: score every Nth superblock row only
+        # (same spatial-subsample trade as the CDEF search; the argmin
+        # over thousands of edges is insensitive to it). The final apply
+        # below runs the full decoder-exact pass.
+        speed = self.cfg.tweaks.speed_preset
+        sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
         # candidate metric: SSE delta vs the unfiltered recon, accumulated
         # inside the C++ filter pass (level 0 == delta 0)
         t = rec.copy()
@@ -2048,7 +2054,7 @@ class FrameEncoder:
         for c in cands:
             t[0] = rec[0]
             d = deblock_frame(t, *args, (c, c, 0, 0), maps, src, vis,
-                              n_threads=nthr)
+                              n_threads=nthr, row_sub=sub)
             if d[0] < by[0]:
                 by = (d[0], c)
         y = by[1]
@@ -2061,7 +2067,7 @@ class FrameEncoder:
                 t[1] = rec[1]
                 t[2] = rec[2]
                 d = deblock_frame(t, *args, (0, 0, c, c), maps, src, vis,
-                                  n_threads=nthr)
+                                  n_threads=nthr, row_sub=sub)
                 if d[1] < bu[0]:
                     bu = (d[1], c)
                 if d[2] < bv[0]:

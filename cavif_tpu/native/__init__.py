@@ -252,6 +252,7 @@ def _load():
             ctypes.c_int, ctypes.c_int,      # vis_w, vis_h
             ctypes.POINTER(ctypes.c_double),  # sse_out[P] (nullable)
             ctypes.c_int,                    # n_threads
+            ctypes.c_int,                    # row_sub (search subsample)
         ]
         lib.of_deblock.restype = ctypes.c_int
         lib.of_cdef_dirs.argtypes = [
@@ -655,12 +656,15 @@ def build_filter_maps(tile_ops, mi_rows: int, mi_cols: int, num_planes: int):
 
 def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
                   bit_depth: int, levels, maps, src: np.ndarray = None,
-                  vis: tuple = (0, 0), n_threads: int = 1):
+                  vis: tuple = (0, 0), n_threads: int = 1,
+                  row_sub: int = 1):
     """Decoder-exact deblocking in place on the padded (P, Hp, Wp) int32
     reconstruction. levels: (y_vert, y_horz, u, v); maps from
     build_filter_maps. With src (same shape) set, returns the per-plane
     SSE delta (filtered minus unfiltered, against src) over the visible
-    vis=(w, h) crop — the filter-level search metric."""
+    vis=(w, h) crop — the filter-level search metric. row_sub > 1
+    filters/scores only every row_sub'th superblock row (search mode;
+    the final apply must pass 1 for the decoder-exact full pass)."""
     lib = _load()
     _skip, txw, txh, edge_v, edge_h = maps
     P, Hp, Wp = planes.shape
@@ -680,6 +684,7 @@ def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
         sse.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         if sse is not None else None,
         int(n_threads),
+        int(row_sub),
     )
     if rc != 0:
         raise RuntimeError("of_deblock failed")

@@ -5145,9 +5145,18 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
                const uint8_t* txw_l2, const uint8_t* txh_l2,
                const uint8_t* edge_v, const uint8_t* edge_h,
                const int32_t* src, int vis_w, int vis_h, double* sse_out,
-               int n_threads) {
+               int n_threads, int row_sub) {
   using namespace deblock;
   using search::run_threaded;
+  // row_sub > 1 (search mode only): filter + score every row_sub'th 64px
+  // superblock row. The level argmin over thousands of edges is
+  // insensitive to the spatial subsample (same trade the CDEF search
+  // makes); the final apply passes row_sub = 1 for the decoder-exact
+  // full pass.
+  if (row_sub < 1) row_sub = 1;
+  auto sampled = [row_sub](int mr) {
+    return row_sub == 1 || ((mr >> 4) % row_sub) == 0;
+  };
   const size_t grid = (size_t)mi_rows * mi_cols;
   std::mutex acc_mu;
   for (int pl = 0; pl < P; pl++) {
@@ -5168,6 +5177,7 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
         int32_t keep[14];
         double lacc = 0.0;
         for (int mr = r0; mr < r1; mr++) {
+          if (!sampled(mr)) continue;
           for (int mc = 1; mc < mi_cols; mc++) {
             const int x = mc * 4;
             const size_t mi = (size_t)mr * mi_cols + mc;
@@ -5210,6 +5220,7 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
         double lacc = 0.0;
         for (int mc = c0; mc < c1; mc++) {
           for (int mr = 1; mr < mi_rows; mr++) {
+            if (!sampled(mr)) continue;
             const int y = mr * 4;
             const size_t mi = (size_t)mr * mi_cols + mc;
             if (!eh[mi]) continue;
