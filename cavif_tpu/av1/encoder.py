@@ -2273,13 +2273,16 @@ class FrameEncoder:
         h, w = self.cfg.height, self.cfg.width
         src = self._src_stack()
         args = (self.mi_rows, self.mi_cols, self.bit_depth, damping)
-        dirs, vars_ = cdef_dirs(
-            np.ascontiguousarray(base[0]), self.mi_rows, self.mi_cols,
-            self.bit_depth,
-        )
+        from ..utils.trace import span
+
+        threads = self.cfg.threads or (os.cpu_count() or 1)
+        with span("cdef.dirs"):
+            dirs, vars_ = cdef_dirs(
+                np.ascontiguousarray(base[0]), self.mi_rows, self.mi_cols,
+                self.bit_depth, n_threads=threads,
+            )
         # one threaded pass scores every (pri, sec) combo by real output
         # SSE delta; strengths are ACTUAL values (secondary 4 codes as 3)
-        threads = self.cfg.threads or (os.cpu_count() or 1)
         # fast presets score a spatial subsample of the 8x8 blocks and a
         # pruned primary-strength grid; the argmin over thousands of
         # blocks is insensitive to both (A/B: -0.003 dB at speed 4 for a
@@ -2289,8 +2292,10 @@ class FrameEncoder:
         cands = np.array((0,) + pri, np.int32)
         sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
         fast_sec = 1 if speed >= 4 else 0  # secondary strengths {0, 2}
-        acc_y, acc_uv = cdef_search(base, src, *args, cands, skip, dirs,
-                                    vars_, (w, h), threads, sub, fast_sec)
+        with span("cdef.search"):
+            acc_y, acc_uv = cdef_search(base, src, *args, cands, skip, dirs,
+                                        vars_, (w, h), threads, sub,
+                                        fast_sec)
         sec_act = (0, 1, 2, 4)
 
         def best_of(acc):
@@ -2305,8 +2310,9 @@ class FrameEncoder:
         if not (yb[1] or yb[2] or ub[1] or ub[2]):
             return (), (), damping
         out = np.empty_like(base)
-        cdef_apply(base, out, *args, (yb[1], yb[2], ub[1], ub[2]), skip,
-                   dirs, vars_, vis=(w, h), n_threads=threads)
+        with span("cdef.apply"):
+            cdef_apply(base, out, *args, (yb[1], yb[2], ub[1], ub[2]), skip,
+                       dirs, vars_, vis=(w, h), n_threads=threads)
         self._filtered_stack = out
         coded = lambda s: 3 if s == 4 else s
         uv = (((ub[1], coded(ub[2])),) if self.num_planes == 3 else ())

@@ -260,6 +260,7 @@ def _load():
             ctypes.c_int, ctypes.c_int,      # Hp, Wp
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # mi_rows, mi_cols, bd
             _u8p, ctypes.POINTER(ctypes.c_int32),  # dirs, vars (sb8 grids)
+            ctypes.c_int,                    # n_threads
         ]
         lib.of_cdef_dirs.restype = ctypes.c_int
         lib.of_cdef_search.argtypes = [
@@ -692,7 +693,7 @@ def deblock_frame(planes: np.ndarray, mi_rows: int, mi_cols: int,
 
 
 def cdef_dirs(deblocked_luma: np.ndarray, mi_rows: int, mi_cols: int,
-              bit_depth: int):
+              bit_depth: int, n_threads: int = 1):
     """Per-8x8 CDEF direction + variance grids from the deblocked luma
     (padded (Hp, Wp) int32)."""
     lib = _load()
@@ -708,6 +709,7 @@ def cdef_dirs(deblocked_luma: np.ndarray, mi_rows: int, mi_cols: int,
         bit_depth,
         dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         vars_.ctypes.data_as(i32),
+        int(n_threads),
     )
     if rc != 0:
         raise RuntimeError("of_cdef_dirs failed")

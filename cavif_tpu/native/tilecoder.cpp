@@ -5265,18 +5265,22 @@ int of_deblock(int32_t* planes, int P, int Hp, int Wp, int mi_rows,
 // CDEF direction + variance per 8x8 block from the deblocked luma plane.
 // dirs/vars: (sb8r, sb8c) with sb8r = ceil(mi_rows/2), sb8c = ceil(mi_cols/2).
 int of_cdef_dirs(const int32_t* luma, int Hp, int Wp, int mi_rows,
-                 int mi_cols, int bit_depth, uint8_t* dirs, int32_t* vars) {
+                 int mi_cols, int bit_depth, uint8_t* dirs, int32_t* vars,
+                 int n_threads) {
   (void)Hp;
   const int sb8r = (mi_rows + 1) >> 1, sb8c = (mi_cols + 1) >> 1;
-  for (int br = 0; br < sb8r; br++)
-    for (int bc = 0; bc < sb8c; bc++) {
-      int d;
-      int32_t v;
-      cdefns::direction(luma + (size_t)br * 8 * Wp + bc * 8, Wp, bit_depth,
-                        &d, &v);
-      dirs[br * sb8c + bc] = (uint8_t)d;
-      vars[br * sb8c + bc] = v;
-    }
+  auto worker = [&](int r0, int r1) {
+    for (int br = r0; br < r1; br++)
+      for (int bc = 0; bc < sb8c; bc++) {
+        int d;
+        int32_t v;
+        cdefns::direction(luma + (size_t)br * 8 * Wp + bc * 8, Wp,
+                          bit_depth, &d, &v);
+        dirs[br * sb8c + bc] = (uint8_t)d;
+        vars[br * sb8c + bc] = v;
+      }
+  };
+  search::run_threaded(sb8r, n_threads, worker);
   return 0;
 }
 
@@ -5369,21 +5373,24 @@ int of_cdef_apply(const int32_t* in, int32_t* out, int P, int Hp, int Wp,
   using cdefns::FilterParams;
   const int sb8r = (mi_rows + 1) >> 1, sb8c = (mi_cols + 1) >> 1;
   const int cw = mi_cols * 4, ch = mi_rows * 4;
-  // (plane, block-row slab) work items; 8x8 blocks write disjoint pixels
-  struct Item { int pl, br0, br1; };
+  // (plane, block-row slab) work items; 8x8 blocks write disjoint pixels.
+  // The in->out plane copy runs INSIDE the slabs (copy_only for planes
+  // with zero strengths): a single-threaded up-front memcpy of the padded
+  // stack (~400 MB at 8K) dominated the whole apply.
+  struct Item { int pl, br0, br1; bool copy_only; };
   std::vector<Item> items;
   const int slab = 8;
+  const bool need_copy = out && out != in;
   for (int pl = 0; pl < P; pl++) {
     const bool luma = pl == 0;
     const int pri = luma ? strengths[0] : strengths[2];
     const int sec = luma ? strengths[1] : strengths[3];
     if (sse_out) sse_out[pl] = 0.0;
-    if (out && out + (size_t)pl * Hp * Wp != in + (size_t)pl * Hp * Wp)
-      std::memcpy(out + (size_t)pl * Hp * Wp, in + (size_t)pl * Hp * Wp,
-                  (size_t)Hp * Wp * sizeof(int32_t));
-    if (pri == 0 && sec == 0) continue;
+    const bool copy_only = pri == 0 && sec == 0;
+    if (copy_only && !need_copy) continue;
     for (int br = 0; br < sb8r; br += slab)
-      items.push_back({pl, br, br + slab < sb8r ? br + slab : sb8r});
+      items.push_back({pl, br, br + slab < sb8r ? br + slab : sb8r,
+                       copy_only});
   }
   if (n_threads < 1) n_threads = 1;
   if ((size_t)n_threads > items.size()) n_threads = (int)items.size();
@@ -5400,6 +5407,16 @@ int of_cdef_apply(const int32_t* in, int32_t* out, int P, int Hp, int Wp,
       const int32_t* ip = in + (size_t)pl * Hp * Wp;
       int32_t* op = out ? out + (size_t)pl * Hp * Wp : nullptr;
       const int32_t* sp = src ? src + (size_t)pl * Hp * Wp : nullptr;
+      if (need_copy) {
+        // slab rows in pixels; the last slab also covers the padded tail
+        const int y0 = item.br0 * 8;
+        int y1 = item.br1 * 8;
+        if (item.br1 >= sb8r) y1 = Hp;
+        if (y1 > Hp) y1 = Hp;
+        std::memcpy(op + (size_t)y0 * Wp, ip + (size_t)y0 * Wp,
+                    (size_t)(y1 - y0) * Wp * sizeof(int32_t));
+      }
+      if (item.copy_only) continue;
       const bool luma = pl == 0;
       FilterParams fp;
       fp.pri = luma ? strengths[0] : strengths[2];
