@@ -1889,6 +1889,10 @@ class FrameEncoder:
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
         lam = self._lambda()
+        _trellis_optimize(
+            levels, coef, self.dc_q, self.ac_q, cw, ch, txw, txh, lam,
+            1 if pl > 0 else 0, self.base_q,
+        )
         _eob_optimize(levels, coef, self.dc_q, self.ac_q, cw, ch, lam)
         # RD cost of this quantization (C++ BlockPipe computes identically)
         g2 = transforms.get_gain(cw, ch)
@@ -2440,6 +2444,126 @@ def _eob_bits_env() -> float:
     import os
 
     return float(os.environ.get("CAVIF_TPU_EOB_BITS", "1.2") or 0.0)
+
+
+def _trellis_env() -> float:
+    import os
+
+    return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "0.0") or 0.0)
+
+
+def _trellis_cost_level(l: int, is_eob: bool, baserow, brrow) -> int:
+    """Bits (1/128 units) to code |level| = l in fixed contexts: base
+    symbol (base_eob row at the eob-1 position), up to 4 coeff_br rounds
+    past level 2, golomb tail past 14, plus 1 bit of sign. Mirrors the
+    native trellis_cost_level exactly (shared uint16 cost tables)."""
+    if l == 0:
+        return 0 if is_eob else int(baserow[0])
+    c = int(baserow[min(l, 3) - 1] if is_eob else baserow[min(l, 3)])
+    c += 128  # sign bit
+    if l > 2:
+        rem = min(l, 15) - 3
+        for _ in range(4):
+            sym = min(rem, 3)
+            c += int(brrow[sym])
+            rem -= sym
+            if sym < 3:
+                break
+        if l > 14:
+            n = (l - 14).bit_length()
+            c += 128 * (2 * n - 1)
+    return c
+
+
+def _trellis_optimize(
+    levels, coef, dc_q, ac_q, cw, ch, txw, txh, lam, ptype, base_q
+) -> None:
+    """Context-aware trellis (libaom optimize_txb analog): walk the
+    coefficients in coding (reverse-scan) order and step each |level|
+    down while the distortion added stays under lambda * U * the CDF
+    bit saving priced with the REAL coding contexts — base/base_eob ctx
+    from the already-decided neighbors, br rounds, golomb, sign. The
+    last coefficient stays >= 1 (the eob does not move; _eob_optimize
+    owns tail cuts). Bit-for-bit mirror of the native compute_txb pass;
+    mutates levels in place. CAVIF_TPU_TRELLIS_CTX = lambda multiplier
+    per CDF bit (0 = off)."""
+    u = _trellis_env()
+    if u <= 0.0 or lam <= 0.0 or not levels.any():
+        return
+    from .symbols import q_ctx, txsize_ctx
+
+    scan = tables.scan(cw, ch)
+    nzoff = tables.nz_off(cw, ch).reshape(-1)
+    flat = levels.reshape(-1)
+    sc = flat[scan]
+    nzp = np.nonzero(sc)[0]
+    eob = int(nzp[-1]) + 1
+    qctx = q_ctx(base_q)
+    tctx = txsize_ctx(txw, txh)
+    tb = tables.trellis_cost("base_cdf")[qctx, tctx, ptype]
+    te = tables.trellis_cost("base_eob_cdf")[qctx, tctx, ptype]
+    tbr = tables.trellis_cost("br_cdf")[qctx, min(tctx, 3), ptype]
+    g = transforms.get_gain(cw, ch)
+    s_ac, s_dc = float(ac_q) * g, float(dc_q) * g
+    area = cw * ch
+    pad = np.zeros((ch + 2, cw + 2), dtype=np.int32)
+    cflat = coef.reshape(-1)
+    for si in range(eob - 1, -1, -1):
+        pos = int(scan[si])
+        row, col = pos // cw, pos % cw
+        lv = int(flat[pos])
+        l = -lv if lv < 0 else lv
+        if l > 0:
+            is_eob = si == eob - 1
+            if is_eob:
+                if si == 0:
+                    ectx = 0
+                elif si <= area // 8:
+                    ectx = 1
+                elif si <= area // 4:
+                    ectx = 2
+                else:
+                    ectx = 3
+                baserow = te[ectx]
+            else:
+                mag = (
+                    min(int(pad[row, col + 1]), 3)
+                    + min(int(pad[row + 1, col]), 3)
+                    + min(int(pad[row + 1, col + 1]), 3)
+                    + min(int(pad[row, col + 2]), 3)
+                    + min(int(pad[row + 2, col]), 3)
+                )
+                mctx = min((mag + 1) >> 1, 4)
+                bctx = 0 if pos == 0 else mctx + int(nzoff[pos])
+                baserow = tb[bctx]
+            magb = (
+                min(int(pad[row, col + 1]), 15)
+                + min(int(pad[row + 1, col]), 15)
+                + min(int(pad[row + 1, col + 1]), 15)
+            )
+            bmag = min((magb + 1) >> 1, 6)
+            if pos == 0:
+                brctx = bmag
+            elif row < 2 and col < 2:
+                brctx = bmag + 7
+            else:
+                brctx = bmag + 14
+            brrow = tbr[brctx]
+            q = s_dc if pos == 0 else s_ac
+            cf = abs(float(cflat[pos]))
+            min_l = 1 if is_eob else 0
+            while l > min_l:
+                d_cur = cf - l * q
+                d_new = cf - (l - 1) * q
+                dd = d_new * d_new - d_cur * d_cur
+                dr = _trellis_cost_level(l, is_eob, baserow, brrow) - \
+                    _trellis_cost_level(l - 1, is_eob, baserow, brrow)
+                if dd < lam * u * (dr / 128.0):
+                    l -= 1
+                else:
+                    break
+            flat[pos] = -l if lv < 0 else l
+        pad[row, col] = min(l, 127)
 
 
 def _eob_optimize(levels, coef, dc_q, ac_q, cw, ch, lam) -> None:

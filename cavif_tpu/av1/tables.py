@@ -165,6 +165,30 @@ def ac_q(qindex: int, bit_depth: int) -> int:
     return int(_npz()[f"ac_q_{bit_depth}"][qindex])
 
 
+@lru_cache(maxsize=None)
+def trellis_cost(which: str) -> np.ndarray:
+    """uint16 symbol-cost tables in 1/128-bit units derived from the
+    default (frame-initial) coefficient CDFs — the rate model of the
+    context-aware trellis quantization pass. Computed once here and
+    uploaded to the native tilecoder verbatim so both backends price
+    identically (no cross-language log2 rounding drift).
+
+    which: "base_cdf" (4 syms), "base_eob_cdf" (3), "br_cdf" (4);
+    output shape = the CDF table's shape with the last axis trimmed to
+    nsym. cost[sym] = round((15 - log2(P(sym)*32768)) * 128)."""
+    nsym = {"base_cdf": 4, "base_eob_cdf": 3, "br_cdf": 4}[which]
+    raw = get(which)
+    icdf = raw.reshape(-1, raw.shape[-1])[:, :nsym].astype(np.int64)
+    lo = icdf.copy()
+    lo[:, -1] = 0
+    hi = np.empty_like(icdf)
+    hi[:, 0] = 32768
+    hi[:, 1:] = icdf[:, :-1]
+    p = np.maximum(hi - lo, 1)
+    cost = np.rint((15.0 - np.log2(p)) * 128.0).astype(np.uint16)
+    return np.ascontiguousarray(cost.reshape(raw.shape[:-1] + (nsym,)))
+
+
 # -- scans / context offsets -------------------------------------------------
 
 @lru_cache(maxsize=None)

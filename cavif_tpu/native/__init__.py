@@ -305,6 +305,18 @@ def _install_tables(lib) -> None:
         )
         if rc != 0:
             raise RuntimeError(f"tc_set_cdf_table({name}) failed")
+    # context-aware trellis cost tables (1/128-bit units, derived in
+    # tables.trellis_cost from the same default CDFs — uploaded rather
+    # than recomputed so both backends price bit-identically)
+    for name, tid in (
+        ("base_cdf", 21), ("base_eob_cdf", 22), ("br_cdf", 23),
+    ):
+        arr = np.ascontiguousarray(tables.trellis_cost(name), dtype=np.uint16)
+        rc = lib.tc_set_cdf_table(
+            tid, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), arr.size
+        )
+        if rc != 0:
+            raise RuntimeError(f"tc_set_cdf_table(trellis:{name}) failed")
     for w, h in _SCAN_SIZES:
         scan = np.ascontiguousarray(tables.scan(w, h), dtype=np.int32)
         nz = np.ascontiguousarray(tables.nz_off(w, h), dtype=np.uint8)

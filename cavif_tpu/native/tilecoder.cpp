@@ -57,6 +57,11 @@ struct SpecTables {
   std::vector<uint16_t> intra_ext_tx; // (2, 4, 13, 17)  nsym 7 (set1) / 5 (set2)
   std::vector<uint16_t> cfl_sign;   // (9,)             nsym 8
   std::vector<uint16_t> cfl_alpha;  // (6, 17)          nsym 16
+  // context-aware trellis symbol costs (1/128-bit units, uploaded from
+  // python tables.trellis_cost so both backends price bit-identically)
+  std::vector<uint16_t> trellis_base;     // (4, 5, 2, 42, 4)
+  std::vector<uint16_t> trellis_base_eob; // (4, 5, 2, 4, 3)
+  std::vector<uint16_t> trellis_br;       // (4, 5, 2, 21, 4)
   // scans (forward diagonal) + coeff-base context offsets, per (w, h)
   // coded-area size; index = (log2(w)-2)*4 + (log2(h)-2), sizes 4..32.
   std::vector<int32_t> scan[16];
@@ -1484,8 +1489,8 @@ static double ac_bias_hi_env() {
 }
 // CDF-derived bits to code |level| = l (AC; sign included; context-
 // averaged default CDFs at qctx 3 — derivation in the round-2 log).
-// Drives the post-quant level-adjustment pass: the |level|+2 proxy
-// underprices the 3->2 and 2->1 reductions ~3-4x.
+// Drives the EOB-cut rate model (eob_bits_env); the context-aware
+// trellis below prices with the per-context tables instead.
 static const double LEVEL_BITS[20] = {
     0.27, 3.87, 8.00, 11.39, 12.53, 13.49, 13.82, 14.96, 15.92, 16.24,
     17.38, 18.34, 18.66, 19.80, 20.76, 20.82, 22.82, 22.82, 24.82, 24.82};
@@ -1493,21 +1498,51 @@ static inline double level_bits(int l) {
   if (l < 20) return LEVEL_BITS[l];
   return 24.82 + 0.6 * (l - 19);
 }
-// trellis strength: lambda multiplier per CDF bit (0 = off, the default).
-// Swept on the BD corpus: U <= 0.6 never triggers (the 0.42 deadzone
-// already sits at the RD boundary under this rate model) and stronger
-// settings lose BD-PSNR and BD-SSIM monotonically — post-quant level
-// REDUCTION is the wrong direction here (the deadzone softening that
-// shipped earlier moved levels UP and improved both metrics). Kept as
-// A/B tooling; a real trellis would need per-context CDF rates and
-// joint eob moves.
-static double trellis_u_env() {
+// Context-aware trellis strength: lambda multiplier per CDF bit
+// (0 = off). Unlike the removed context-FREE variant (which priced
+// every reduction with the averaged LEVEL_BITS and measured negative:
+// it over-reduces clustered coefficients whose real contexts are cheap
+// and under-reduces isolated ones), this pass prices each |level| step
+// with the REAL coding contexts — base/base_eob ctx from the
+// already-decided reverse-scan neighbors, br rounds, golomb tail and
+// the sign bit — using the uploaded trellis_* cost tables (the same
+// default CDFs the range coder initializes with).
+static double trellis_ctx_env() {
   static double v = -1.0;
   if (v < 0.0) {
-    const char* e = getenv("CAVIF_TPU_TRELLIS_U");
+    const char* e = getenv("CAVIF_TPU_TRELLIS_CTX");
     v = e ? atof(e) : 0.0;
   }
   return v;
+}
+
+static inline int bitlen_u32(uint32_t x);
+
+// Bits (1/128 units) to code |level| = L in fixed contexts: base symbol
+// (base_eob row at the eob-1 position, base row otherwise), up to 4
+// coeff_br rounds past level 2, golomb tail past 14, plus 1 bit of sign
+// (dc_sign is ~uniform). Mirrored exactly by encoder._trellis_cost_level.
+static inline int trellis_cost_level(int L, bool is_eob,
+                                     const uint16_t* baserow,
+                                     const uint16_t* brrow) {
+  if (L == 0) return is_eob ? 0 : (int)baserow[0];
+  int c = is_eob ? (int)baserow[(L < 3 ? L : 3) - 1]
+                 : (int)baserow[L < 3 ? L : 3];
+  c += 128;  // sign bit
+  if (L > 2) {
+    int rem = (L < 15 ? L : 15) - 3;
+    for (int r = 0; r < 4; r++) {
+      int sym = rem < 3 ? rem : 3;
+      c += (int)brrow[sym];
+      rem -= sym;
+      if (sym < 3) break;
+    }
+    if (L > 14) {
+      int n = bitlen_u32((uint32_t)(L - 14));
+      c += 128 * (2 * n - 1);
+    }
+  }
+  return c;
 }
 
 static double ac_thresh_env() {
@@ -1561,6 +1596,7 @@ struct BlockPipe {
   int mi_r1, mi_c1;  // tile end (mi units, clamped to frame)
   int bit_depth;
   int dc_q, ac_q;
+  int qctx = 3;  // frame-level coefficient-CDF quality context (q_ctx)
   double gain;
   double lam = 0.0;  // RD weight for coefficient-tail optimization
 
@@ -2147,34 +2183,90 @@ struct BlockPipe {
         lvbuf[y * cw + x] = lv;
         nz |= lv != 0;
       }
-    // CDF-rate level adjustment (trellis-lite): per AC coefficient, step
-    // the level down while the distortion added stays under the true
-    // marginal bit cost (LEVEL_BITS) times lambda * U — the linear proxy
-    // underprices small-level reductions. Runs before the EOB cut so
-    // freshly-zeroed tails get trimmed too.
-    double tru = trellis_u_env();
-    if (nz && lam > 0.0 && tru > 0.0) {
-      double s_ac = (double)ac_q * gsz;
-      nz = false;
-      for (int y = 0; y < ch; y++)
-        for (int x = 0; x < cw; x++) {
-          if (y == 0 && x == 0) { nz |= lvbuf[0] != 0; continue; }
-          int lv = lvbuf[y * cw + x];
-          if (lv) {
-            double cf = std::fabs(cbuf[(size_t)y * txw + x]);
-            int l = lv < 0 ? -lv : lv;
-            for (int step = 0; step < 2 && l > 0; step++) {
-              double d_cur = cf - l * s_ac;
-              double d_new = cf - (l - 1) * s_ac;
-              double dd = d_new * d_new - d_cur * d_cur;
-              double dr = level_bits(l) - level_bits(l - 1);
-              if (dd < lam * tru * dr) l--;
-              else break;
-            }
-            lvbuf[y * cw + x] = lv < 0 ? -l : l;
-            nz |= l != 0;
+    // Context-aware trellis (libaom optimize_txb analog): walk the
+    // coefficients in coding (reverse-scan) order and step each |level|
+    // down while the distortion added stays under lambda * U * the CDF
+    // bit saving priced with the REAL coding contexts — base/base_eob
+    // ctx from the already-decided neighbors (pad mirrors the writer's
+    // context state with the ADJUSTED levels), br rounds, golomb, sign.
+    // The last coefficient stays >= 1 (the eob does not move; the EOB
+    // cut below owns tail moves). encoder._trellis_optimize mirrors
+    // this pass bit-for-bit.
+    double tru = trellis_ctx_env();
+    if (nz && lam > 0.0 && tru > 0.0 && !g_tables.trellis_base.empty()) {
+      int sidx = size_idx(cw, ch);
+      const int32_t* scan = g_tables.scan[sidx].data();
+      const uint8_t* nzoff = g_tables.nzoff[sidx].data();
+      int area = cw * ch;
+      int eob = 0;
+      for (int i = area - 1; i >= 0; i--)
+        if (lvbuf[scan[i]] != 0) { eob = i + 1; break; }
+      int tctx = txsize_ctx(txw, txh);
+      int pt = pl > 0 ? 1 : 0;
+      const uint16_t* tb =
+          &g_tables.trellis_base[((((size_t)qctx * 5 + tctx) * 2 + pt) * 42) * 4];
+      const uint16_t* te =
+          &g_tables.trellis_base_eob[((((size_t)qctx * 5 + tctx) * 2 + pt) * 4) * 3];
+      int brt = tctx < 3 ? tctx : 3;
+      const uint16_t* tbr =
+          &g_tables.trellis_br[((((size_t)qctx * 5 + brt) * 2 + pt) * 21) * 4];
+      double s_ac = (double)ac_q * gsz, s_dc = (double)dc_q * gsz;
+      int padw = cw + 2;
+      int32_t padbuf[34 * 34];
+      std::memset(padbuf, 0, sizeof(int32_t) * (size_t)(ch + 2) * padw);
+      for (int si = eob - 1; si >= 0; si--) {
+        int pos = scan[si];
+        int row = pos / cw, col = pos % cw;
+        int lv = lvbuf[pos];
+        int l = lv < 0 ? -lv : lv;
+        if (l > 0) {
+          bool is_eob = si == eob - 1;
+          const uint16_t* baserow;
+          if (is_eob) {
+            int ectx = si == 0 ? 0
+                       : si <= area / 8 ? 1
+                       : si <= area / 4 ? 2 : 3;
+            baserow = te + (size_t)ectx * 3;
+          } else {
+            const int32_t* p0 = &padbuf[(size_t)row * padw + col];
+            int mag = (p0[1] < 3 ? p0[1] : 3) +
+                      (p0[padw] < 3 ? p0[padw] : 3) +
+                      (p0[padw + 1] < 3 ? p0[padw + 1] : 3) +
+                      (p0[2] < 3 ? p0[2] : 3) +
+                      (p0[2 * padw] < 3 ? p0[2 * padw] : 3);
+            int mctx = (mag + 1) >> 1;
+            if (mctx > 4) mctx = 4;
+            int bctx = pos == 0 ? 0 : mctx + (int)nzoff[pos];
+            baserow = tb + (size_t)bctx * 4;
           }
+          const int32_t* p0 = &padbuf[(size_t)row * padw + col];
+          int magb = (p0[1] < 15 ? p0[1] : 15) +
+                     (p0[padw] < 15 ? p0[padw] : 15) +
+                     (p0[padw + 1] < 15 ? p0[padw + 1] : 15);
+          int bmag = (magb + 1) >> 1;
+          if (bmag > 6) bmag = 6;
+          int brctx = pos == 0 ? bmag
+                      : (row < 2 && col < 2) ? bmag + 7 : bmag + 14;
+          const uint16_t* brrow = tbr + (size_t)brctx * 4;
+          double q = pos == 0 ? s_dc : s_ac;
+          double cf = std::fabs(cbuf[(size_t)row * txw + col]);
+          int min_l = is_eob ? 1 : 0;
+          while (l > min_l) {
+            double d_cur = cf - l * q;
+            double d_new = cf - (l - 1) * q;
+            double dd = d_new * d_new - d_cur * d_cur;
+            int dr = trellis_cost_level(l, is_eob, baserow, brrow) -
+                     trellis_cost_level(l - 1, is_eob, baserow, brrow);
+            if (dd < lam * tru * ((double)dr / 128.0)) l--;
+            else break;
+          }
+          lvbuf[pos] = lv < 0 ? -l : l;
         }
+        padbuf[(size_t)row * padw + col] = l < 127 ? l : 127;
+      }
+      nz = false;
+      for (int i = 0; i < ch * cw; i++)
+        if (lvbuf[i]) { nz = true; break; }
     }
     // EOB optimization: drop the coefficient tail when the rate saved
     // (|level| + 2 per coefficient, in the search's rate-proxy units)
@@ -3589,6 +3681,9 @@ int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
     case 18: dst = &T.intra_ext_tx; break;
     case 19: dst = &T.cfl_sign; break;
     case 20: dst = &T.cfl_alpha; break;
+    case 21: dst = &T.trellis_base; break;
+    case 22: dst = &T.trellis_base_eob; break;
+    case 23: dst = &T.trellis_br; break;
     default: return -1;
   }
   dst->assign(data, data + n);
@@ -3650,6 +3745,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
+  bp.qctx = q_ctx(base_q);
   bp.cfl_search = cfl_search;
   bp.edge_filter = edge_filter;
   bp.tx_exhaustive = tx_exhaustive;
