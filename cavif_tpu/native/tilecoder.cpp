@@ -1506,12 +1506,17 @@ static inline double level_bits(int l) {
 // with the REAL coding contexts — base/base_eob ctx from the
 // already-decided reverse-scan neighbors, br rounds, golomb tail and
 // the sign bit — using the uploaded trellis_* cost tables (the same
-// default CDFs the range coder initializes with).
+// default CDFs the range coder initializes with). Default 1.2 = the
+// BD-corpus knee (tools/trellis_sweep.py): photo/bench1024 — the two
+// images that trailed libaom-s6 — flip BD-PSNR positive (-0.014/-0.018
+// -> +0.010/+0.009 dB) at ~flat mean BD-SSIM; every corpus image is
+// then BD-PSNR-positive. Stronger keeps buying PSNR on those images
+// but BD-SSIM falls off fast (-0.0041 at 1.6, -0.0056 at 2.4).
 static double trellis_ctx_env() {
   static double v = -1.0;
   if (v < 0.0) {
     const char* e = getenv("CAVIF_TPU_TRELLIS_CTX");
-    v = e ? atof(e) : 0.0;
+    v = e ? atof(e) : 1.2;
   }
   return v;
 }
