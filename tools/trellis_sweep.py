@@ -46,6 +46,8 @@ def main():
     from ab_quality import images
     from bdrate import _bd_quality, _bd_rate, _metrics
 
+    # each arg is either a bare trellis strength ("1.2") or a comma-
+    # separated env combo ("CAVIF_TPU_EOB_BITS=0.8,CAVIF_TPU_AC_BIAS=0.46")
     us = sys.argv[1:] or ["0", "0.3", "0.6", "0.9", "1.2"]
     anchors = {}
     for name, img in images():
@@ -56,8 +58,13 @@ def main():
             pts.append((buf.tell(),) + _metrics(img, buf.getvalue()))
         anchors[name] = pts
     for u in us:
-        env = {**os.environ, "CAVIF_TPU_TRELLIS_CTX": u,
-               "CAVIF_TPU_TUNE": "psnr"}
+        env = {**os.environ, "CAVIF_TPU_TUNE": "psnr"}
+        if "=" in u:
+            for kv in u.split(","):
+                k, _, v = kv.partition("=")
+                env[k] = v
+        else:
+            env["CAVIF_TPU_TRELLIS_CTX"] = u
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
             capture_output=True, env=env,
