@@ -21,6 +21,42 @@ import numpy as np
 REF_MPS = 3.0  # estimated cavif --quality 80 --speed 4 multithread MP/s
 
 
+def _libaom_anchor(img: np.ndarray, our_bytes: int):
+    """Measured same-VM anchor: libaom speed 6 (via Pillow/libavif) encoding
+    the same content at matched output size. cavif itself cannot run here
+    (no Rust toolchain, no egress — BASELINE.md), so libaom-s6 is the
+    measured stand-in; rav1e s4 (cavif's engine) is generally slower than
+    libaom s6 at matched quality, so this anchor is conservative.
+
+    Returns (libaom_mps, libaom_bytes, quality) or None if Pillow lacks
+    AVIF support in this environment."""
+    import io
+
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    pim = Image.fromarray(img)
+    try:
+        # coarse sweep to find the quality whose size best matches ours
+        sizes = {}
+        for q in (45, 55, 65, 75):
+            buf = io.BytesIO()
+            pim.save(buf, format="AVIF", quality=q, speed=6)
+            sizes[q] = buf.tell()
+    except Exception:
+        return None
+    q = min(sizes, key=lambda k: abs(sizes[k] - our_bytes))
+    times = []
+    for _ in range(3):
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        pim.save(buf, format="AVIF", quality=q, speed=6)
+        times.append(time.perf_counter() - t0)
+    mp = img.shape[0] * img.shape[1] / 1e6
+    return mp / min(times), sizes[q], q
+
+
 def _test_image(h: int, w: int) -> np.ndarray:
     """Photo-like synthetic content: smooth shading + texture + edges."""
     rng = np.random.default_rng(42)
@@ -85,6 +121,17 @@ def main() -> None:
 
     mp = img.shape[0] * img.shape[1] / 1e6
     mps = mp / min(dt_single, dt_batch)
+    anchor = _libaom_anchor(img, len(out.avif_file))
+    if anchor is not None:
+        aom_mps, aom_bytes, aom_q = anchor
+        measured = {
+            "libaom_s6_mps": round(aom_mps, 3),
+            "libaom_s6_bytes": aom_bytes,
+            "libaom_s6_quality": aom_q,
+            "vs_libaom_measured": round(mps / aom_mps, 3),
+        }
+    else:
+        measured = {"vs_libaom_measured": None}
     print(
         json.dumps(
             {
@@ -92,6 +139,7 @@ def main() -> None:
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(mps / REF_MPS, 3),
+                **measured,
                 "detail": {
                     "image": "1024x1024 synthetic photo-like RGB",
                     "avif_bytes": len(out.avif_file),

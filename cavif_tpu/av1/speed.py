@@ -31,9 +31,23 @@ class SpeedTweaks:
     fast_deblock: bool
     lrf: bool
     cdef: bool
+    # -- carried for parity with the reference matrix, no-ops here --------
+    # inter_tx_split (av1encoder.rs:592, enable_inter_tx_split) splits
+    # INTER-block transforms; this encoder is still_picture intra-only, so
+    # there is nothing to split (N/A-for-intra, like rav1e at speed>=9 on
+    # a still image).
     inter_tx_split: bool
+    # tx_domain_rate (av1encoder.rs:593) switches rav1e's RDO rate estimate
+    # from entropy-coder lookahead to a transform-domain proxy at s>=10.
+    # This build's search rate model is ALREADY transform-domain at every
+    # speed (CDF-priced |level| bits on the quantized coefficients —
+    # block_search / device_pass1 / tilecoder rd_cost), so the toggle has
+    # no distinct slow path to switch away from; carried as documentation.
     tx_domain_rate: bool
     tx_domain_distortion: None  # never overridden in the reference
+    # use_satd_subpel (av1encoder.rs:596) tunes subpel MOTION search; no
+    # motion vectors exist in a still-picture intra encode (N/A-for-intra).
+    # The reference also pins it false unconditionally.
     use_satd_subpel: bool
     min_tile_size: int
 
