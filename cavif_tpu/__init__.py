@@ -44,6 +44,8 @@ __all__ = [
     "Encoder",
     "EncodedImage",
     "ColorModel",
+    "MatrixCoefficients",
+    "PixelRange",
     "AlphaColorMode",
     "BitDepth",
     "CavifError",
@@ -60,6 +62,28 @@ class ColorModel(enum.Enum):
 
     YCbCr = "ycbcr"
     RGB = "rgb"
+
+
+class MatrixCoefficients(enum.IntEnum):
+    """CICP matrix-coefficient code points accepted by the raw-planes API —
+    exactly the set the reference's serializer maps (av1encoder.rs:459-468);
+    anything else raises UnsupportedError("matrix coefficients")."""
+
+    Identity = 0  # the reference's Rgb: G,B,R planes coded identity
+    Bt709 = 1
+    Unspecified = 2
+    Bt601 = 6
+    YCgCo = 8
+    Bt2020Ncl = 9
+    Bt2020Cl = 10
+
+
+class PixelRange(enum.Enum):
+    """Color-stream sample range (rav1e PixelRange; av1encoder.rs:375, 443).
+    Alpha is always coded full-range regardless."""
+
+    Limited = "limited"
+    Full = "full"
 
 
 class AlphaColorMode(enum.Enum):
@@ -190,6 +214,78 @@ class Encoder:
         from .pipeline import encode_rgb_pipeline
 
         return encode_rgb_pipeline(self, rgb)
+
+    def encode_raw_planes_8bit(
+        self,
+        planes: np.ndarray,
+        alpha: Optional[np.ndarray] = None,
+        *,
+        color_pixel_range: PixelRange = PixelRange.Full,
+        matrix_coefficients=MatrixCoefficients.Bt601,
+    ) -> EncodedImage:
+        """Encode already-converted 8-bit planes to AVIF.
+
+        `planes` is an (H, W, 3) uint8 array of per-pixel plane triples in
+        coding order (Y,U,V — or G,B,R for MatrixCoefficients.Identity);
+        `alpha` an optional (H, W) uint8 plane, coded as a separate
+        monochrome full-range AV1 stream with the encoder's alpha quantizer.
+        No color conversion, alpha preprocessing, or opaque auto-drop is
+        applied — the caller owns the samples, exactly like the reference's
+        `encode_raw_planes_8_bit` (av1encoder.rs:366-388).
+        """
+        return self._encode_raw_planes(
+            planes, alpha, 8, color_pixel_range, matrix_coefficients
+        )
+
+    def encode_raw_planes_10bit(
+        self,
+        planes: np.ndarray,
+        alpha: Optional[np.ndarray] = None,
+        *,
+        color_pixel_range: PixelRange = PixelRange.Full,
+        matrix_coefficients=MatrixCoefficients.Bt601,
+    ) -> EncodedImage:
+        """10-bit variant of encode_raw_planes_8bit: uint16 arrays with
+        every sample < 1024 (av1encoder.rs:390-412)."""
+        return self._encode_raw_planes(
+            planes, alpha, 10, color_pixel_range, matrix_coefficients
+        )
+
+    def _encode_raw_planes(
+        self, planes, alpha, depth, color_pixel_range, matrix_coefficients
+    ) -> EncodedImage:
+        try:
+            mc = MatrixCoefficients(matrix_coefficients)
+        except ValueError:
+            # the reference's serializer match arm (av1encoder.rs:459-468)
+            raise UnsupportedError("matrix coefficients")
+        if isinstance(color_pixel_range, str):
+            color_pixel_range = PixelRange(color_pixel_range)
+        want = np.uint8 if depth == 8 else np.uint16
+        planes = np.asarray(planes)
+        if planes.ndim != 3 or planes.shape[2] != 3 or planes.dtype != want:
+            raise TooFewPixelsError()
+        if planes.shape[0] == 0 or planes.shape[1] == 0:
+            raise TooFewPixelsError()
+        if alpha is not None:
+            alpha = np.asarray(alpha)
+            if alpha.shape != planes.shape[:2] or alpha.dtype != want:
+                raise TooFewPixelsError()
+        if depth == 10:
+            if planes.max(initial=0) > 1023 or (
+                alpha is not None and alpha.max(initial=0) > 1023
+            ):
+                raise UnsupportedError("10-bit samples out of range")
+        from .pipeline import encode_raw_planes_pipeline
+
+        return encode_raw_planes_pipeline(
+            self,
+            planes,
+            alpha,
+            depth=depth,
+            full_range=color_pixel_range is PixelRange.Full,
+            matrix_coefficients=int(mc),
+        )
 
     def _convert_alpha_8bit(self, rgba: np.ndarray) -> Optional[np.ndarray]:
         """Alpha-mode preprocessing dispatch (av1encoder.rs:277-299)."""

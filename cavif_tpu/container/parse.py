@@ -69,6 +69,7 @@ class AvifInfo:
     premultiplied_alpha: bool
     exif: Optional[bytes]
     major_brand: str
+    full_range: Optional[bool] = None
 
 
 def read_avif(data: bytes) -> AvifInfo:
@@ -204,6 +205,7 @@ def read_avif(data: bytes) -> AvifInfo:
     seq = parse_sequence_header_info(primary)
     # colr (from the primary item's associated properties; simplest: first colr)
     matrix = None
+    full_range = None
     iprp = _find(meta.children, "iprp")
     if iprp is not None:
         ipco = _find(iprp.children, "ipco")
@@ -211,6 +213,7 @@ def read_avif(data: bytes) -> AvifInfo:
             colr = _find(ipco.children, "colr")
             if colr is not None and colr.payload[:4] == b"nclx":
                 matrix = struct.unpack(">H", colr.payload[8:10])[0]
+                full_range = bool(colr.payload[10] & 0x80)
 
     return AvifInfo(
         primary_item=primary,
@@ -223,4 +226,5 @@ def read_avif(data: bytes) -> AvifInfo:
         premultiplied_alpha=premultiplied,
         exif=exif,
         major_brand=major,
+        full_range=full_range,
     )

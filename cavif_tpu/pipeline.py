@@ -37,9 +37,13 @@ def _convert_planes(enc, rgb: np.ndarray, depth: int) -> np.ndarray:
 
 
 def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
-                    depth: int, rgb8=None, alpha8=None):
+                    depth: int, rgb8=None, alpha8=None,
+                    full_range: bool = True,
+                    matrix_coefficients: Optional[int] = None):
     from .av1.encoder import encode_planes
 
+    if matrix_coefficients is None:
+        matrix_coefficients = _matrix_coefficients(enc.color_model)
     h, w = planes.shape[:2]
     color_cfg = AV1Config(
         width=w,
@@ -48,8 +52,8 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
         quantizer=enc.quantizer,
         tweaks=SpeedTweaks.from_preset(enc.speed, enc.quantizer),
         chroma_sampling="444",
-        full_range=True,
-        matrix_coefficients=_matrix_coefficients(enc.color_model),
+        full_range=full_range,
+        matrix_coefficients=matrix_coefficients,
         threads=enc.threads,
         tune=enc.tune,
         device=enc.device,
@@ -80,18 +84,23 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
         return fc.result(), fa.result()
 
 
-def _finish(enc, color: bytes, alpha: Optional[bytes], w: int, h: int, depth: int):
+def _finish(enc, color: bytes, alpha: Optional[bytes], w: int, h: int, depth: int,
+            full_range: bool = True,
+            matrix_coefficients: Optional[int] = None):
     from . import EncodedImage
 
+    if matrix_coefficients is None:
+        matrix_coefficients = _matrix_coefficients(enc.color_model)
     avif = serialize_avif(
         color=color,
         alpha=alpha,
         width=w,
         height=h,
         depth=depth,
-        matrix_coefficients=_matrix_coefficients(enc.color_model),
+        matrix_coefficients=matrix_coefficients,
         premultiplied_alpha=enc.premultiplied_alpha,
         exif=enc.exif,
+        full_range=full_range,
     )
     return EncodedImage(
         avif_file=avif,
@@ -115,6 +124,33 @@ def encode_rgba_pipeline(enc, rgba: np.ndarray):
     with trace.span("mux"):
         out = _finish(enc, color, alpha_payload, w, h, depth)
     trace.report(f"rgba {w}x{h}")
+    return out
+
+
+def encode_raw_planes_pipeline(enc, planes: np.ndarray,
+                               alpha: Optional[np.ndarray], depth: int,
+                               full_range: bool, matrix_coefficients: int):
+    """Caller-owned plane triples straight into the two AV1 streams + mux —
+    the reference's encode_raw_planes_{8,10}_bit core (av1encoder.rs:366-481):
+    no conversion, no alpha preprocessing, no opaque drop; the color stream
+    carries the caller's pixel range and matrix, alpha stays Cs400 full-range
+    with its own quantizer/speed tweaks."""
+    h, w = planes.shape[:2]
+    trace.reset()
+    # the encoder core works on int32 plane stacks (rgb_to_ycbcr_host dtype)
+    planes = np.ascontiguousarray(planes.astype(np.int32))
+    if alpha is not None:
+        alpha = np.ascontiguousarray(alpha.astype(np.int32))
+    color, alpha_payload = _encode_streams(
+        enc, planes, alpha, depth,
+        full_range=full_range, matrix_coefficients=matrix_coefficients,
+    )
+    with trace.span("mux"):
+        out = _finish(
+            enc, color, alpha_payload, w, h, depth,
+            full_range=full_range, matrix_coefficients=matrix_coefficients,
+        )
+    trace.report(f"raw-planes {w}x{h}")
     return out
 
 
