@@ -38,9 +38,10 @@ from .symbols import (
     TileParams,
 )
 
-# pass-1 candidate order shared with the C++ bs_search (tilecoder.cpp
-# search::CAND_MODES): 7 non-directional then the 6 diagonals at delta 0
-CAND_MODES_SEARCH = [0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8]
+# pass-1 candidate order shared with the C++ bs_search and the device
+# programs: 7 non-directional then the 6 diagonals at delta 0. Single
+# definition site: native/op_contract.h (CAVIF_CAND_MODES).
+from ..native.contract import CAND_MODES as CAND_MODES_SEARCH
 
 _DEV_DEFAULT = [None]
 
@@ -353,14 +354,13 @@ class FrameEncoder:
         stream (OP_LR for pure-wiener frames, generic OP_LR_UNIT when the
         frame type is sgrproj/switchable)."""
         from .opstream import OP_LR, OP_LR_UNIT, OP_SB_START
+        from ..native.contract import OP_ARITY
 
         fts = getattr(self, "_lr_types", (2, 2, 2))
         segs = []
         last = 0
         i = 0
         n = len(ops)
-        arity = {0: 0, 1: 4, 2: 5, 3: 13, 4: 12, 5: 8, 9: 3, OP_SB_START: 2,
-                 OP_LR: 8, OP_LR_UNIT: 12}
         while i < n:
             op = int(ops[i])
             if op == OP_SB_START:
@@ -384,7 +384,7 @@ class FrameEncoder:
                     segs.append(ops[last : i + 3])
                     segs.append(np.asarray(ins, dtype=np.int32))
                     last = i + 3
-            i += 1 + arity[op]
+            i += OP_ARITY[op]
         segs.append(ops[last:])
         return np.concatenate(segs) if len(segs) > 1 else ops
 
@@ -509,13 +509,12 @@ class FrameEncoder:
                 self._native_search = saved
             return out
         from .predict import (
-            NONDIRECTIONAL_MODES,
             predict_all_batch,
             predict_dir_batch,
         )
 
-        DIAG_MODES = [3, 4, 5, 6, 7, 8]  # D45..D67 at delta 0
-        CAND_MODES = NONDIRECTIONAL_MODES + DIAG_MODES
+        CAND_MODES = list(CAND_MODES_SEARCH)
+        DIAG_MODES = CAND_MODES[7:]  # D45..D67 at delta 0
         r0, c0 = origin
         lam = self._lambda()
         groups: dict = {}  # (bw, bh, plane-class) -> [(idx, plane), ...]
@@ -768,11 +767,8 @@ class FrameEncoder:
         dir_idx = np.where((best == 1) | (best == 2) | (best >= 7))[0]
         if len(dir_idx) == 0:
             return best, deltas, cost
-        # map candidate index -> mode id
-        from .predict import NONDIRECTIONAL_MODES
-
-        DIAG = [3, 4, 5, 6, 7, 8]
-        CAND = NONDIRECTIONAL_MODES + DIAG
+        # map candidate index -> mode id (shared contract order)
+        CAND = list(CAND_MODES_SEARCH)
 
         by_mode: dict = {}
         for i in dir_idx:

@@ -26,17 +26,21 @@ import numpy as np
 
 from .symbols import TileParams, TileWriter
 
-OP_CLEAR_LEFT = 0
-OP_PARTITION = 1
-OP_SPLIT_BIN = 2
-OP_BLOCK = 3
-OP_COEFFS = 4
-OP_BLOCK_COMPUTE = 5  # native pass-2: (r, c, w4, h4, ym, yd, uvm, uvd), abs mi
-OP_SB_START = 6  # superblock boundary (r, c abs mi): resets decoded-flag mask
-OP_LR = 7  # loop-restoration unit: (plane, use, t0v, t1v, t2v, t0h, t1h, t2h)
-OP_DELTA_Q = 9  # per-SB adaptive quantizer: (qindex, dc_q, ac_q)
-OP_LR_UNIT = 8  # generic LR unit: (plane, frame_type, use_type, set,
-#                 xqd0, xqd1, t0v..t2v, t0h..t2h) — wiener/sgr/switchable
+# opcode numbering + per-op strides: single definition site is
+# native/op_contract.h (shared with the C++ tile coder); see the header
+# for per-op operand docs
+from ..native.contract import OP_ARITY, OPS as _OPS
+
+OP_CLEAR_LEFT = _OPS["OP_CLEAR_LEFT"][0]
+OP_PARTITION = _OPS["OP_PARTITION"][0]
+OP_SPLIT_BIN = _OPS["OP_SPLIT_BIN"][0]
+OP_BLOCK = _OPS["OP_BLOCK"][0]
+OP_COEFFS = _OPS["OP_COEFFS"][0]
+OP_BLOCK_COMPUTE = _OPS["OP_BLOCK_COMPUTE"][0]
+OP_SB_START = _OPS["OP_SB_START"][0]
+OP_LR = _OPS["OP_LR"][0]
+OP_DELTA_Q = _OPS["OP_DELTA_Q"][0]
+OP_LR_UNIT = _OPS["OP_LR_UNIT"][0]
 
 
 class OpTileWriter:
@@ -145,26 +149,28 @@ def _native_available() -> bool:
 
 
 def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
-    """Reference serializer: drive TileWriter from an op stream."""
+    """Reference serializer: drive TileWriter from an op stream. Strides
+    come from the shared contract table (native/op_contract.h)."""
     tw = TileWriter(p)
     i = 0
     n = len(ops)
     while i < n:
         op = int(ops[i])
+        stride = OP_ARITY.get(op)
+        if stride is None:
+            raise ValueError(f"bad op {op} at {i}")
+        row = [int(x) for x in ops[i : i + stride]]
         if op == OP_CLEAR_LEFT:
             tw.clear_left()
-            i += 1
         elif op == OP_PARTITION:
-            _, r, c, bsl, part = (int(x) for x in ops[i : i + 5])
+            _, r, c, bsl, part = row
             tw.write_partition(r, c, bsl, part)
-            i += 5
         elif op == OP_SPLIT_BIN:
-            _, r, c, bsl, horz, split = (int(x) for x in ops[i : i + 6])
+            _, r, c, bsl, horz, split = row
             tw.write_split_binary(r, c, bsl, bool(horz), bool(split))
-            i += 6
         elif op == OP_BLOCK:
             (_, r, c, w4, h4, ym, uvm, skip, cfl, yd, uvd,
-             csg, cau, cav) = (int(x) for x in ops[i : i + 14])
+             csg, cau, cav) = row
             tw.write_skip(r, c, skip)
             tw.maybe_write_delta_q(w4, h4, skip)
             tw.write_intra_modes(
@@ -175,31 +181,23 @@ def replay_python(p: TileParams, ops: np.ndarray, levels: np.ndarray) -> bytes:
             tw.update_partition_ctx(r, c, w4, h4)
             if skip:
                 tw.reset_block_ctx(r, c, w4, h4)
-            i += 14
         elif op == OP_COEFFS:
-            _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym, va, ha = (
-                int(x) for x in ops[i : i + 13]
-            )
+            _, pl, r4, c4, txw, txh, eq, ch, cw, off, ym, va, ha = row
             lv = levels[off : off + ch * cw].reshape(ch, cw)
             tw.write_coeffs(
                 pl, r4, c4, txw, txh, lv, tx_block_eq_block=bool(eq),
                 y_mode=ym, v_adst=va, h_adst=ha,
             )
-            i += 13
         elif op == OP_SB_START:
-            i += 3
+            pass
         elif op == OP_DELTA_Q:
-            tw.pending_qindex = int(ops[i + 1])
-            i += 4
+            tw.pending_qindex = row[1]
         elif op == OP_LR:
-            _, pl, use, *t = (int(x) for x in ops[i : i + 9])
+            _, pl, use, *t = row
             tw.write_lr_unit(pl, use, t)
-            i += 9
         elif op == OP_LR_UNIT:
-            _, pl, ft, use, st, x0, x1, *t = (int(x) for x in ops[i : i + 13])
+            _, pl, ft, use, st, x0, x1, *t = row
             tw.write_lr_unit(pl, use, t, frame_type=ft, sgr_set=st,
                              xqd=(x0, x1))
-            i += 13
-        else:
-            raise ValueError(f"bad op {op} at {i}")
+        i += stride
     return tw.finish()

@@ -82,9 +82,11 @@ def _load():
         if _lib is not None:
             return _lib
         _cc = _DIR / "colorconv.cpp"
+        _hdr = _DIR / "op_contract.h"
         if (not _SO.exists()
                 or _SO.stat().st_mtime < _SRC.stat().st_mtime
-                or _SO.stat().st_mtime < _cc.stat().st_mtime):
+                or _SO.stat().st_mtime < _cc.stat().st_mtime
+                or _SO.stat().st_mtime < _hdr.stat().st_mtime):
             _build()
         lib = ctypes.CDLL(str(_SO))
         lib.tc_set_cdf_table.argtypes = [
@@ -104,6 +106,10 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
         lib.tc_encode_tile.restype = ctypes.c_int
+        lib.tc_op_arity.argtypes = [ctypes.c_int]
+        lib.tc_op_arity.restype = ctypes.c_int
+        lib.tc_cand_mode.argtypes = [ctypes.c_int]
+        lib.tc_cand_mode.restype = ctypes.c_int
         lib.tc_set_sm_weights.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
@@ -911,3 +917,21 @@ def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,
     if rc != 0:
         raise RuntimeError("tc_inv_txfm failed")
     return out
+
+
+def op_arity_native(op: int) -> int:
+    """The compiled library's stride for an opcode (contract check)."""
+    return int(_load().tc_op_arity(op))
+
+
+def cand_modes_native() -> tuple:
+    """The compiled library's pass-1 candidate order (contract check)."""
+    lib = _load()
+    out = []
+    i = 0
+    while True:
+        v = int(lib.tc_cand_mode(i))
+        if v < 0:
+            return tuple(out)
+        out.append(v)
+        i += 1

@@ -241,18 +241,15 @@ inline void update_cdf(CdfRow& row, int val, int nsym) {
 // Tile state (contexts + adaptive CDFs), mirroring symbols.TileWriter.
 // ---------------------------------------------------------------------------
 
-constexpr int OP_CLEAR_LEFT = 0;
-constexpr int OP_PARTITION = 1;
-constexpr int OP_SPLIT_BIN = 2;
-constexpr int OP_BLOCK = 3;
-constexpr int OP_COEFFS = 4;
-constexpr int OP_BLOCK_COMPUTE = 5;  // (r, c, w4, h4, ym, yd, uvm, uvd)
-constexpr int OP_SB_START = 6;       // (r, c): superblock boundary
-constexpr int OP_LR = 7;             // (plane, use, t0v..t2v, t0h..t2h)
-constexpr int OP_DELTA_Q = 9;        // (qindex, dc_q, ac_q): this SB's
-                                     // target quantizer (adaptive q)
-constexpr int OP_LR_UNIT = 8;        // (plane, frame_type, use_type, set,
-                                     //  xqd0, xqd1, t0v..t2v, t0h..t2h)
+// Opcodes + strides from the shared contract header (single definition
+// site with the Python side; see op_contract.h for per-op operand docs).
+// NAME##_N = total int32 stride including the opcode.
+#include "op_contract.h"
+#define CAVIF_X(NAME, CODE, ARITY) \
+  constexpr int NAME = CODE;       \
+  constexpr int NAME##_N = ARITY;
+CAVIF_OP_TABLE(CAVIF_X)
+#undef CAVIF_X
 
 constexpr int DC_PRED = 0, V_PRED = 1, D67 = 8;
 
@@ -2635,10 +2632,10 @@ struct BlockPipe {
     tc.write_block(rr, cc, w4, h4, y_mode, uv_mode, skip, cfl_allowed,
                    y_delta, uv_delta, cfl_signs, cfl_au, cfl_av);
     {
-      int32_t row[14] = {OP_BLOCK, rr,       cc,   w4,      h4,     y_mode,
+      int32_t row[OP_BLOCK_N] = {OP_BLOCK, rr,   cc,   w4,      h4,   y_mode,
                          uv_mode,  skip, cfl_allowed, y_delta, uv_delta};
       row[11] = cfl_signs; row[12] = cfl_au; row[13] = cfl_av;
-      rec_row(row, 14);
+      rec_row(row, OP_BLOCK_N);
     }
     if (skip) return;
     for (int i = 0; i < nrec; i++) {
@@ -2654,7 +2651,7 @@ struct BlockPipe {
           rops = nullptr;
         } else {
           std::memcpy(rlvl + rlvl_n, &all_levels[t.lvl_off], (size_t)n * 4);
-          int32_t row[13] = {OP_COEFFS,
+          int32_t row[OP_COEFFS_N] = {OP_COEFFS,
                              t.pl,
                              (t.py / 4) - mi_r0,
                              (t.px / 4) - mi_c0,
@@ -2668,7 +2665,7 @@ struct BlockPipe {
                              t.va,
                              t.ha};
           rlvl_n += n;
-          rec_row(row, 13);
+          rec_row(row, OP_COEFFS_N);
         }
       }
     }
@@ -2686,7 +2683,7 @@ struct BlockPipe {
 
 namespace search {
 
-constexpr int CAND_MODES[13] = {0, 1, 2, 9, 10, 11, 12, 3, 4, 5, 6, 7, 8};
+constexpr int CAND_MODES[CAVIF_CAND_MODES_N] = CAVIF_CAND_MODES;
 constexpr int MODE_ANGLE[8] = {90, 180, 45, 135, 113, 157, 203, 67};
 
 // predict one mode/delta from synthesized extended neighbors
@@ -3765,30 +3762,30 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
     switch (ops[i]) {
       case OP_CLEAR_LEFT:
         tc.clear_left();
-        bp.rec_row(&ops[i], 1);
-        i += 1;
+        bp.rec_row(&ops[i], OP_CLEAR_LEFT_N);
+        i += OP_CLEAR_LEFT_N;
         break;
       case OP_PARTITION:
         tc.write_partition(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4]);
-        bp.rec_row(&ops[i], 5);
-        i += 5;
+        bp.rec_row(&ops[i], OP_PARTITION_N);
+        i += OP_PARTITION_N;
         break;
       case OP_SPLIT_BIN:
         tc.write_split_binary(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                               ops[i + 5]);
-        bp.rec_row(&ops[i], 6);
-        i += 6;
+        bp.rec_row(&ops[i], OP_SPLIT_BIN_N);
+        i += OP_SPLIT_BIN_N;
         break;
       case OP_BLOCK_COMPUTE:
         bp.encode_block(tc, ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                         ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
                         num_planes);
-        i += 9;
+        i += OP_BLOCK_COMPUTE_N;
         break;
       case OP_SB_START:
         bp.reset_mask(ops[i + 1], ops[i + 2]);
-        bp.rec_row(&ops[i], 3);
-        i += 3;
+        bp.rec_row(&ops[i], OP_SB_START_N);
+        i += OP_SB_START_N;
         break;
       case OP_DELTA_Q: {
         // per-SB adaptive quantization: the block pipeline quantizes and
@@ -3799,20 +3796,20 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
         bp.ac_q = ops[i + 3];
         double qstep = bp.ac_q * 0.125;
         bp.lam = 0.8 * qstep * qstep / 16.0;
-        bp.rec_row(&ops[i], 4);
-        i += 4;
+        bp.rec_row(&ops[i], OP_DELTA_Q_N);
+        i += OP_DELTA_Q_N;
         break;
       }
       case OP_LR:
         tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
-        bp.rec_row(&ops[i], 9);
-        i += 9;
+        bp.rec_row(&ops[i], OP_LR_N);
+        i += OP_LR_N;
         break;
       case OP_LR_UNIT:
         tc.write_lr_generic(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                             ops[i + 5], ops[i + 6], &ops[i + 7]);
-        bp.rec_row(&ops[i], 13);
-        i += 13;
+        bp.rec_row(&ops[i], OP_LR_UNIT_N);
+        i += OP_LR_UNIT_N;
         break;
       default:
         return -2;
@@ -3869,46 +3866,46 @@ int tc_encode_tile(int mi_col_start, int mi_col_end, int mi_row_start,
     switch (ops[i]) {
       case OP_CLEAR_LEFT:
         tc.clear_left();
-        i += 1;
+        i += OP_CLEAR_LEFT_N;
         break;
       case OP_PARTITION:
         tc.write_partition(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4]);
-        i += 5;
+        i += OP_PARTITION_N;
         break;
       case OP_SPLIT_BIN:
         tc.write_split_binary(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                               ops[i + 5]);
-        i += 6;
+        i += OP_SPLIT_BIN_N;
         break;
       case OP_BLOCK:
         tc.write_block(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                        ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
                        ops[i + 9], ops[i + 10], ops[i + 11], ops[i + 12],
                        ops[i + 13]);
-        i += 14;
+        i += OP_BLOCK_N;
         break;
       case OP_SB_START:
-        i += 3;
+        i += OP_SB_START_N;
         break;
       case OP_DELTA_Q:
         tc.pending_qindex = ops[i + 1];
-        i += 4;
+        i += OP_DELTA_Q_N;
         break;
       case OP_COEFFS:
         tc.write_coeffs(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                         ops[i + 5], ops[i + 6], ops[i + 7], ops[i + 8],
                         levels + ops[i + 9], ops[i + 10], ops[i + 11],
                         ops[i + 12]);
-        i += 13;
+        i += OP_COEFFS_N;
         break;
       case OP_LR:
         tc.write_lr_unit(ops[i + 1], ops[i + 2], &ops[i + 3]);
-        i += 9;
+        i += OP_LR_N;
         break;
       case OP_LR_UNIT:
         tc.write_lr_generic(ops[i + 1], ops[i + 2], ops[i + 3], ops[i + 4],
                             ops[i + 5], ops[i + 6], &ops[i + 7]);
-        i += 13;
+        i += OP_LR_UNIT_N;
         break;
       default:
         return -1;
@@ -5182,14 +5179,14 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
   int i = 0;
   while (i < n_ops) {
     switch (ops[i]) {
-      case OP_CLEAR_LEFT: i += 1; break;
-      case OP_PARTITION: i += 5; break;
-      case OP_SPLIT_BIN: i += 6; break;
-      case OP_SB_START: i += 3; break;
-      case OP_DELTA_Q: i += 4; break;
-      case OP_LR: i += 9; break;
-      case OP_LR_UNIT: i += 13; break;
-      case OP_COEFFS: i += 13; break;
+      case OP_CLEAR_LEFT: i += OP_CLEAR_LEFT_N; break;
+      case OP_PARTITION: i += OP_PARTITION_N; break;
+      case OP_SPLIT_BIN: i += OP_SPLIT_BIN_N; break;
+      case OP_SB_START: i += OP_SB_START_N; break;
+      case OP_DELTA_Q: i += OP_DELTA_Q_N; break;
+      case OP_LR: i += OP_LR_N; break;
+      case OP_LR_UNIT: i += OP_LR_UNIT_N; break;
+      case OP_COEFFS: i += OP_COEFFS_N; break;
       case OP_BLOCK: {
         const int r = ops[i + 1] + r0, c = ops[i + 2] + c0;
         const int w4 = ops[i + 3], h4 = ops[i + 4];
@@ -5217,7 +5214,7 @@ int of_build_maps(const int32_t* ops, int n_ops, int r0, int c0, int mi_rows,
               if (t == 0) skip[mi] = (uint8_t)sk;
             }
         }
-        i += 14;
+        i += OP_BLOCK_N;
         break;
       }
       default:
@@ -5578,6 +5575,21 @@ int of_cdef_apply(const int32_t* in, int32_t* out, int P, int Hp, int Wp,
     for (int t = 0; t < (int)accs.size(); t++)
       for (int pl = 0; pl < P; pl++) sse_out[pl] += accs[t][pl];
   return 0;
+}
+
+// Contract introspection: lets the Python side verify that the compiled
+// library and op_contract.h agree (tests/test_contract.py).
+int tc_op_arity(int op) {
+#define CAVIF_X(NAME, CODE, ARITY) \
+  if (op == CODE) return ARITY;
+  CAVIF_OP_TABLE(CAVIF_X)
+#undef CAVIF_X
+  return -1;
+}
+
+int tc_cand_mode(int i) {
+  if (i < 0 || i >= CAVIF_CAND_MODES_N) return -1;
+  return search::CAND_MODES[i];
 }
 
 }  // extern "C"

@@ -27,9 +27,13 @@ import numpy as np
 
 from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 
-NONDIRECTIONAL = (0, 1, 2, 9, 10, 11, 12)  # DC,V,H,SMOOTH,SM_V,SM_H,PAETH
-DIAG_MODES = (3, 4, 5, 6, 7, 8)  # D45,D135,D113,D157,D203,D67 at delta 0
-CAND_MODES = NONDIRECTIONAL + DIAG_MODES
+# candidate order: single definition site native/op_contract.h
+# (first 7 = DC,V,H,SMOOTH,SM_V,SM_H,PAETH; last 6 = D45,D135,D113,
+#  D157,D203,D67 at delta 0)
+from ..native.contract import CAND_MODES
+
+NONDIRECTIONAL = CAND_MODES[:7]
+DIAG_MODES = CAND_MODES[7:]
 
 
 def _neighbors(planes, n: int, bit_depth: int):
