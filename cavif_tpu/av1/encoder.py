@@ -248,11 +248,10 @@ class FrameEncoder:
         # when the reference preset searches it: partition_range (4, 64) at
         # speed 0-1 low_quality (av1encoder.rs:563-570).
         self.max_leaf_mi = max(16 if maxp >= 64 else 8, self.min_leaf_mi)
-        if self.max_leaf_mi > 8:
-            # the 64 tier lives in the python cascade (+ numpy 64 search);
-            # the device program and the native whole-tile cascade top out
-            # at 32px
-            self._device_search = None
+        # the 64 tier (TX_64X64 NONE leaves, speed 0-1 low_quality) is in
+        # the device program since round 3; the native whole-tile cascade
+        # still tops out at 32px, so without a device the 64-leaf presets
+        # run the python cascade (see _rdo_partition)
         # Output filters (deblock/LR) need the decoder-exact recon and the
         # replayable op streams; `fast_deblock` (preset, SURVEY.md 2.2)
         # skips the simulation/search and signals the heuristic level.
@@ -424,6 +423,7 @@ class FrameEncoder:
             # speed 1 on the A/B corpus (the spec's mode-derived combo is
             # already near-optimal; distortion dominates at lambda << q^2)
             tx_exhaustive=False,
+            psy_map=self._psy_map(),
         )
         if record:
             out, rops, rlvl = out
@@ -825,6 +825,10 @@ class FrameEncoder:
     # costs were 2x overstated): 4.0 measures -247 B and +0.006 dB vs the
     # old 8.0 on the A/B corpus; 2.0 over-splits.
     RECT_OVH = 4.0
+    # default psy-RD strength (see _psy_map): alpha exponent on the per-SB
+    # (16 + variance) activity term; 0 = flat lambda. Calibrated on the
+    # BD corpus (tools/bdrate.py) — see BASELINE.md psy-RD table.
+    PSY_RD_ALPHA = 0.0
 
     def _split_partials(self, collect):
         """Blocks the geometry walk found that the size-tier enumeration
@@ -887,7 +891,7 @@ class FrameEncoder:
             joint, tweaks.encode_bottomup, self._ovh_block(), self.OVH_SPLIT,
             self.BOTTOM_KAPPA, self.RECT_OVH,
             n_threads=getattr(self, "_search_threads", 1),
-            qmap=self._sb_qmaps()[1], lammap=self._sb_qmaps()[2],
+            qmap=self._sb_qmaps()[1], lammap=self._rd_lammap(),
         )
         # dict assembly at C speed: vectorized candidate-index -> mode-id
         # mapping, zip-built tuple keys/values (a python-level row loop
@@ -964,6 +968,7 @@ class FrameEncoder:
                     num_planes=self.num_planes,
                     tile_px=(th, tw),
                     min_px=self.min_leaf_mi * 4,
+                    max_px=self.max_leaf_mi * 4,
                     use_deltas=self.cfg.tweaks.fine_directional_intra,
                     dc_q=self.dc_q,
                     ac_q=self.ac_q,
@@ -1665,6 +1670,32 @@ class FrameEncoder:
             else self.OVH_BLOCK
         )
 
+    def _sb_activity(self):
+        """Mean 8x8 luma variance per 64px superblock, (sb_rows, sb_cols)
+        float64 in 8-bit units — the activity statistic behind both the
+        tune=ssim AQ map and the psy-RD lambda map. None when the frame is
+        too small to measure."""
+        cached = getattr(self, "_sb_act_map", False)
+        if cached is not False:
+            return cached
+        h, w = self.cfg.height, self.cfg.width
+        if h < 8 or w < 8:
+            self._sb_act_map = None
+            return None
+        y8 = self.planes[0].src[:h, :w].astype(np.float64)
+        y8 /= 1 << (self.bit_depth - 8)  # 8-bit variance scale
+        h8, w8 = h // 8, w // 8
+        b = y8[: h8 * 8, : w8 * 8].reshape(h8, 8, w8, 8)
+        m = b.mean(axis=(1, 3))
+        v8 = (b * b).mean(axis=(1, 3)) - m * m
+        # mean 8x8-variance per 64x64 SB (edge SBs: replicate-pad)
+        sbr = (self.mi_rows + 15) // 16
+        sbc = (self.mi_cols + 15) // 16
+        pr, pc = sbr * 8 - h8, sbc * 8 - w8
+        v8 = np.pad(v8, ((0, pr), (0, pc)), mode="edge")
+        self._sb_act_map = v8.reshape(sbr, 8, sbc, 8).mean(axis=(1, 3))
+        return self._sb_act_map
+
     def _lambda_mul(self):
         """Per-superblock lambda multipliers for activity-masked
         (psychovisual / SSIM-tuned) RD — the analog of the reference's
@@ -1686,26 +1717,42 @@ class FrameEncoder:
         if tune != "ssim":
             self._lmul_map = None
             return None
-        h, w = self.cfg.height, self.cfg.width
-        if h < 8 or w < 8:
+        mv = self._sb_activity()
+        if mv is None:
             self._lmul_map = None
             return None
-        y8 = self.planes[0].src[:h, :w].astype(np.float64)
-        y8 /= 1 << (self.bit_depth - 8)  # 8-bit variance scale
-        h8, w8 = h // 8, w // 8
-        b = y8[: h8 * 8, : w8 * 8].reshape(h8, 8, w8, 8)
-        m = b.mean(axis=(1, 3))
-        v8 = (b * b).mean(axis=(1, 3)) - m * m
-        # mean 8x8-variance per 64x64 SB (edge SBs: replicate-pad)
-        sbr = (self.mi_rows + 15) // 16
-        sbc = (self.mi_cols + 15) // 16
-        pr, pc = sbr * 8 - h8, sbc * 8 - w8
-        v8 = np.pad(v8, ((0, pr), (0, pc)), mode="edge")
-        mv = v8.reshape(sbr, 8, sbc, 8).mean(axis=(1, 3))
         factor = np.sqrt(16.0 + mv)
         lm = factor / np.exp(np.log(factor).mean())
         self._lmul_map = np.ascontiguousarray(np.clip(lm, 0.5, 2.0))
         return self._lmul_map
+
+    def _psy_map(self):
+        """Per-superblock lambda multipliers for the COEFFICIENT-LEVEL
+        decisions (trellis + EOB cut) — SSIM-like variance-weighted
+        distortion at every tune: scaling lambda by (c + sigma^2)^alpha
+        (geomean-normalized) is equivalent to dividing the distortion by
+        the local-variance term of SSIM's denominator, so the trellis
+        trims textured superblocks harder and keeps coefficients where
+        errors are most visible. Unlike the tune=ssim AQ map this signals
+        nothing (the quantizer stays flat) — only decisions move.
+
+        CAVIF_TPU_PSY_RD = alpha (0 = off). Applies to 3-plane streams
+        (the statistic is luma activity; alpha streams stay flat)."""
+        cached = getattr(self, "_psy_map_cache", False)
+        if cached is not False:
+            return cached
+        alpha = float(os.environ.get("CAVIF_TPU_PSY_RD", self.PSY_RD_ALPHA))
+        if alpha <= 0.0 or self.num_planes != 3:
+            self._psy_map_cache = None
+            return None
+        mv = self._sb_activity()
+        if mv is None:
+            self._psy_map_cache = None
+            return None
+        factor = np.power(16.0 + mv, alpha)
+        lm = factor / np.exp(np.log(factor).mean())
+        self._psy_map_cache = np.ascontiguousarray(np.clip(lm, 0.4, 2.5))
+        return self._psy_map_cache
 
     def _sb_qmaps(self):
         """Per-superblock adaptive-quantization maps (the psychovisual
@@ -1759,6 +1806,26 @@ class FrameEncoder:
         lammap = np.ascontiguousarray(0.8 * qstep * qstep / 16.0)
         self._qmaps_cache = (qidx, qmap, lammap)
         return self._qmaps_cache
+
+    def _rd_lammap(self):
+        """Per-SB ABSOLUTE lambda map for the pass-1 RD (None = flat):
+        the AQ lammap when tune=ssim adaptive quantization is active,
+        else lambda * activity multipliers when full-RD psy weighting is
+        requested (CAVIF_TPU_PSY_FULL = alpha — libaom's tune=ssim-style
+        per-SB rdmult scaling over mode AND partition decisions, with the
+        quantizer kept flat)."""
+        aq = self._sb_qmaps()[2]
+        if aq is not None:
+            return aq
+        alpha = float(os.environ.get("CAVIF_TPU_PSY_FULL", "0") or 0.0)
+        if alpha <= 0.0 or self.num_planes != 3:
+            return None
+        mv = self._sb_activity()
+        if mv is None:
+            return None
+        f = np.power(16.0 + mv, alpha)
+        lm = f / np.exp(np.log(f).mean())
+        return np.ascontiguousarray(self._lambda() * np.clip(lm, 0.4, 2.5))
 
     def _neighbors(self, ctx, pl, px, py, txw, txh, rr4, cc4):
         recon = self.planes[pl].recon
@@ -1885,11 +1952,15 @@ class FrameEncoder:
             coef, self.dc_q, self.ac_q, cw, ch, bit_depth=self.bit_depth
         )
         lam = self._lambda()
+        # coefficient-level decisions use the psy-weighted lambda (exact
+        # mirror of the native pipeline's psy_mul scope: trellis + EOB cut)
+        psy = self._psy_map()
+        plam = lam * float(psy[py >> 6, px >> 6]) if psy is not None else lam
         _trellis_optimize(
-            levels, coef, self.dc_q, self.ac_q, cw, ch, txw, txh, lam,
+            levels, coef, self.dc_q, self.ac_q, cw, ch, txw, txh, plam,
             1 if pl > 0 else 0, self.base_q,
         )
-        _eob_optimize(levels, coef, self.dc_q, self.ac_q, cw, ch, lam)
+        _eob_optimize(levels, coef, self.dc_q, self.ac_q, cw, ch, plam)
         # RD cost of this quantization (C++ BlockPipe computes identically)
         g2 = transforms.get_gain(cw, ch)
         cost = 0.0
@@ -2166,9 +2237,16 @@ class FrameEncoder:
             # plane arrays pass by stride, no copies); signaling margin:
             # ~40 rate-proxy units for wiener taps / ~30 for sgr, doubled
             # to absorb the float-vs-integer filter model error
+            # psy margin: per-pixel SSE gain a unit must clear beyond the
+            # signaling cost before filtering engages — the Wiener solve is
+            # an SSE-optimal denoiser, and marginal gains on noisy content
+            # buy tiny SSE for large reconstruction-variance (SSIM
+            # contrast) loss (probe knob; default off)
+            psy_px = float(os.environ.get("CAVIF_TPU_LR_MARGIN_PX", "0"))
             wu, wtaps, wsse, wbase = lr_wiener_plane(
                 self.planes[pl].src, stack[pl], h, w, u, rows, cols,
-                ntaps=2 if pl > 0 else 3, margin=2.0 * lam * 40.0,
+                ntaps=2 if pl > 0 else 3,
+                margin=2.0 * lam * 40.0 + psy_px * float(u * u),
                 n_threads=nthr,
             )
             ssets = sxqd = ssse = None
@@ -2214,6 +2292,7 @@ class FrameEncoder:
                             )
                         # exact integer SSE: only the signaling margin
                         if (sgr[2] < base - 2.0 * lam * 30.0
+                                - psy_px * float(u * u)
                                 and sgr[2] < best[1]):
                             best = (2, sgr[2])
                     if best[0] == 2:
@@ -2259,6 +2338,13 @@ class FrameEncoder:
         Falls back to the quantizer heuristic when the simulation inputs
         (skip map / captured recon) are unavailable."""
         if not self.cfg.tweaks.cdef:
+            return (), (), 3
+        # probe knob: disable CDEF at high quality (base_q below the given
+        # threshold) — at high rates the greedy cdef->LR stage order was
+        # measured to LOSE final SSE (LR re-denoises the already-smoothed
+        # frame) while shrinking reconstruction variance
+        minq = int(os.environ.get("CAVIF_TPU_CDEF_MINQ", "0"))
+        if self.base_q < minq:
             return (), (), 3
         maps = getattr(self, "_filter_maps", None)
         base = (self._filtered_stack if self._filtered_stack is not None
@@ -2448,6 +2534,21 @@ def _trellis_env() -> float:
     return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "1.2") or 0.0)
 
 
+def _trellis_ramp(base_q: int) -> float:
+    """Quality ramp on the trellis strength — 0 at base_q <= Q0 (high
+    quality: the trellis measured NEGATIVE on both PSNR and SSIM at
+    matched rate there), full at base_q >= Q1. Exact mirror of the native
+    trellis_ramp."""
+    import os
+
+    q0 = float(os.environ.get("CAVIF_TPU_TRELLIS_Q0", "80"))
+    q1 = float(os.environ.get("CAVIF_TPU_TRELLIS_Q1", "121"))
+    if q1 <= q0:
+        return 1.0
+    t = (float(base_q) - q0) / (q1 - q0)
+    return 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+
+
 def _trellis_cost_level(l: int, is_eob: bool, baserow, brrow) -> int:
     """Bits (1/128 units) to code |level| = l in fixed contexts: base
     symbol (base_eob row at the eob-1 position), up to 4 coeff_br rounds
@@ -2483,7 +2584,7 @@ def _trellis_optimize(
     owns tail cuts). Bit-for-bit mirror of the native compute_txb pass;
     mutates levels in place. CAVIF_TPU_TRELLIS_CTX = lambda multiplier
     per CDF bit (0 = off)."""
-    u = _trellis_env()
+    u = _trellis_env() * _trellis_ramp(base_q)
     if u <= 0.0 or lam <= 0.0 or not levels.any():
         return
     from .symbols import q_ctx, txsize_ctx

@@ -143,6 +143,7 @@ def _load():
             ctypes.c_int,                    # cfl_search
             ctypes.c_int,                    # edge_filter
             ctypes.c_int,                    # tx_exhaustive
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,  # psy map, cols
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),  # recon out (nullable)
@@ -374,6 +375,7 @@ def encode_tile_bp(
     cfl_search: bool = False,
     edge_filter: bool = False,
     tx_exhaustive: bool = False,
+    psy_map: np.ndarray = None,
 ):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -410,6 +412,9 @@ def encode_tile_bp(
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
             int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
             int(cfl_search), int(edge_filter), int(tx_exhaustive),
+            psy_map.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if psy_map is not None else None,
+            psy_map.shape[1] if psy_map is not None else 0,
             ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ops.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
             recon_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))

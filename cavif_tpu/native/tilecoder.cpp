@@ -1495,6 +1495,52 @@ static inline double level_bits(int l) {
   if (l < 20) return LEVEL_BITS[l];
   return 24.82 + 0.6 * (l - 19);
 }
+// EXPERIMENTAL (A/B tooling, default off): low-frequency protection for
+// the trellis — scale the step-down threshold by si/(si+S) so early-scan
+// (structure-carrying) coefficients are trimmed less and the tail more.
+// SSIM's contrast/structure terms punish the systematic variance
+// shrinkage of level-down moves; PSNR does not (tools/ssim_probe.py).
+static double trellis_lf_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_TRELLIS_LF");
+    v = e ? atof(e) : 0.0;
+  }
+  return v;
+}
+
+// EXPERIMENTAL (A/B tooling, default off): RD-justified UP-steps — undo
+// the AC deadzone where the distortion drop of |level|+1 beats its
+// context-priced rate (the deadzone floor leaves frac in (0.5, 1-bias)
+// rounded down regardless of how cheap the extra level is locally).
+static double trellis_up_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_TRELLIS_UP");
+    v = e ? atof(e) : 0.0;
+  }
+  return v;
+}
+
+// Quality ramp for the trellis strength: the high-rate probe
+// (tools/ssim_probe.py) measured the trellis NEGATIVE on BOTH axes at
+// high quality (base_q <= ~80: -0.04 dB PSNR and -0.0007 SSIM at matched
+// rate) while positive for PSNR at mid rates — so the strength ramps
+// from 0 at base_q <= Q0 to full at base_q >= Q1. Env knobs are
+// calibration tooling (python _trellis_ramp mirrors exactly).
+static double trellis_ramp(int base_q) {
+  static double q0 = -1.0, q1 = -1.0;
+  if (q0 < 0.0) {
+    const char* e0 = getenv("CAVIF_TPU_TRELLIS_Q0");
+    const char* e1 = getenv("CAVIF_TPU_TRELLIS_Q1");
+    q0 = e0 ? atof(e0) : 80.0;
+    q1 = e1 ? atof(e1) : 121.0;
+  }
+  if (q1 <= q0) return 1.0;
+  double t = ((double)base_q - q0) / (q1 - q0);
+  return t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+}
+
 // Context-aware trellis strength: lambda multiplier per CDF bit
 // (0 = off). Unlike the removed context-FREE variant (which priced
 // every reduction with the averaged LEVEL_BITS and measured negative:
@@ -1599,8 +1645,15 @@ struct BlockPipe {
   int bit_depth;
   int dc_q, ac_q;
   int qctx = 3;  // frame-level coefficient-CDF quality context (q_ctx)
+  int frame_base_q = 255;  // frame base_q (trellis quality ramp)
   double gain;
   double lam = 0.0;  // RD weight for coefficient-tail optimization
+  // per-SB psychovisual lambda multipliers for the coefficient-level
+  // decisions (trellis + EOB cut): variance-weighted SSIM-like distortion
+  // scaling, nullptr = flat. Indexed on the absolute 64px SB grid.
+  const double* psy = nullptr;
+  int psy_cols = 0;
+  double psy_mul = 1.0;
 
   std::vector<double> fbuf, tbuf, cbuf, rbuf, wbuf;
   std::vector<int32_t> lvbuf;
@@ -2194,7 +2247,7 @@ struct BlockPipe {
     // The last coefficient stays >= 1 (the eob does not move; the EOB
     // cut below owns tail moves). encoder._trellis_optimize mirrors
     // this pass bit-for-bit.
-    double tru = trellis_ctx_env();
+    double tru = trellis_ctx_env() * trellis_ramp(frame_base_q);
     if (nz && lam > 0.0 && tru > 0.0 && !g_tables.trellis_base.empty()) {
       int sidx = size_idx(cw, ch);
       const int32_t* scan = g_tables.scan[sidx].data();
@@ -2259,8 +2312,24 @@ struct BlockPipe {
             double dd = d_new * d_new - d_cur * d_cur;
             int dr = trellis_cost_level(l, is_eob, baserow, brrow) -
                      trellis_cost_level(l - 1, is_eob, baserow, brrow);
-            if (dd < lam * tru * ((double)dr / 128.0)) l--;
+            double thr = lam * psy_mul * tru * ((double)dr / 128.0);
+            double S = trellis_lf_env();
+            if (S > 0.0) thr *= (double)si / ((double)si + S);
+            if (dd < thr) l--;
             else break;
+          }
+          double uu = trellis_up_env();
+          if (uu > 0.0 && l == (lv < 0 ? -lv : lv)) {
+            int lim = pos == 0 ? max_dc : max_ac;
+            while (l < lim) {
+              double d_cur = cf - l * q;
+              double d_new = cf - (l + 1) * q;
+              double dd = d_cur * d_cur - d_new * d_new;  // >0 = improves
+              int dr = trellis_cost_level(l + 1, is_eob, baserow, brrow) -
+                       trellis_cost_level(l, is_eob, baserow, brrow);
+              if (dd > lam * psy_mul * uu * ((double)dr / 128.0)) l++;
+              else break;
+            }
           }
           lvbuf[pos] = lv < 0 ? -l : l;
         }
@@ -2308,7 +2377,7 @@ struct BlockPipe {
                       bitlen_u32((uint32_t)(si - 1));
           if (cls_d > 0) dr_eob += ueb * 2.0 * (double)cls_d;
         }
-        double delta = lam * dr_eob - dd;  // net gain of cutting at si
+        double delta = lam * psy_mul * dr_eob - dd;  // net cut gain
         if (delta > best) { best = delta; best_cut = si; }
       }
       if (best_cut < eob) {
@@ -2363,6 +2432,7 @@ struct BlockPipe {
   void encode_block(TileCoder& tc, int r, int c, int w4, int h4, int y_mode,
                     int y_delta, int uv_mode, int uv_delta, int num_planes) {
     int rr = r - mi_r0, cc = c - mi_c0;
+    psy_mul = psy ? psy[(size_t)(r / 16) * psy_cols + (c / 16)] : 1.0;
     int bw = w4 * 4, bh = h4 * 4;
     int x0 = c * 4, y0 = r * 4;
     int mx = bw > bh ? bw : bh;
@@ -3737,6 +3807,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
                    int cfl_search, int edge_filter, int tx_exhaustive,
+                   const double* psy_map, int psy_sb_cols,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
@@ -3748,6 +3819,9 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
   bp.qctx = q_ctx(base_q);
+  bp.frame_base_q = base_q;
+  bp.psy = psy_map;
+  bp.psy_cols = psy_sb_cols;
   bp.cfl_search = cfl_search;
   bp.edge_filter = edge_filter;
   bp.tx_exhaustive = tx_exhaustive;

@@ -46,7 +46,7 @@ NONDIR5 = (0, 9, 10, 11, 12)  # DC, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH
 DIR_MODES = (1, 2, 3, 4, 5, 6, 7, 8)  # V, H, D45, D135, D113, D157, D203, D67
 DELTAS = (-3, -2, -1, 1, 2, 3)
 
-SQ_TIERS = (4, 8, 16, 32)  # px; 64 stays force-split (TX_64X64 policy)
+SQ_TIERS = (4, 8, 16, 32)  # px; the 64 tier joins when max_px >= 64
 RECT_SHAPES = ((8, 4), (4, 8), (16, 8), (8, 16), (32, 16), (16, 32))
 
 
@@ -280,14 +280,23 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
     n2 = bh * bw
     dh = dct2_matrix(bh, np.float64)
     dw = dct2_matrix(bw, np.float64)
+    # TX_64-family blocks code only the top-left 32x32 coefficient area
+    # (the rest is discarded by the decoder); the host cascade prices the
+    # coded area only (_compute_txb cw/ch clamp) — mirror that by slicing
+    # the Kronecker transform to the coded columns. Index 0 stays DC.
+    cw_c, ch_c = min(bw, 32), min(bh, 32)
+    ncoded = cw_c * ch_c
+    coded_idx = np.asarray(
+        [r * bw + c for r in range(ch_c) for c in range(cw_c)], np.int64
+    )
     # vec(Dh @ R @ Dw^T) = (Dh (x) Dw) vec(R)
     kron_t = np.ascontiguousarray(
-        np.kron(dh, dw).T.astype(np.float32)
-    )  # (n2, n2)
-    gain = np.float32(get_gain(bw, bh))
+        np.kron(dh, dw).T[:, coded_idx].astype(np.float32)
+    )  # (n2, ncoded)
+    gain = np.float32(get_gain(cw_c, ch_c))
     sm_h = np.asarray(tables.get(f"sm_weights_{bh}"), np.int32)
     sm_w = np.asarray(tables.get(f"sm_weights_{bw}"), np.int32)
-    dcm = np.zeros((1, n2), np.float32)
+    dcm = np.zeros((1, ncoded), np.float32)
     dcm[0, 0] = 1.0
     cdir = len(dirs)
 
@@ -402,26 +411,31 @@ def _convert(src, model: str, depth: int):
 def _program(key):
     """Build + jit the whole-frame pass-1 program for one static config.
 
-    key = (H, W, depth, model, P, min_px, use_deltas,
+    key = (H, W, depth, model, P, min_px, max_px, use_deltas,
            ovh_block, ovh_split, rect_ovh)
     Returns (jitted fn(src, dc_q, ac_q, lam, th, tw) -> packed int8, spec)
     where
     spec is [(tag, (bw, bh), name, (nby, nbx)), ...] describing the packed
     layout for the host unpacker."""
-    (H, W, depth, model, P, min_px, use_deltas,
+    (H, W, depth, model, P, min_px, max_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key
     import jax
     import jax.numpy as jnp
 
     mode_ids_d, delta_vals_d, _ = _cand_tables(use_deltas)
     mode_ids_0, delta_vals_0, _ = _cand_tables(False)
-    dp_tiers = [s for s in SQ_TIERS if s >= min_px]
+    sq_tiers = SQ_TIERS + ((64,) if max_px >= 64 else ())
+    dp_tiers = [s for s in sq_tiers if s >= min_px]
 
-    shapes = [(s, s) for s in SQ_TIERS] + list(RECT_SHAPES)
+    shapes = [(s, s) for s in sq_tiers] + list(RECT_SHAPES)
     bodies = {}
     for (bw, bh) in shapes:
         # angle deltas are codeable only for blocks >= 8x8 (use_angle_delta)
-        ud = bool(use_deltas) and min(bw, bh) >= 8
+        # but the 64 tier skips them: its delta candidates would bake a
+        # ~230 MB directional constant into the program for leaves that are
+        # overwhelmingly smooth (DC/SMOOTH territory); pass-2 still codes
+        # delta 0 legally
+        ud = bool(use_deltas) and min(bw, bh) >= 8 and max(bw, bh) < 64
         # chroma below 8 px inherits the 8px square parent's uv choice
         # (the host cascade's chroma-cost-spreading analog); skipping the
         # sub-8px chroma searches also shrinks the packed fetch
@@ -485,18 +499,24 @@ def _program(key):
             q = bc.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
             none_c = totals[(s, s)][0] + ovb
             split_c = ovs + q
-            h2 = s // 2
-            htot, huv = totals[(s, h2)]
-            vtot, _ = totals[(h2, s)]
-            horz_c = rovh + htot[0::2] + htot[1::2]
-            vert_c = rovh + vtot[:, 0::2] + vtot[:, 1::2]
-            if P > 1 and not totals[(h2, h2)][1]:
-                # children below 8px are luma-only: the parent's chroma
-                # cost joins the split side (and rect halves likewise)
-                split_c = split_c + uv_min8[0]
-                horz_c = horz_c + uv_min8[0]
-                vert_c = vert_c + uv_min8[0]
-            cand = jnp.stack([none_c, split_c, horz_c, vert_c])
+            if s >= 64:
+                # the 64 tier has no rect candidates (the host codes no
+                # 64-rect leaves; TX_64X64 NONE vs SPLIT only); its 32px
+                # children already carry chroma
+                cand = jnp.stack([none_c, split_c])
+            else:
+                h2 = s // 2
+                htot, huv = totals[(s, h2)]
+                vtot, _ = totals[(h2, s)]
+                horz_c = rovh + htot[0::2] + htot[1::2]
+                vert_c = rovh + vtot[:, 0::2] + vtot[:, 1::2]
+                if P > 1 and not totals[(h2, h2)][1]:
+                    # children below 8px are luma-only: the parent's chroma
+                    # cost joins the split side (and rect halves likewise)
+                    split_c = split_c + uv_min8[0]
+                    horz_c = horz_c + uv_min8[0]
+                    vert_c = vert_c + uv_min8[0]
+                cand = jnp.stack([none_c, split_c, horz_c, vert_c])
             codes.append(jnp.argmin(cand, axis=0).astype(jnp.int8))
             bc = jnp.min(cand, axis=0)
         out8.extend(codes)
@@ -517,7 +537,7 @@ def _program_batch(key):
     shards over a (data = images, tile = block rows) mesh. Shares the
     per-shape cost bodies (their leading plane axis carries B*3). Returns
     (jitted fn, spec) with every spec grid carrying a leading B."""
-    (B, H, W, depth, min_px, use_deltas,
+    (B, H, W, depth, min_px, max_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key
     import jax
     import jax.numpy as jnp
@@ -526,11 +546,12 @@ def _program_batch(key):
 
     mode_ids_d, delta_vals_d, _ = _cand_tables(use_deltas)
     mode_ids_0, delta_vals_0, _ = _cand_tables(False)
-    dp_tiers = [s for s in SQ_TIERS if s >= min_px]
-    shapes = [(s, s) for s in SQ_TIERS] + list(RECT_SHAPES)
+    sq_tiers = SQ_TIERS + ((64,) if max_px >= 64 else ())
+    dp_tiers = [s for s in sq_tiers if s >= min_px]
+    shapes = [(s, s) for s in sq_tiers] + list(RECT_SHAPES)
     bodies = {}
     for (bw, bh) in shapes:
-        ud = bool(use_deltas) and min(bw, bh) >= 8
+        ud = bool(use_deltas) and min(bw, bh) >= 8 and max(bw, bh) < 64
         uv = min(bw, bh) >= 8
         bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
 
@@ -587,10 +608,16 @@ def _program_batch(key):
             nby, nbx = H // s, W // s
             q = bc.reshape(B, nby, 2, nbx, 2).sum(axis=(2, 4))
             none_c = totals[(s, s)][0] + ovb
+            split_c = ovs + q
+            if s >= 64:
+                # no rect candidates at 64 (TX_64X64 NONE vs SPLIT only)
+                cand = jnp.stack([none_c, split_c])
+                codes.append(jnp.argmin(cand, axis=0).astype(jnp.int8))
+                bc = jnp.min(cand, axis=0)
+                continue
             h2 = s // 2
             htot, _ = totals[(s, h2)]
             vtot, _ = totals[(h2, s)]
-            split_c = ovs + q
             horz_c = rovh + htot[:, 0::2] + htot[:, 1::2]
             vert_c = rovh + vtot[:, :, 0::2] + vtot[:, :, 1::2]
             if not totals[(h2, h2)][1]:
@@ -614,6 +641,7 @@ def run_pass1_batch(
     depth: int,
     tile_px: tuple,
     min_px: int,
+    max_px: int = 32,
     use_deltas: bool,
     dc_q: int,
     ac_q: int,
@@ -634,7 +662,7 @@ def run_pass1_batch(
 
     B, H, W = srcs.shape[:3]
     key = (
-        B, H, W, depth, int(min_px),
+        B, H, W, depth, int(min_px), int(max_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),
         float(rect_ovh),
     )
@@ -679,6 +707,7 @@ def run_pass1(
     num_planes: int,
     tile_px: tuple,
     min_px: int,
+    max_px: int = 32,
     use_deltas: bool,
     dc_q: int,
     ac_q: int,
@@ -703,7 +732,7 @@ def run_pass1(
         P = num_planes
     key = (
         H, W, depth, model, P,
-        int(min_px), bool(use_deltas),
+        int(min_px), int(max_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
     )
     prog, spec = _program(key)

@@ -42,6 +42,8 @@ def _bd_quality(r1, q1, r2, q2):
 
     r1, q1 = _mono(r1, q1)
     r2, q2 = _mono(r2, q2)
+    if len(r1) < 3 or len(r2) < 3:  # degenerate sweep (rate plateaus)
+        return None
     lr1, lr2 = np.log10(r1), np.log10(r2)
     lo = max(lr1.min(), lr2.min())
     hi = min(lr1.max(), lr2.max())
@@ -57,14 +59,23 @@ def _bd_rate(r1, q1, r2, q2):
     """BD-rate (%) of encoder 2 vs encoder 1 at matched quality."""
     from scipy.interpolate import PchipInterpolator
 
+    r1, q1 = np.asarray(r1), np.asarray(q1)
+    r2, q2 = np.asarray(r2), np.asarray(q2)
+    if len(r1) < 3 or len(r2) < 3:
+        return None
     lo = max(q1.min(), q2.min())
     hi = min(q1.max(), q2.max())
     if hi - lo < 0.5:  # dB (or SSIM) overlap too thin for a stable fit
         return None
-    i1 = np.argsort(q1)
-    i2 = np.argsort(q2)
-    p1 = PchipInterpolator(q1[i1], np.log10(r1)[i1])
-    p2 = PchipInterpolator(q2[i2], np.log10(r2)[i2])
+    keep1 = np.concatenate([[True], np.diff(np.sort(q1)) > 0])
+    keep2 = np.concatenate([[True], np.diff(np.sort(q2)) > 0])
+    i1s, i2s = np.argsort(q1), np.argsort(q2)
+    r1, q1 = r1[i1s][keep1], q1[i1s][keep1]
+    r2, q2 = r2[i2s][keep2], q2[i2s][keep2]
+    if len(r1) < 3 or len(r2) < 3:
+        return None
+    p1 = PchipInterpolator(q1, np.log10(r1))
+    p2 = PchipInterpolator(q2, np.log10(r2))
     xs = np.linspace(lo, hi, 256)
     return float((10 ** np.mean(p2(xs) - p1(xs)) - 1.0) * 100.0)
 
@@ -90,14 +101,19 @@ def main():
     bdp_all, bds_all, bdr_all = [], [], []
     for name, img in images():
         ours = []
-        for q in (40, 55, 65, 75, 85, 95):
+        # dense sweeps: the quality->rate curve has preset kinks (the
+        # low/high-quality flag flips at ~Q55/Q80 change cdef/lrf/partition
+        # policy, mirroring the reference's thresholds), and 6-point PCHIP
+        # over a kinked curve was measured to inflate |BD-SSIM| ~1.6x
+        # against a 14-point sweep of the same build
+        for q in range(40, 96, 4):
             enc = Encoder.new().with_quality(q).with_speed(
                 args.speed
             ).with_tune(args.tune)
             b = enc.encode_rgb(img).avif_file
             ours.append((len(b),) + _metrics(img, b))
         aom = []
-        for q in (35, 45, 55, 65, 75, 90):
+        for q in range(35, 91, 4):
             buf = io.BytesIO()
             Image.fromarray(img).save(buf, format="AVIF", quality=q, speed=6)
             aom.append((buf.tell(),) + _metrics(img, buf.getvalue()))
@@ -105,7 +121,9 @@ def main():
         r2, p2, s2 = (np.asarray([o[i] for o in ours]) for i in range(3))
         bdp = _bd_quality(r1, p1, r2, p2)
         bds = _bd_quality(r1, s1, r2, s2)
-        bdr = _bd_rate(r1, p1, r2, p2)
+        # a degenerate rate sweep (edges-style plateau) makes the
+        # quality->rate inverse meaningless too — skip BD-rate with it
+        bdr = _bd_rate(r1, p1, r2, p2) if bdp is not None else None
         fmt = lambda v, f: ("n/a" if v is None else f % v)
         print(f"{name:10s} BD-PSNR {fmt(bdp, '%+.3f')} dB  "
               f"BD-SSIM {fmt(bds, '%+.5f')}  BD-rate {fmt(bdr, '%+.1f')}%")
