@@ -335,7 +335,16 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
             lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + bias)
             errc = coef - lv * scale
             rate = jnp.abs(lv).sum(axis=-1) + 2.0 * (lv != 0.0).sum(axis=-1)
-            return (errc * errc).sum(axis=-1) + lam * rate
+            cost = (errc * errc).sum(axis=-1) + lam * rate
+            if ncoded != n2:
+                # TX_64-family: coefficients beyond the 32x32 coded area
+                # are discarded by the decoder — pure distortion (Parseval:
+                # total residual energy minus the coded-area energy), same
+                # as the host search's `tail` term (encoder.py)
+                cost = cost + (
+                    (res * res).sum(axis=-1) - (coef * coef).sum(axis=-1)
+                )
+            return cost
 
         shape = (P, nby, nbx, bh, bw)
         a2 = nb["above_s"][..., None, :].astype(jnp.float32)
@@ -532,18 +541,21 @@ _BATCH_JITS: dict = {}  # (program key, mesh fingerprint) -> sharded jit
 
 @lru_cache(maxsize=None)
 def _program_batch(key):
-    """Batched twin of _program for same-shaped RGB images: one jitted
-    program over (B, H, W, 3) uint8 — the whole-batch device pass-1 that
-    shards over a (data = images, tile = block rows) mesh. Shares the
-    per-shape cost bodies (their leading plane axis carries B*3). Returns
-    (jitted fn, spec) with every spec grid carrying a leading B."""
-    (B, H, W, depth, min_px, max_px, use_deltas,
+    """Batched twin of _program for same-shaped images: one jitted program
+    over (B, H, W, 3) uint8 RGB (model="ycbcr", on-device conversion) or
+    (B, H, W) uint8 alpha planes (model="mono", Cs400 streams) — the
+    whole-batch device pass-1 that shards over a (data = images,
+    tile = block rows) mesh. Shares the per-shape cost bodies (their
+    leading plane axis carries B*P). Returns (jitted fn, spec) with every
+    spec grid carrying a leading B."""
+    (B, H, W, depth, model, min_px, max_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key
     import jax
     import jax.numpy as jnp
 
     from . import colorspace
 
+    P = 3 if model == "ycbcr" else 1
     mode_ids_d, delta_vals_d, _ = _cand_tables(use_deltas)
     mode_ids_0, delta_vals_0, _ = _cand_tables(False)
     sq_tiers = SQ_TIERS + ((64,) if max_px >= 64 else ())
@@ -552,7 +564,7 @@ def _program_batch(key):
     bodies = {}
     for (bw, bh) in shapes:
         ud = bool(use_deltas) and min(bw, bh) >= 8 and max(bw, bh) < 64
-        uv = min(bw, bh) >= 8
+        uv = P > 1 and min(bw, bh) >= 8
         bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
 
     spec = []
@@ -571,8 +583,14 @@ def _program_batch(key):
         spec.append(((s, s), "code", (H // s, W // s)))
 
     def program(src, dc_q, ac_q, lam, th, tw):
-        ycbcr = colorspace.rgb_to_ycbcr(src, depth=depth)  # (B, H, W, 3)
-        planes = ycbcr.transpose(0, 3, 1, 2).reshape(B * 3, H, W)
+        if model == "ycbcr":
+            ycbcr = colorspace.rgb_to_ycbcr(src, depth=depth)  # (B,H,W,3)
+            planes = ycbcr.transpose(0, 3, 1, 2).reshape(B * 3, H, W)
+        else:  # mono alpha plane batch
+            x = src.astype(jnp.int32)
+            if depth == 10:
+                x = (x << 2) | (x >> 6)
+            planes = x.reshape(B, H, W)
         out8 = []
         totals = {}
         uv_min8 = [None]
@@ -584,7 +602,7 @@ def _program_batch(key):
             emit = (bw, bh) != (4, 4)
             costs = body(planes, dc_q, ac_q, lam, (th, tw))
             nby, nbx = costs.shape[1], costs.shape[2]
-            c = costs.reshape(B, 3, nby, nbx, -1)
+            c = costs.reshape(B, P, nby, nbx, -1)
             y = c[:, 0]
             if emit:
                 out8.append(md[jnp.argmin(y, axis=-1)])
@@ -620,7 +638,7 @@ def _program_batch(key):
             vtot, _ = totals[(h2, s)]
             horz_c = rovh + htot[:, 0::2] + htot[:, 1::2]
             vert_c = rovh + vtot[:, :, 0::2] + vtot[:, :, 1::2]
-            if not totals[(h2, h2)][1]:
+            if P > 1 and not totals[(h2, h2)][1]:
                 split_c = split_c + uv_min8[0]
                 horz_c = horz_c + uv_min8[0]
                 vert_c = vert_c + uv_min8[0]
@@ -649,11 +667,13 @@ def run_pass1_batch(
     ovh_block: float = 23.0,
     ovh_split: float = 2.0,
     rect_ovh: float = 4.0,
+    model: str = "ycbcr",
     mesh=None,
 ) -> list:
-    """Whole-batch device pass-1 over same-shaped RGB images.
-    srcs: (B, H, W, 3) uint8, H/W multiples of 64 (padded). With a mesh,
-    the batch shards over (data = images, tile = block rows) — GSPMD turns
+    """Whole-batch device pass-1 over same-shaped images.
+    srcs: (B, H, W, 3) uint8 RGB (model="ycbcr") or (B, H, W) uint8 alpha
+    planes (model="mono"), H/W multiples of 64 (padded). With a mesh, the
+    batch shards over (data = images, tile = block rows) — GSPMD turns
     the neighbor-row shifts into halo exchanges along `tile` and the
     output gathers back replicated. Returns a list of B per-image grid
     dicts in run_pass1's format."""
@@ -661,8 +681,17 @@ def run_pass1_batch(
     import jax.numpy as jnp
 
     B, H, W = srcs.shape[:3]
+    nb = B
+    if mesh is not None:
+        # the data axis shards the batch dim: pad to a multiple of its
+        # size (replicated tail images; their grids are discarded below)
+        dn = mesh.shape.get("data", 1)
+        if B % dn:
+            reps = np.repeat(srcs[-1:], dn - B % dn, axis=0)
+            srcs = np.concatenate([srcs, reps], axis=0)
+            nb = srcs.shape[0]
     key = (
-        B, H, W, depth, int(min_px), int(max_px),
+        nb, H, W, depth, model, int(min_px), int(max_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),
         float(rect_ovh),
     )
@@ -673,7 +702,11 @@ def run_pass1_batch(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ins = NamedSharding(mesh, P("data", "tile", None, None))
+        ins = NamedSharding(
+            mesh,
+            P("data", "tile", None, None) if model == "ycbcr"
+            else P("data", "tile", None),
+        )
         mkey = (key, tuple(sorted(mesh.shape.items())),
                 tuple(d.id for d in mesh.devices.flat))
         f = _BATCH_JITS.get(mkey)

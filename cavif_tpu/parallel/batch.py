@@ -189,74 +189,136 @@ def encode_batch_sharded(
     mesh=None,
     max_workers: Optional[int] = None,
 ) -> List[bytes]:
-    """Whole-batch encode with ONE sharded device pass-1 feeding per-image
-    host serialization — the end-to-end (data = images, tile = block rows)
-    scale-out path of SURVEY.md §2.4/§5.8.
+    """Whole-batch encode with sharded device pass-1 programs feeding
+    per-image host serialization — the end-to-end (data = images,
+    tile = block rows) scale-out path of SURVEY.md §2.4/§5.8.
 
-    All images must be same-shaped (H, W, 3) uint8 RGB. The batched device
-    program (ops/device_pass1.run_pass1_batch) computes every image's
-    partition + mode decisions over the mesh in one call (replicated
-    output: every process receives all grids, so multi-process runs
-    produce byte-identical AVIFs to single-process ones); host threads
-    then run pass 2 + EC + mux per image. Returns AVIF bytes per image.
+    Accepts MIXED-shape (H, W, 3|4) uint8 images (the reference's
+    par_iter semantics over arbitrary files, src/main.rs:223): streams are
+    bucketed by padded 256px shape + tile split, each bucket's pass-1 runs
+    as ONE batched device program over the mesh, and RGBA inputs get the
+    full reference alpha treatment (alpha-mode preprocessing, opaque
+    auto-drop, separate Cs400 full-range alpha stream at the alpha
+    quantizer/tweaks) with the alpha planes batched through the mono
+    device program. Every process receives all grids (replicated output),
+    so multi-process runs produce byte-identical AVIFs to single-process
+    ones; host threads then run pass 2 + EC + mux per image. Returns AVIF
+    bytes per image, input order.
     """
     from .. import Encoder
     from ..av1.config import AV1Config
-    from ..av1.encoder import FrameEncoder
+    from ..av1.encoder import FrameEncoder, frame_geometry
     from ..av1.speed import SpeedTweaks
     from ..ops import colorspace
     from ..ops.device_pass1 import run_pass1_batch
     from ..pipeline import _finish, _matrix_coefficients
 
     enc = encoder if encoder is not None else Encoder.new()
-    imgs = [np.ascontiguousarray(np.asarray(im)[..., :3]) for im in images]
-    if not imgs:
+    if not len(images):
         return []
-    h, w = imgs[0].shape[:2]
-    assert all(im.shape == imgs[0].shape for im in imgs), "same-shape batch"
     depth = enc.output_depth.bits
-    cfg = AV1Config(
-        width=w, height=h, bit_depth=depth, quantizer=enc.quantizer,
-        tweaks=SpeedTweaks.from_preset(enc.speed, enc.quantizer),
-        chroma_sampling="444", full_range=True,
-        matrix_coefficients=_matrix_coefficients(enc.color_model),
-        threads=1, tune=enc.tune,
-    )
-    # scout: static geometry (padded dims, tile split, quantizers, lambda)
-    scout = FrameEncoder(np.zeros((h, w, 3), np.int32), cfg)
-    ph, pw = scout.planes[0].src.shape
-    tcl, trl = scout._tile_split()
-    sb_cols = (scout.mi_cols + 15) >> 4
-    sb_rows = (scout.mi_rows + 15) >> 4
-    th = ((sb_rows + (1 << trl) - 1) >> trl) * 64
-    tw = ((sb_cols + (1 << tcl) - 1) >> tcl) * 64
-    if scout.max_leaf_mi > 8:
-        raise ValueError(
-            "64px-leaf presets (speed<=1 low quality) use the host cascade"
+
+    # per-image prep: reference alpha semantics (preprocess + opaque drop)
+    prepped = []  # (rgb uint8, alpha uint8 | None)
+    for im in images:
+        im = np.asarray(im)
+        alpha = None
+        if im.ndim == 3 and im.shape[2] == 4:
+            conv = enc._convert_alpha_8bit(im)
+            buf = conv if conv is not None else im
+            if bool((buf[..., 3] != 255).any()):
+                alpha = np.ascontiguousarray(buf[..., 3])
+            im = buf
+        prepped.append((np.ascontiguousarray(im[..., :3]), alpha))
+
+    def mk_cfg(h, w, kind):
+        q = enc.quantizer if kind == "color" else enc.alpha_quantizer
+        return AV1Config(
+            width=w, height=h, bit_depth=depth, quantizer=q,
+            tweaks=SpeedTweaks.from_preset(enc.speed, q),
+            chroma_sampling="444" if kind == "color" else "400",
+            full_range=True,
+            matrix_coefficients=(
+                _matrix_coefficients(enc.color_model)
+                if kind == "color" else None
+            ),
+            threads=1, tune=enc.tune,
         )
-    batch = np.stack(
-        [np.pad(im, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-         for im in imgs]
-    )
-    grids = run_pass1_batch(
-        batch, depth=depth, tile_px=(th, tw),
-        min_px=scout.min_leaf_mi * 4,
-        use_deltas=cfg.tweaks.fine_directional_intra,
-        dc_q=scout.dc_q, ac_q=scout.ac_q, lam=scout._lambda(),
-        ovh_block=FrameEncoder.DEV_OVH_BLOCK, mesh=mesh,
-    )
+
+    # bucket streams: (kind, bucketed padded dims, tile split, leaf bounds)
+    cfgs = {}   # (h, w, kind) -> (cfg, geometry)
+    buckets = {}  # key -> [(img_idx, kind)]
+    for i, (rgb, alpha) in enumerate(prepped):
+        h, w = rgb.shape[:2]
+        for kind in ("color",) + (("alpha",) if alpha is not None else ()):
+            if (h, w, kind) not in cfgs:
+                cfg = mk_cfg(h, w, kind)
+                cfgs[(h, w, kind)] = (cfg, frame_geometry(cfg))
+            _, g = cfgs[(h, w, kind)]
+            # 256px shape bucketing (same as the per-image device path):
+            # one compilation per bucket; grids beyond the frame's mi
+            # bounds are never read
+            bh_ = -(-g.ph // 256) * 256
+            bw_ = -(-g.pw // 256) * 256
+            key = (kind, bh_, bw_, g.th, g.tw,
+                   g.min_leaf_mi, g.max_leaf_mi)
+            buckets.setdefault(key, []).append(i)
+
+    # one batched device pass-1 per bucket
+    grids_by = {}  # (img_idx, kind) -> per-image grid dict
+    for key, members in buckets.items():
+        kind, bh_, bw_, th, tw, min_leaf, max_leaf = key
+        h0, w0 = prepped[members[0]][0].shape[:2]
+        cfg, g = cfgs[(h0, w0, kind)]
+        srcs = []
+        for i in members:
+            rgb, alpha = prepped[i]
+            h, w = rgb.shape[:2]
+            src = rgb if kind == "color" else alpha
+            pad = ((0, bh_ - h), (0, bw_ - w))
+            if src.ndim == 3:
+                pad = pad + ((0, 0),)
+            srcs.append(np.pad(src, pad, mode="edge"))
+        batch = np.stack(srcs)
+        grids = run_pass1_batch(
+            batch, depth=depth, tile_px=(th, tw),
+            min_px=min_leaf * 4, max_px=max_leaf * 4,
+            use_deltas=cfg.tweaks.fine_directional_intra,
+            dc_q=g.dc_q, ac_q=g.ac_q, lam=g.lam,
+            ovh_block=FrameEncoder.DEV_OVH_BLOCK,
+            model="ycbcr" if kind == "color" else "mono", mesh=mesh,
+        )
+        for i, gr in zip(members, grids):
+            grids_by[(i, kind)] = gr
+
+    def encode_stream(i: int, kind: str) -> bytes:
+        rgb, alpha = prepped[i]
+        h, w = rgb.shape[:2]
+        cfg, _g = cfgs[(h, w, kind)]
+        if kind == "color":
+            planes = colorspace.rgb_to_ycbcr_host(rgb, depth=depth)
+            src8 = rgb
+        else:
+            planes = colorspace.alpha_plane_host(alpha, depth=depth)
+            src8 = alpha
+        fe = FrameEncoder(planes, cfg, src8=src8)
+        fe._device_search = "inject"
+        gr = grids_by[(i, kind)]
+        fe._dev_state = (gr, fe._dev_part_dict(gr))
+        return fe.encode()
 
     def one(i: int) -> bytes:
-        planes = colorspace.rgb_to_ycbcr_host(imgs[i], depth=depth)
-        fe = FrameEncoder(planes, cfg, src8=imgs[i])
-        fe._device_search = "inject"
-        fe._dev_state = (grids[i], fe._dev_part_dict(grids[i]))
-        color = fe.encode()
-        return _finish(enc, color, None, w, h, depth).avif_file
+        rgb, alpha = prepped[i]
+        h, w = rgb.shape[:2]
+        color = encode_stream(i, "color")
+        alpha_payload = (
+            encode_stream(i, "alpha") if alpha is not None else None
+        )
+        return _finish(enc, color, alpha_payload, w, h, depth).avif_file
 
-    workers = min(len(imgs), max_workers or (os.cpu_count() or 1))
+    workers = min(len(prepped), max_workers or (os.cpu_count() or 1))
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(one, range(len(imgs))))
+        return list(ex.map(one, range(len(prepped))))
 
 
 def plane_mode_search_batch(

@@ -204,3 +204,43 @@ def test_aq_at_quality100(monkeypatch):
     # (filters still run; they are output-only smoothing)
     dec = desc[3][0].astype(np.int64)
     assert int(np.abs(dec - plane).max()) <= 64
+
+
+def test_aq_engages_on_device_path(monkeypatch):
+    """tune=ssim no longer forces the host cascade (round-3): the device
+    pass-1 searches at the frame base quantizer while pass 2 applies the
+    per-SB delta_q. The device-path stream must carry delta_q, decode
+    bit-exactly, and land within a small RD envelope of the host path."""
+    import io
+
+    from PIL import Image
+
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:192, 0:256]
+    smooth = (120 + 60 * np.sin(x / 43.0)).astype(np.float64)
+    img8 = np.where(
+        x < 128, smooth, rng.integers(0, 256, (192, 256))
+    ).astype(np.uint8)
+    img = np.stack([img8, img8, img8], axis=-1)
+
+    def run(dev):
+        monkeypatch.setenv("CAVIF_TPU_DEVICE_SEARCH", dev)
+        out = Encoder.new().with_quality(80).with_speed(4).with_tune(
+            "ssim"
+        ).encode_rgb(img)
+        dec = np.asarray(
+            Image.open(io.BytesIO(out.avif_file)).convert("RGB")
+        ).astype(np.float64)
+        err = ((dec - img.astype(np.float64)) ** 2).mean()
+        return out, 10 * np.log10(255**2 / max(err, 1e-9))
+
+    host, p_host = run("off")
+    dev, p_dev = run("xla")
+    # per-SB delta_q present on the device path: base_q alone cannot code
+    # this mixed content at one quantizer without the qindex spread that
+    # the host AQ stream shows; compare sizes as the cheap proxy and the
+    # decoded quality directly
+    assert p_dev >= p_host - 0.25
+    assert len(dev.avif_file) <= int(len(host.avif_file) * 1.10)

@@ -124,12 +124,27 @@ assert devs.size == 8, devs
 mesh = Mesh(devs.reshape(4, 2), ("data", "tile"))
 
 rng = np.random.default_rng(0)
-imgs = [rng.integers(0, 256, (128, 192, 3), np.uint8) for _ in range(4)]
+# MIXED shapes + an RGBA input (reference par_iter semantics over
+# arbitrary files, src/main.rs:223): two shape buckets for the color
+# streams plus a mono bucket for the alpha stream
+imgs = [
+    rng.integers(0, 256, (128, 192, 3), np.uint8),
+    rng.integers(0, 256, (96, 128, 3), np.uint8),
+    rng.integers(0, 256, (128, 192, 3), np.uint8),
+]
+rgba = rng.integers(0, 256, (128, 192, 4), np.uint8)
+rgba[..., 3] = 255
+rgba[30:90, 40:150, 3] = rng.integers(0, 255, (60, 110), np.uint8)
+imgs.append(rgba)
 enc = Encoder.new().with_quality(70).with_speed(4)
 ref = encode_batch_sharded(imgs, enc)            # meshless reference
 got = encode_batch_sharded(imgs, enc, mesh=mesh)  # 2-process global mesh
 assert [len(b) for b in got] == [len(b) for b in ref]
 assert all(a == b for a, b in zip(ref, got)), "mesh run diverged"
+# the RGBA input must carry a real alpha stream
+from cavif_tpu.container.parse import read_avif
+assert read_avif(got[3]).alpha_item, "alpha stream missing"
+assert read_avif(got[1]).width == 128
 digest = hashlib.sha256(b"".join(got)).hexdigest()[:16]
 print(f"proc {pid} e2e ok: {digest}")
 """ % ROOT

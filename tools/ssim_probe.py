@@ -22,10 +22,13 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 QUALITIES = (76, 84, 90)
 
 CONFIGS = [
-    ("base", {"CAVIF_TPU_CDEF_MINQ": "110"}),
-    ("lr-10", {"CAVIF_TPU_CDEF_MINQ": "110", "CAVIF_TPU_LR_MARGIN_PX": "10"}),
-    ("lr-30", {"CAVIF_TPU_CDEF_MINQ": "110", "CAVIF_TPU_LR_MARGIN_PX": "30"}),
-    ("lr-80", {"CAVIF_TPU_CDEF_MINQ": "110", "CAVIF_TPU_LR_MARGIN_PX": "80"}),
+    ("base", {}),
+    ("eob-off", {"CAVIF_TPU_EOB_BITS": "0.0001"}),
+    ("bias-.46", {"CAVIF_TPU_AC_BIAS": "0.46"}),
+    ("bias-.48", {"CAVIF_TPU_AC_BIAS": "0.48"}),
+    ("tq0-100", {"CAVIF_TPU_TRELLIS_Q0": "100"}),
+    ("tq0-100+b46", {"CAVIF_TPU_TRELLIS_Q0": "100",
+                     "CAVIF_TPU_AC_BIAS": "0.46"}),
 ]
 
 
