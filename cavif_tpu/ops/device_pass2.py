@@ -213,7 +213,7 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
     invs = [inv_body(n, n, bit_depth, va, ha)
             for va in (0, 1) for ha in (0, 1)]
 
-    def body(recon, xs):
+    def body(recon, xs, dcq, acq):
         (ay, ax, ly, lx, aly, alx, case, cand, txv, lv, oy, ox) = xs
         # gathered neighbor rows/cols (values unused where case disables)
         ae_g = recon[ay, ax]            # (K, L)
@@ -238,7 +238,7 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
         p = pred(ae, le, al, have_a, have_l, cand)
         # all four DCT/ADST variants computed, per-block select (itx at
         # 16px is cheap relative to one variant-dependent retrace)
-        resids = jnp.stack([f(lv, dc_q[0], ac_q[0]) for f in invs])
+        resids = jnp.stack([f(lv, dcq, acq) for f in invs])
         K = lv.shape[0]
         resid = jnp.take_along_axis(
             resids,
@@ -251,14 +251,11 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
         recon = recon.at[rows, cols].set(rec)
         return recon, None
 
-    dc_q = [None]
-    ac_q = [None]
-
     def run(xs, dcq, acq):
-        dc_q[0] = dcq
-        ac_q[0] = acq
         recon0 = jnp.zeros((H + n, W), jnp.int32)
-        recon, _ = jax.lax.scan(body, recon0, xs)
+        recon, _ = jax.lax.scan(
+            lambda c, x: body(c, x, dcq, acq), recon0, xs
+        )
         return recon[:H]
 
     return jax.jit(run)
@@ -377,3 +374,169 @@ def recon_wavefront_uniform(
         f(jnp.asarray(levels, jnp.int32), jnp.asarray(cand),
           jnp.int32(dc_q), jnp.int32(ac_q))
     )
+
+
+@lru_cache(maxsize=None)
+def _wavefront_scan_kernel_multi(P: int, H: int, W: int, n: int,
+                                 bit_depth: int, kmax: int):
+    """Multi-stream scan wavefront: every lane carries a (plane, tile)
+    stream index, so all planes AND all prediction-independent tiles of a
+    frame walk their wavefronts CONCURRENTLY in one lax.scan — the serial
+    chain shrinks from sum-over-streams to the longest single tile while
+    each step's batch grows to fill the chip (VERDICT r02 item 4: batch
+    all blocks of a wavefront level across tiles and both chroma
+    planes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_itx import inv_body
+    from .device_predict import pred_body
+
+    base = 1 << (bit_depth - 1)
+    maxv = (1 << bit_depth) - 1
+    pred = pred_body(n, n, bit_depth, True)
+    invs = [inv_body(n, n, bit_depth, va, ha)
+            for va in (0, 1) for ha in (0, 1)]
+
+    def body(recon, xs, dcq, acq):
+        (pl, ay, ax, ly, lx, aly, alx, case, cand, txv, lv, oy, ox) = xs
+        ae_g = recon[pl[:, None], ay, ax]   # (K, L)
+        le_g = recon[pl[:, None], ly, lx]   # (K, L)
+        al_g = recon[pl, aly, alx]          # (K,)
+        c = case[:, None]
+        ae = jnp.where(
+            c == 0, base - 1,
+            jnp.where(c == 1, le_g[:, 0:1], ae_g),
+        )
+        le = jnp.where(
+            c == 0, base + 1,
+            jnp.where(c == 2, ae_g[:, 0:1], le_g),
+        )
+        al = jnp.where(
+            case == 0, base,
+            jnp.where(case == 1, le_g[:, 0],
+                      jnp.where(case == 2, ae_g[:, 0], al_g)),
+        )
+        have_a = (case == 2) | (case == 3)
+        have_l = (case == 1) | (case == 3)
+        p = pred(ae, le, al, have_a, have_l, cand)
+        resids = jnp.stack([f(lv, dcq, acq) for f in invs])
+        K = lv.shape[0]
+        resid = jnp.take_along_axis(
+            resids,
+            jnp.broadcast_to(txv[None, :, None, None], (1, K, n, n)),
+            axis=0,
+        )[0]
+        rec = jnp.clip(p + resid, 0, maxv)
+        rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
+        cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
+        recon = recon.at[pl[:, None, None], rows, cols].set(rec)
+        return recon, None
+
+    def run(xs, dcq, acq):
+        recon0 = jnp.zeros((P, H + n, W), jnp.int32)
+        recon, _ = jax.lax.scan(
+            lambda c, x: body(c, x, dcq, acq), recon0, xs
+        )
+        return recon[:, :H]
+
+    return jax.jit(run)
+
+
+def recon_wavefront_scan_frame(
+    levels: np.ndarray,
+    modes: np.ndarray,
+    deltas: np.ndarray,
+    va: np.ndarray,
+    ha: np.ndarray,
+    H: int,
+    W: int,
+    dc_q: int,
+    ac_q: int,
+    bit_depth: int = 10,
+    n: int = 16,
+    tile_grid: tuple = (1, 1),
+) -> np.ndarray:
+    """Whole-FRAME wavefront: levels/modes/deltas/va/ha carry a leading
+    plane axis (P, nby, nbx[, n, n]); tiles of the (tr, tc) grid are
+    prediction-independent streams whose wavefronts run concurrently.
+    Returns the (P, H, W) int32 recon, bit-exact with the per-plane
+    executors (which remain the oracle)."""
+    import jax.numpy as jnp
+
+    from .device_predict import _cand_index
+
+    P = levels.shape[0]
+    nby, nbx = H // n, W // n
+    tr, tc = tile_grid
+    idx = _cand_index(True)
+    ar = np.arange(2 * n)
+    # per-tile schedules (tile-local geometry: availability stops at the
+    # tile edge, like the pass-1 _nbrs tile masking / pass-2 rr4, cc4)
+    streams = []
+    for pl in range(P):
+        for ty in range(tr):
+            for tx in range(tc):
+                b0, b1 = ty * nby // tr, (ty + 1) * nby // tr
+                c0, c1 = tx * nbx // tc, (tx + 1) * nbx // tc
+                h_ar, h_bl = _mask_flags(b1 - b0, c1 - c0)
+                st = _schedule(b1 - b0, c1 - c0, h_ar, h_bl)
+                streams.append((pl, b0, c0, b1, c1, h_ar, h_bl, st))
+    S = max(len(st) for st in (t[-1] for t in streams))
+    kmax = max(
+        sum(len(t[-1][s]) for t in streams if s < len(t[-1]))
+        for s in range(S)
+    )
+    L = 2 * n
+    pl_a = np.zeros((S, kmax), np.int32)
+    ay = np.zeros((S, kmax, L), np.int32)
+    ax = np.zeros((S, kmax, L), np.int32)
+    ly = np.zeros((S, kmax, L), np.int32)
+    lx = np.zeros((S, kmax, L), np.int32)
+    aly = np.zeros((S, kmax), np.int32)
+    alx = np.zeros((S, kmax), np.int32)
+    case = np.zeros((S, kmax), np.int32)
+    cand = np.zeros((S, kmax), np.int32)
+    txv = np.zeros((S, kmax), np.int32)
+    lvs = np.zeros((S, kmax, n, n), np.int32)
+    oy = np.full((S, kmax), H, np.int32)  # pad writes land below the plane
+    ox = np.zeros((S, kmax), np.int32)
+    fill = np.zeros(S, np.int32)
+    for (pl, b0, c0, b1, c1, h_ar, h_bl, st) in streams:
+        for s, blocks in enumerate(st):
+            for (lby, lbx) in blocks:
+                k = fill[s]
+                fill[s] += 1
+                by, bx = b0 + lby, c0 + lbx
+                y0, x0 = by * n, bx * n
+                have_a = lby > 0
+                have_l = lbx > 0
+                case[s, k] = (2 if have_a else 0) | (1 if have_l else 0)
+                # neighbor extensions clamp at the TILE edge (host pass-2
+                # reads clamp at ctx.end, the tile mi bounds)
+                n_av = n + (n if h_ar[lby, lbx] else 0)
+                ax[s, k] = np.minimum(
+                    x0 + np.minimum(ar, n_av - 1), c1 * n - 1
+                )
+                ay[s, k] = max(y0 - 1, 0)
+                n_lv = n + (n if h_bl[lby, lbx] else 0)
+                ly[s, k] = np.minimum(
+                    y0 + np.minimum(ar, n_lv - 1), b1 * n - 1
+                )
+                lx[s, k] = max(x0 - 1, 0)
+                aly[s, k] = max(y0 - 1, 0)
+                alx[s, k] = max(x0 - 1, 0)
+                pl_a[s, k] = pl
+                cand[s, k] = idx[(int(modes[pl, by, bx]),
+                                  int(deltas[pl, by, bx]))]
+                txv[s, k] = int(va[pl, by, bx]) * 2 + int(ha[pl, by, bx])
+                lvs[s, k] = levels[pl, by, bx]
+                oy[s, k] = y0
+                ox[s, k] = x0
+    f = _wavefront_scan_kernel_multi(P, H, W, n, bit_depth, kmax)
+    xs = tuple(
+        jnp.asarray(v)
+        for v in (pl_a, ay, ax, ly, lx, aly, alx, case, cand, txv,
+                  lvs, oy, ox)
+    )
+    return np.asarray(f(xs, jnp.int32(dc_q), jnp.int32(ac_q)))

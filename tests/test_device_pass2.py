@@ -107,3 +107,53 @@ def test_wavefront_recon_matches_host():
     assert np.array_equal(got2, ref), (
         int(np.abs(got2 - ref).max()), int((got2 != ref).sum()),
     )
+
+
+def test_wavefront_frame_executor_matches_per_plane():
+    """The multi-stream frame executor (all planes + all tiles in one
+    lax.scan) must be bit-identical to the per-plane scan executor: with
+    a (1,1) tile grid directly, and with a (2,2) grid each tile must
+    equal an independent per-tile run (tiles are prediction-independent;
+    neighbor extensions clamp at the tile edge like the host pass-2)."""
+    from cavif_tpu.ops.device_pass2 import (
+        recon_wavefront_scan,
+        recon_wavefront_scan_frame,
+    )
+
+    rng = np.random.default_rng(1)
+    H = W = 128
+    n = 16
+    nby = nbx = H // n
+    P = 3
+    levels = rng.integers(-4, 5, (P, nby, nbx, n, n)).astype(np.int32)
+    modes = rng.integers(0, 13, (P, nby, nbx)).astype(np.int32)
+    deltas = np.zeros((P, nby, nbx), np.int32)
+    va = rng.integers(0, 2, (P, nby, nbx)).astype(np.int8)
+    ha = rng.integers(0, 2, (P, nby, nbx)).astype(np.int8)
+    dq, aq = 499, 616
+    ref = np.stack([
+        recon_wavefront_scan(levels[p], modes[p], deltas[p], va[p], ha[p],
+                             H, W, dq, aq, 10, n)
+        for p in range(P)
+    ])
+    got = recon_wavefront_scan_frame(
+        levels, modes, deltas, va, ha, H, W, dq, aq, 10, n, tile_grid=(1, 1)
+    )
+    assert np.array_equal(got, ref)
+    got2 = recon_wavefront_scan_frame(
+        levels, modes, deltas, va, ha, H, W, dq, aq, 10, n, tile_grid=(2, 2)
+    )
+    for p in range(P):
+        for ty in range(2):
+            for tx in range(2):
+                b0, b1 = ty * nby // 2, (ty + 1) * nby // 2
+                c0, c1 = tx * nbx // 2, (tx + 1) * nbx // 2
+                sub = recon_wavefront_scan(
+                    levels[p, b0:b1, c0:c1], modes[p, b0:b1, c0:c1],
+                    deltas[p, b0:b1, c0:c1], va[p, b0:b1, c0:c1],
+                    ha[p, b0:b1, c0:c1], (b1 - b0) * n, (c1 - c0) * n,
+                    dq, aq, 10, n,
+                )
+                assert np.array_equal(
+                    got2[p, b0 * n:b1 * n, c0 * n:c1 * n], sub
+                ), (p, ty, tx)
