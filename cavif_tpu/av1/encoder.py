@@ -810,11 +810,16 @@ class FrameEncoder:
     OVH_BLOCK = 15.0
     # wider searches lower the apparent cost of small blocks (min-of-K
     # selection bias), so the block-rate proxy scales with search width:
-    # 15 at the narrowed fast tiers, 21 for the exhaustive bottom-up
-    # presets (s<=2, full 13-candidate width — A/B at Q80: s1 lands 1.9%
-    # under s4's bytes at matched PSNR, restoring the reference's
-    # "slow speeds compress better" ordering), 23 on the device (61-wide)
-    OVH_BLOCK_EXH = 21.0
+    # 15 at the narrowed fast tiers (re-validated optimal on the round-3
+    # dense BD corpus: 12 and 18 both measure worse BD-PSNR), 24 for the
+    # exhaustive bottom-up presets (s<=2, full 13-candidate width — the
+    # r03 sweep: 21->-0.58% / 24->-0.86% s1-vs-s4 BD-rate at matched PSNR,
+    # plateau past 24; fixed-Q ladder s1 = 0.961 x s4 bytes), 23 on the
+    # device (61-wide). The reference claims 3-5% for rav1e's ladder
+    # (README.md:34); our matched-PSNR gap saturates at ~0.9% because s4
+    # here already sits at the envelope rav1e needs s<=2 to reach
+    # (BASELINE.md speed-ladder note).
+    OVH_BLOCK_EXH = 24.0
     DEV_OVH_BLOCK = 23.0
     OVH_SPLIT = 2.0
     BOTTOM_KAPPA = 1.0  # bottom-tier prune threshold multiplier
@@ -1662,12 +1667,12 @@ class FrameEncoder:
         return 0.8 * qstep * qstep / 16.0
 
     def _ovh_block(self) -> float:
-        """Search-width-scaled block-rate proxy (see OVH_BLOCK_EXH)."""
-        return (
-            self.OVH_BLOCK_EXH
-            if self.cfg.tweaks.encode_bottomup
-            else self.OVH_BLOCK
-        )
+        """Search-width-scaled block-rate proxy (see OVH_BLOCK_EXH).
+        Env overrides are BD-corpus calibration tooling."""
+        if self.cfg.tweaks.encode_bottomup:
+            return float(os.environ.get(
+                "CAVIF_TPU_OVH_EXH", self.OVH_BLOCK_EXH))
+        return float(os.environ.get("CAVIF_TPU_OVH", self.OVH_BLOCK))
 
     def _sb_activity(self):
         """Mean 8x8 luma variance per 64px superblock, (sb_rows, sb_cols)
