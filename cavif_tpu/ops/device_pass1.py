@@ -33,9 +33,41 @@ GSPMD); __graft_entry__.dryrun_multichip exercises the multi-device wiring.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
+
+_CACHE_SET = [False]
+
+
+def _ensure_compile_cache() -> None:
+    """Persistent XLA compile cache for the fused programs (~20-60 s per
+    (shape, model, batch) through the tunnel's remote compiler). Every
+    device entry point calls this: the sharded batch path reaches jax
+    without going through the encoder's backend probe (which also sets
+    it), and without the cache each fresh process recompiles every bucket
+    program — measured 0.13 vs ~2.5 MP/s on the 512-mixed-input config."""
+    if _CACHE_SET[0]:
+        return
+    _CACHE_SET[0] = True
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/cavif_tpu/jax"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0
+        )
+    except Exception:
+        pass
 
 from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 
@@ -680,7 +712,35 @@ def run_pass1_batch(
     import jax
     import jax.numpy as jnp
 
+    _ensure_compile_cache()
     B, H, W = srcs.shape[:3]
+    # pixel budget per program invocation: the per-shape candidate
+    # expansions scale with B*H*W and XLA keeps several candidate chunks
+    # live at once — a 128-image 512px bucket measured 17.9G of HBM temps
+    # on a 16G v5e. Large batches run as fixed-size sub-batches (padded
+    # tail), which also reuse ONE compiled program.
+    budget = int(os.environ.get("CAVIF_TPU_BATCH_PX", 8_400_000))
+    max_b = max(1, budget // (H * W))
+    if mesh is not None:
+        dn = mesh.shape.get("data", 1)
+        max_b = max(dn, (max_b // dn) * dn)
+    if B > max_b:
+        out = []
+        for i in range(0, B, max_b):
+            sub = srcs[i : i + max_b]
+            if sub.shape[0] < max_b:  # pad: same compiled program
+                reps = np.repeat(sub[-1:], max_b - sub.shape[0], axis=0)
+                sub = np.concatenate([sub, reps], axis=0)
+            out.extend(
+                run_pass1_batch(
+                    sub, depth=depth, tile_px=tile_px, min_px=min_px,
+                    max_px=max_px, use_deltas=use_deltas, dc_q=dc_q,
+                    ac_q=ac_q, lam=lam, ovh_block=ovh_block,
+                    ovh_split=ovh_split, rect_ovh=rect_ovh, model=model,
+                    mesh=mesh,
+                )[: min(max_b, B - i)]
+            )
+        return out
     nb = B
     if mesh is not None:
         # the data axis shards the batch dim: pad to a multiple of its
@@ -758,6 +818,7 @@ def run_pass1(
     aligned block grid over the padded plane."""
     import jax.numpy as jnp
 
+    _ensure_compile_cache()
     if model == "planes":
         P, H, W = src.shape
     else:
