@@ -2029,7 +2029,8 @@ class FrameEncoder:
         lr_types = ()
         with span("lr_solve"):
             lr_on = cfg.tweaks.lrf and self._lr_solve()
-            if cfg.tweaks.lrf and cdef_applied:
+            if (cfg.tweaks.lrf and cdef_applied
+                    and os.environ.get("CAVIF_TPU_CDEF_ARB", "1") != "0"):
                 # greedy stage order can mis-pick: the CDEF search minimizes
                 # post-CDEF SSE, but restoration then re-denoises — on noisy
                 # content the deblock-only branch restores BETTER than the
