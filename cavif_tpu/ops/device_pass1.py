@@ -741,15 +741,18 @@ def run_pass1_batch(
                 )[: min(max_b, B - i)]
             )
         return out
-    nb = B
+    # canonicalize the compiled batch size: pad B up to the next power of
+    # two (capped at max_b) so each (shape, model) has a bounded set of
+    # programs — variable batch sizes otherwise compile a fresh ~20-60 s
+    # program per distinct B (padded tail grids are discarded below)
+    nb_t = min(max_b, 1 << max(0, B - 1).bit_length())
     if mesh is not None:
-        # the data axis shards the batch dim: pad to a multiple of its
-        # size (replicated tail images; their grids are discarded below)
         dn = mesh.shape.get("data", 1)
-        if B % dn:
-            reps = np.repeat(srcs[-1:], dn - B % dn, axis=0)
-            srcs = np.concatenate([srcs, reps], axis=0)
-            nb = srcs.shape[0]
+        nb_t = max(dn, (nb_t + dn - 1) // dn * dn)
+    if B < nb_t:
+        reps = np.repeat(srcs[-1:], nb_t - B, axis=0)
+        srcs = np.concatenate([srcs, reps], axis=0)
+    nb = srcs.shape[0]
     key = (
         nb, H, W, depth, model, int(min_px), int(max_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),

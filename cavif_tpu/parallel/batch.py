@@ -264,9 +264,13 @@ def encode_batch_sharded(
                    g.min_leaf_mi, g.max_leaf_mi)
             buckets.setdefault(key, []).append(i)
 
-    # one batched device pass-1 per bucket
+    # one batched device pass-1 per bucket; host pass-2 of a stream starts
+    # as soon as ITS bucket's grids land, overlapping the later buckets'
+    # device calls (the device fan-out runs on the caller thread, host
+    # serialization in the pool)
     grids_by = {}  # (img_idx, kind) -> per-image grid dict
-    for key, members in buckets.items():
+
+    def pass1_bucket(key, members):
         kind, bh_, bw_, th, tw, min_leaf, max_leaf = key
         h0, w0 = prepped[members[0]][0].shape[:2]
         cfg, g = cfgs[(h0, w0, kind)]
@@ -316,9 +320,24 @@ def encode_batch_sharded(
         )
         return _finish(enc, color, alpha_payload, w, h, depth).avif_file
 
+    # an image is host-ready once EVERY stream it needs has grids; order
+    # buckets so color buckets go first (alpha streams are the smaller
+    # tail) and submit each image the moment its last dependency lands
     workers = min(len(prepped), max_workers or (os.cpu_count() or 1))
+    need = {
+        i: 1 + (1 if prepped[i][1] is not None else 0)
+        for i in range(len(prepped))
+    }
+    futs = {}
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(one, range(len(prepped))))
+        order = sorted(buckets.items(), key=lambda kv: kv[0][0] != "color")
+        for key, members in order:
+            pass1_bucket(key, members)
+            for i in members:
+                need[i] -= 1
+                if need[i] == 0:
+                    futs[i] = ex.submit(one, i)
+        return [futs[i].result() for i in range(len(prepped))]
 
 
 def plane_mode_search_batch(
