@@ -23,12 +23,9 @@ QUALITIES = (76, 84, 90)
 
 CONFIGS = [
     ("base", {}),
-    ("eob-off", {"CAVIF_TPU_EOB_BITS": "0.0001"}),
-    ("bias-.46", {"CAVIF_TPU_AC_BIAS": "0.46"}),
-    ("bias-.48", {"CAVIF_TPU_AC_BIAS": "0.48"}),
-    ("tq0-100", {"CAVIF_TPU_TRELLIS_Q0": "100"}),
-    ("tq0-100+b46", {"CAVIF_TPU_TRELLIS_Q0": "100",
-                     "CAVIF_TPU_AC_BIAS": "0.46"}),
+    ("trellis-off", {"CAVIF_TPU_TRELLIS_CTX": "0"}),
+    ("cdef-arb-off", {"CAVIF_TPU_CDEF_ARB": "0"}),
+    ("psy-full-.5", {"CAVIF_TPU_PSY_FULL": "0.5"}),
 ]
 
 
