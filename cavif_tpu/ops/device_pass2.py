@@ -248,7 +248,7 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
         rec = jnp.clip(p + resid, 0, maxv)
         rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
         cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
-        recon = recon.at[rows, cols].set(rec)
+        recon = recon.at[rows, cols].set(rec, unique_indices=True)
         return recon, None
 
     def run(xs, dcq, acq):
@@ -430,7 +430,9 @@ def _wavefront_scan_kernel_multi(P: int, H: int, W: int, n: int,
         rec = jnp.clip(p + resid, 0, maxv)
         rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
         cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
-        recon = recon.at[pl[:, None, None], rows, cols].set(rec)
+        recon = recon.at[pl[:, None, None], rows, cols].set(
+            rec, unique_indices=True
+        )
         return recon, None
 
     def run(xs, dcq, acq):
