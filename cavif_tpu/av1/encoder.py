@@ -489,24 +489,10 @@ class FrameEncoder:
         searched (uv fields stay DC; the caller inherits the parent's
         choice) and total == luma."""
         if self._native_search:
-            big = [b for b in blocks if max(b[2], b[3]) >= 16]
-            if not big:
-                return self._batch_search_native(blocks, origin, luma_only,
-                                                 k_luma)
-            # 64px candidates (s0/s1 low_quality tier) take the numpy
-            # 64-dim cost model below; the rest stay native
-            rest = [b for b in blocks if max(b[2], b[3]) < 16]
-            out = (
-                self._batch_search_native(rest, origin, luma_only, k_luma)
-                if rest else {}
-            )
-            saved = self._native_search
-            self._native_search = False
-            try:
-                out.update(self._batch_search(big, origin, luma_only))
-            finally:
-                self._native_search = saved
-            return out
+            # every tier incl. 64px goes native (the C++ rd prices the
+            # TX_64X64 coded area + discarded tail since round 3)
+            return self._batch_search_native(blocks, origin, luma_only,
+                                             k_luma)
         from .predict import (
             predict_all_batch,
             predict_dir_batch,
@@ -721,10 +707,10 @@ class FrameEncoder:
         modes: dict = {}
         for (bw, bh, plc), items in groups.items():
             Kp = (min(K, k_luma) if k_luma else K) if plc == 0 else Kp_shared
-            force_skip = max(bw, bh) == 64
+            force_skip = False
             refine = (
                 tweaks.fine_directional_intra
-                and not force_skip
+                and max(bw, bh) < 64  # no angle refinement at the 64 tier
                 and min(bw, bh) >= 8
                 and (plc == 0 or sp <= 2)  # chroma deltas: slow tiers only
             )
@@ -1078,10 +1064,9 @@ class FrameEncoder:
             return self._rdo_partition_device(
                 partials, origin, mi_r0, mi_r1, mi_c0, mi_c1
             )
-        if (self._native_search and self.max_leaf_mi <= 8
+        if (self._native_search
                 and not os.environ.get("CAVIF_TPU_PY_CASCADE")):
-            # the C++ whole-tile cascade tops out at the 32px tier; the
-            # 64-leaf presets (s0/s1 low_quality) run the python cascade
+            # incl. the 64px tier (TX_64X64 NONE leaves) since round 3
             return self._rdo_partition_native(
                 partials, mi_r0, mi_r1, mi_c0, mi_c1
             )

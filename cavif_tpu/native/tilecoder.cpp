@@ -2916,10 +2916,47 @@ static double rd_cost(const int32_t* src, const int32_t* pred, int w, int h,
   int coeff_max = (1 << (bd + 7)) - 1;
   int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
   int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
+  const float acb_ = (float)ac_bias_env();
+  if (w > 32 || h > 32) {
+    // TX_64-family: only the top-left 32x32 coefficient area is coded;
+    // the rest is pure distortion (numpy `tail`, encoder._batch_search).
+    // coef layout here is TRANSPOSED (a over w, b over h), index a*h+b.
+    int cw_ = w > 32 ? 32 : w, ch_ = h > 32 ? 32 : h;
+    double cost = 0.0, tail = 0.0;
+    int rate_abs = 0, rate_nz = 0;
+    for (int a = 0; a < w; a++) {
+      const float* col = &sc.coef[(size_t)a * h];
+      if (a < cw_) {
+        for (int b = (a == 0 ? 1 : 0); b < ch_; b++) {
+          float c_ = col[b];
+          float at = std::fabs(c_) * inv_ac;
+          int la = (int)(at + acb_);
+          la = la > max_ac ? max_ac : la;
+          float e = std::fabs(c_) - la * s_ac;
+          cost += (double)e * e;
+          rate_abs += la;
+          rate_nz += la != 0;
+        }
+        for (int b = ch_; b < h; b++)
+          tail += (double)col[b] * col[b];
+      } else {
+        for (int b = 0; b < h; b++) tail += (double)col[b] * col[b];
+      }
+    }
+    float t0 = sc.coef[0] * inv_dc;
+    int la0 = (int)(std::fabs(t0) + 0.5f);
+    if (la0 > max_dc) la0 = max_dc;
+    int lvv0 = t0 < 0.0f ? -la0 : la0;
+    float e0 = sc.coef[0] - lvv0 * s_dc;
+    cost += (double)e0 * e0;
+    rate_abs += la0;
+    rate_nz += la0 != 0;
+    return cost + tail + lam * (double)(rate_abs + 2 * rate_nz);
+  }
   // DC (deadzone 0.5), then a branch-free AC loop (deadzone AC_BIAS,
   // shared with the pass-2 quantizer) the compiler can vectorize:
   // 4-way unrolled float accumulators
-  const float acb = (float)ac_bias_env();
+  const float acb = acb_;
   float t0 = sc.coef[0] * inv_dc;
   int la0 = (int)(std::fabs(t0) + 0.5f);
   if (la0 > max_dc) la0 = max_dc;
@@ -4362,8 +4399,14 @@ int bs_partition_tile(
         int lgw = 0, lgh = 0;
         while ((4 << lgw) < bw) lgw++;
         while ((4 << lgh) < bh) lgh++;
+        // all TX_64-family gains equal the 32 entry (1/8 for every size)
+        if (lgw > 3) lgw = 3;
+        if (lgh > 3) lgh = 3;
         double gain = gain_tab[lgw * 4 + lgh];
-        int force_skip = (bw > bh ? bw : bh) == 64;
+        // 64px squares search TX_64X64 residuals (coded-area + tail rd);
+        // angle-delta refinement stays off at 64 like the numpy search
+        int big = (bw > bh ? bw : bh) >= 64;
+        int force_skip = 0;
         int small = (bw < bh ? bw : bh) < 8;
         int py = it.r * 4, px = it.c * 4;
         double lam_b = lam_at(it.r, it.c);
@@ -4376,15 +4419,16 @@ int bs_partition_tile(
         double lcost;
         {
           Params P{bw, bh, dq_b, aq_b, bit_depth, k_luma_b,
-                   fine_dir && !force_skip && !small, force_skip, lam_b,
-                   gain};
+                   fine_dir && !force_skip && !small && !big, force_skip,
+                   lam_b, gain};
           search_item(planes, nP, Hp, Wp, 0, py, px, py0, px0, 0, P, sc,
                       src.data(), ae.data(), le.data(), &ym, &yd, &lcost);
         }
         double cost = lcost;
         if (!luma_only && num_planes > 1) {
           Params P{bw, bh, dq_b, aq_b, bit_depth, K_chroma,
-                   fine_dir && !force_skip && !small && chroma_refine,
+                   fine_dir && !force_skip && !small && !big
+                       && chroma_refine,
                    force_skip, lam_b, gain};
           int joint = joint_uv && num_planes > 2;
           double ccost;
@@ -4547,7 +4591,9 @@ int bs_partition_tile(
     std::vector<int> rparent;  // row id of the square parent per quad
     for (int t = 0; t < nsz; t++) {
       int s4 = sizes[t], half = s4 / 2;
-      if (s4 < 2 || t == 0) continue;  // half must be a searched tier
+      // half must be a searched tier; no 64px rect halves (the 64 tier is
+      // square NONE leaves only, matching the numpy cascade)
+      if (s4 < 2 || s4 > 8 || t == 0) continue;
       int nr = nr_of(s4), nc = nc_of(s4);
       for (int i = 0; i < nr; i++)
         for (int j = 0; j < nc; j++) {
