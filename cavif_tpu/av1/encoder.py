@@ -247,10 +247,9 @@ class FrameEncoder:
         # when the reference preset searches it: partition_range (4, 64) at
         # speed 0-1 low_quality (av1encoder.rs:563-570).
         self.max_leaf_mi = max(16 if maxp >= 64 else 8, self.min_leaf_mi)
-        # the 64 tier (TX_64X64 NONE leaves, speed 0-1 low_quality) is in
-        # the device program since round 3; the native whole-tile cascade
-        # still tops out at 32px, so without a device the 64-leaf presets
-        # run the python cascade (see _rdo_partition)
+        # the 64 tier (TX_64X64 NONE leaves, speed 0-1 low_quality) runs
+        # in the device program AND the native whole-tile cascade since
+        # round 3 (coded-area + discarded-tail rd in both)
         # Output filters (deblock/LR) need the decoder-exact recon and the
         # replayable op streams; `fast_deblock` (preset, SURVEY.md 2.2)
         # skips the simulation/search and signals the heuristic level.
