@@ -322,15 +322,36 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         [r * bw + c for r in range(ch_c) for c in range(cw_c)], np.int64
     )
     # vec(Dh @ R @ Dw^T) = (Dh (x) Dw) vec(R)
-    kron_t = np.ascontiguousarray(
-        np.kron(dh, dw).T[:, coded_idx].astype(np.float32)
-    )  # (n2, ncoded)
+    kron_f64 = np.kron(dh, dw).T[:, coded_idx]  # (n2, ncoded)
+    kron_t = np.ascontiguousarray(kron_f64.astype(np.float32))
     gain = np.float32(get_gain(cw_c, ch_c))
     sm_h = np.asarray(tables.get(f"sm_weights_{bh}"), np.int32)
     sm_w = np.asarray(tables.get(f"sm_weights_{bw}"), np.int32)
     dcm = np.zeros((1, ncoded), np.float32)
     dcm[0, 0] = 1.0
     cdir = len(dirs)
+    E = mdir.shape[0]
+    # Coefficient-domain directional path (HBM-traffic optimization): with
+    # the predictor floor dropped (pred = (ext@M)/32 + 0.5 — a < 1 px
+    # perturbation, far below a quant step; pass 2 recomputes the chosen
+    # predictor exactly on the host), prediction and DCT fold into ONE
+    # constant MK_c = M_c @ KT, so
+    #   coef_c = blocks@KT - (ext @ MK_c) / 32 - 0.5 * colsum(KT)
+    # and the (P, nb, C, n2) predictor/residual tensors never materialize.
+    # The 1 MP program was bandwidth-bound (44.5 GB accessed / 80 ms =
+    # 68% of v5e HBM peak); this path removes the two largest per-
+    # candidate intermediates. TX_64-family shapes (ncoded != n2) keep
+    # the materialized path: their tail distortion term needs the
+    # full-area residual energy.
+    if ncoded == n2 and cdir:
+        m3 = mdir.astype(np.float64).reshape(E, cdir, n2)
+        mk3 = np.einsum("ecj,jk->eck", m3, kron_f64)
+        mk_dir = np.ascontiguousarray(
+            mk3.reshape(E, cdir * ncoded).astype(np.float32)
+        )
+        coef_const = (0.5 * kron_f64.sum(axis=0)).astype(np.float32)
+    else:
+        mk_dir = coef_const = None
 
     def body(planes, dc_q, ac_q, lam, tile_px):
         P, H, W = planes.shape
@@ -356,6 +377,21 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         bias = (1.0 - m) * AC_BIAS + m * 0.5  # AC deadzone / DC round
         KT = jnp.asarray(kron_t)
 
+        def chain(coef, res_sq=None):
+            # coef: (P, nby, nbx, CH, ncoded) -> (P, nby, nbx, CH) costs
+            t = coef * inv_scale
+            lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + bias)
+            errc = coef - lv * scale
+            rate = jnp.abs(lv).sum(axis=-1) + 2.0 * (lv != 0.0).sum(axis=-1)
+            cost = (errc * errc).sum(axis=-1) + lam * rate
+            if res_sq is not None:
+                # TX_64-family: coefficients beyond the 32x32 coded area
+                # are discarded by the decoder — pure distortion (Parseval:
+                # total residual energy minus the coded-area energy), same
+                # as the host search's `tail` term (encoder.py)
+                cost = cost + (res_sq - (coef * coef).sum(axis=-1))
+            return cost
+
         def rd(preds_flat):
             # preds_flat: (P, nby, nbx, CH, n2) -> (P, nby, nbx, CH)
             res = blocks_f[..., None, :] - preds_flat
@@ -363,20 +399,10 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
                 "...j,jk->...k", res, KT,
                 preferred_element_type=jnp.float32,
             )
-            t = coef * inv_scale
-            lv = jnp.sign(t) * jnp.floor(jnp.abs(t) + bias)
-            errc = coef - lv * scale
-            rate = jnp.abs(lv).sum(axis=-1) + 2.0 * (lv != 0.0).sum(axis=-1)
-            cost = (errc * errc).sum(axis=-1) + lam * rate
-            if ncoded != n2:
-                # TX_64-family: coefficients beyond the 32x32 coded area
-                # are discarded by the decoder — pure distortion (Parseval:
-                # total residual energy minus the coded-area energy), same
-                # as the host search's `tail` term (encoder.py)
-                cost = cost + (
-                    (res * res).sum(axis=-1) - (coef * coef).sum(axis=-1)
-                )
-            return cost
+            return chain(
+                coef,
+                (res * res).sum(axis=-1) if ncoded != n2 else None,
+            )
 
         shape = (P, nby, nbx, bh, bw)
         a2 = nb["above_s"][..., None, :].astype(jnp.float32)
@@ -412,16 +438,38 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         costs = [rd(nd.reshape(P, nby, nbx, 5, n2))]
         # directional family: one MXU matmul per chunk of candidates
         ext = nb["ext"]  # (P, nby, nbx, E) f32
-        M = jnp.asarray(mdir)
-        for c0 in range(0, cdir, chunk):
-            c1 = min(cdir, c0 + chunk)
-            sl = M[:, c0 * n2 : c1 * n2]
-            d = jnp.einsum(
-                "...e,ec->...c", ext, sl,
+        if mk_dir is not None:
+            # coefficient-domain path (see _cost_body preamble): one
+            # matmul straight to DCT coefficients per chunk
+            MK = jnp.asarray(mk_dir)
+            blocks_kt = jnp.einsum(
+                "...j,jk->...k", blocks_f, KT,
                 preferred_element_type=jnp.float32,
-            )
-            d = jnp.floor((d + 16.0) * (1.0 / 32.0))
-            costs.append(rd(d.reshape(P, nby, nbx, c1 - c0, n2)))
+            )  # (P, nby, nbx, ncoded), candidate-independent
+            cc = jnp.asarray(coef_const)
+            for c0 in range(0, cdir, chunk):
+                c1 = min(cdir, c0 + chunk)
+                sl = MK[:, c0 * ncoded : c1 * ncoded]
+                cp = jnp.einsum(
+                    "...e,ec->...c", ext, sl,
+                    preferred_element_type=jnp.float32,
+                )
+                coef = blocks_kt[..., None, :] - (
+                    cp.reshape(P, nby, nbx, c1 - c0, ncoded)
+                    * (1.0 / 32.0) + cc
+                )
+                costs.append(chain(coef))
+        else:
+            M = jnp.asarray(mdir)
+            for c0 in range(0, cdir, chunk):
+                c1 = min(cdir, c0 + chunk)
+                sl = M[:, c0 * n2 : c1 * n2]
+                d = jnp.einsum(
+                    "...e,ec->...c", ext, sl,
+                    preferred_element_type=jnp.float32,
+                )
+                d = jnp.floor((d + 16.0) * (1.0 / 32.0))
+                costs.append(rd(d.reshape(P, nby, nbx, c1 - c0, n2)))
         cost = jnp.concatenate(costs, axis=-1)  # (P, nby, nbx, C)
         return cost + lam * jnp.asarray(pen)[None, None, None, :]
 
@@ -795,6 +843,15 @@ def run_pass1_batch(
     return out
 
 
+# Optional hook called once the per-frame device round trip (upload,
+# program, packed fetch) has completed — success or failure. The hybrid
+# batch scheduler (parallel/batch.py) points this at its device-slot
+# release so a slot bounds IN-FLIGHT TUNNEL CALLS only: holding the slot
+# through the encode's host phase (~60% of a device-path encode) starved
+# the chip (VERDICT r03 next-1).
+PASS1_DONE_HOOK = None
+
+
 def run_pass1(
     src: np.ndarray,
     *,
@@ -833,16 +890,21 @@ def run_pass1(
         float(ovh_block), float(ovh_split), float(rect_ovh),
     )
     prog, spec = _program(key)
-    packed = np.asarray(
-        prog(
-            jnp.asarray(src),
-            jnp.float32(dc_q),
-            jnp.float32(ac_q),
-            jnp.float32(lam),
-            jnp.int32(tile_px[0]),
-            jnp.int32(tile_px[1]),
+    try:
+        packed = np.asarray(
+            prog(
+                jnp.asarray(src),
+                jnp.float32(dc_q),
+                jnp.float32(ac_q),
+                jnp.float32(lam),
+                jnp.int32(tile_px[0]),
+                jnp.int32(tile_px[1]),
+            )
         )
-    )
+    finally:
+        hook = PASS1_DONE_HOOK
+        if hook is not None:
+            hook()
     out = {}
     off = 0
     for (shape, name, (nby, nbx)) in spec:

@@ -99,34 +99,51 @@ def _encode_batch_hybrid(enc, images, workers: int) -> List[BatchResult]:
     """Heterogeneous fan-out: the chip and the host cores encode DIFFERENT
     images concurrently. The device pass-1 round trip serializes on the
     attachment (~0.18 s/frame through a tunnel), so a handful of in-flight
-    device-path encodes saturate the chip; every additional worker would
-    just queue on it while host cores idle. Workers therefore race to
-    acquire one of CAVIF_TPU_DEVICE_SLOTS device slots (default 5, the
-    measured knee on a 4-core host) and
-    fall back to the host cascade (`device="off"`) when none is free —
-    total throughput approaches device MP/s + host MP/s instead of
-    max(one of them). Both paths produce valid AVIFs; decision quality is
+    device calls saturate the chip; every additional worker would just
+    queue on it while host cores idle. Workers race to acquire one of
+    CAVIF_TPU_DEVICE_SLOTS device slots and fall back to the host cascade
+    (`device="off"`) when none is free — total throughput approaches
+    device MP/s + host MP/s instead of max(one of them).
+
+    A slot bounds IN-FLIGHT DEVICE CALLS, not whole encodes: it is
+    released by the run_pass1 completion hook the moment the packed
+    decisions land on the host, so the encode's host phase (pass-2 + EC +
+    filters, ~60% of a device-path encode) never blocks the next image's
+    upload (VERDICT r03 next-1: overlap pass-2 of image N with pass-1 of
+    image N+1). Both paths produce valid AVIFs; decision quality is
     measured at parity (BASELINE.md device-vs-host table)."""
     import threading
     from dataclasses import replace
 
+    from ..ops import device_pass1
+
     slots = int(os.environ.get("CAVIF_TPU_DEVICE_SLOTS", "5"))
     sem = threading.Semaphore(slots)
     host_enc = replace(enc, device="off")
+    tls = threading.local()
+
+    def release_slot():
+        if getattr(tls, "slot", False):
+            tls.slot = False
+            sem.release()
 
     def job(i: int) -> BatchResult:
-        got = sem.acquire(blocking=False)
+        tls.slot = sem.acquire(blocking=False)
         try:
-            e = enc if got else host_enc
+            e = enc if tls.slot else host_enc
             return BatchResult(index=i, encoded=_encode_one(e, images[i]))
         except BaseException as exc:  # per-image isolation
             return BatchResult(index=i, error=exc)
         finally:
-            if got:
-                sem.release()
+            release_slot()  # no-op when the pass-1 hook already fired
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(job, range(len(images))))
+    prev_hook = device_pass1.PASS1_DONE_HOOK
+    device_pass1.PASS1_DONE_HOOK = release_slot
+    try:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(job, range(len(images))))
+    finally:
+        device_pass1.PASS1_DONE_HOOK = prev_hook
 
 
 def _device_engaged() -> bool:

@@ -45,18 +45,40 @@ def span(name: str):
         tab[name] = tab.get(name, 0.0) + dt
 
 
+def set_enabled(flag: bool) -> None:
+    """Programmatic switch (bench.py uses it to capture one traced encode
+    without requiring CAVIF_TPU_TRACE in the parent environment)."""
+    global ENABLED
+    ENABLED = bool(flag)
+
+
+def snapshot(clear: bool = True) -> dict:
+    """Return (and by default clear) the accumulated span table for the
+    calling thread — the programmatic form of report()."""
+    tab = dict(_table())
+    if clear:
+        _table().clear()
+    return tab
+
+
 def reset() -> None:
     if ENABLED:
         _table().clear()
 
 
+LAST: dict = {}  # most recent report()ed table (bench.py reads it)
+
+
 def report(label: str = "encode") -> None:
-    """Print the accumulated spans (sorted by time) and clear them."""
+    """Print the accumulated spans (sorted by time) and clear them; the
+    table survives in `LAST` for programmatic consumers."""
     if not ENABLED:
         return
     tab = _table()
     if not tab:
         return
+    LAST.clear()
+    LAST.update(tab)
     total = sum(tab.values())
     lines = [f"[cavif-tpu trace] {label}: {total:.3f}s"]
     for name, dt in sorted(tab.items(), key=lambda kv: -kv[1]):
