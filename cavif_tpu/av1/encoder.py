@@ -258,8 +258,23 @@ class FrameEncoder:
         )
         self._recon_stack = None
         self._filtered_stack = None
+        # deferred-EC flag (see encode()): when set, the native block
+        # pipeline runs decisions/recon/op-capture WITHOUT entropy coding;
+        # the bitstream is produced once by the replay coder after the
+        # loop-restoration decision
+        self._defer_ec = False
 
     # -- per-tile encode ----------------------------------------------------
+
+    def _ec_backend(self) -> str:
+        """Resolved entropy-coder backend ("native" when the C++ tile
+        coder is available and not overridden by cfg.ec_backend)."""
+        b = self.cfg.ec_backend
+        if b is None:
+            from .opstream import _native_available
+
+            b = "native" if _native_available() else "python"
+        return b
 
     def encode_tile(self, mi_r0: int, mi_r1: int, mi_c0: int, mi_c1: int) -> bytes:
         """Two passes over the tile:
@@ -411,6 +426,7 @@ class FrameEncoder:
             transforms.get_gain(32, 32), ops, lam=self._lambda(),
             recon_out=getattr(self, "_recon_stack", None),
             record=record,
+            ec_skip=self._defer_ec,
             cfl_search=(
                 self.num_planes == 3
                 and self.cfg.tweaks.speed_preset <= 6
@@ -1988,8 +2004,24 @@ class FrameEncoder:
         if self._device_search:
             with span("device_pass1"):
                 self._device_grids()
+        # Deferred EC (native backend + filter passes wanted): the block
+        # pipeline runs decisions/recon/op-capture with entropy coding OFF,
+        # and the bitstream is produced ONCE by the replay coder after the
+        # loop-restoration decision — instead of coding every symbol here
+        # and again in the LR re-serialization (the in-pipe EC measured
+        # ~66 ms/MP vs the replay's ~36 ms, and Q80 frames nearly always
+        # take the LR pass).
+        defer = self._want_filters and self._ec_backend() == "native"
         with span("tiles_pass1+2"):
-            tiles = self._encode_tiles(tcl, trl)
+            if defer:
+                self._defer_ec = True
+                try:
+                    self._encode_tiles(tcl, trl)
+                finally:
+                    self._defer_ec = False
+                tiles = None
+            else:
+                tiles = self._encode_tiles(tcl, trl)
         # Deblocking is output-only for still pictures (intra prediction
         # reads unfiltered recon), so it's a free quality lever: simulate
         # the decoder's filter on the exact recon and pick the uniform
@@ -2042,6 +2074,10 @@ class FrameEncoder:
                 lr_on = cfg.tweaks.lrf and self._lr_solve()
         if lr_on:
             lr_types = tuple(self._lr_types[: self.num_planes])
+        if defer:
+            with span("tiles_ec"):
+                tiles = self._encode_tiles(tcl, trl)
+        elif lr_on:
             with span("tiles_lr_reserialize"):
                 tiles = self._encode_tiles(tcl, trl)
         seq = write_sequence_header(
@@ -2238,18 +2274,35 @@ class FrameEncoder:
         lam = self._lambda()
         psy_px = float(os.environ.get("CAVIF_TPU_LR_MARGIN_PX", "0"))
         nthr = self.cfg.threads or (os.cpu_count() or 1)
+        want_var = self._lr_var_guard() > 0.0
         per_plane = []
         frame_sse = 0.0
         for pl in range(self.num_planes):
-            wu, wtaps, wsse, wbase = lr_wiener_plane(
+            res = lr_wiener_plane(
                 self.planes[pl].src, stack[pl], h, w, u, rows, cols,
                 ntaps=2 if pl > 0 else 3,
                 margin=2.0 * lam * 40.0 + psy_px * float(u * u),
-                n_threads=nthr,
+                n_threads=nthr, want_var=want_var,
             )
-            per_plane.append((wu, wtaps, wsse, wbase))
+            per_plane.append(res)
+            wu, wsse, wbase = res[0], res[2], res[3]
             frame_sse += float(np.where(wu != 0, wsse, wbase).sum())
         return per_plane, frame_sse
+
+    def _lr_var_guard(self) -> float:
+        """SSIM-contrast variance guard strength β: a restoration unit
+        whose filter destroys more than β x (its SSE gain) of the unit's
+        reconstruction variance is turned off (pure denoising trades
+        variance ~1:1 for SSE; artifact repair reduces error without
+        killing variance, so the ratio separates the two). The r03 SSIM
+        deficit was localized ENTIRELY to the contrast term: the recon
+        carried 0.62x the source variance vs libaom's 0.84x at matched
+        bytes, and disabling LR+CDEF lifted the ratio to 0.93
+        (tools/ssim_probe.py; VERDICT r03 next-2)."""
+        v = os.environ.get("CAVIF_TPU_LR_VAR_GUARD")
+        if v is not None:
+            return float(v or 0.0)
+        return 0.0
 
     def _lr_solve(self) -> bool:
         """Per-unit loop-restoration solve: separable Wiener least squares
@@ -2307,25 +2360,37 @@ class FrameEncoder:
             # buy tiny SSE for large reconstruction-variance (SSIM
             # contrast) loss (probe knob; default off)
             psy_px = float(os.environ.get("CAVIF_TPU_LR_MARGIN_PX", "0"))
+            guard = self._lr_var_guard()
+            wvar = None
             if wiener is not None:
-                wu, wtaps, wsse, wbase = wiener[pl]
+                res = wiener[pl]
+                wu, wtaps, wsse, wbase = res[:4]
+                if len(res) > 4:
+                    wvar = res[4]
             else:
-                wu, wtaps, wsse, wbase = lr_wiener_plane(
+                res = lr_wiener_plane(
                     self.planes[pl].src, stack[pl], h, w, u, rows, cols,
                     ntaps=2 if pl > 0 else 3,
                     margin=2.0 * lam * 40.0 + psy_px * float(u * u),
-                    n_threads=nthr,
+                    n_threads=nthr, want_var=guard > 0.0,
                 )
-            ssets = sxqd = ssse = None
+                wu, wtaps, wsse, wbase = res[:4]
+                if len(res) > 4:
+                    wvar = res[4]
+            ssets = sxqd = ssse = svar = None
             rec_i = None
             # chroma SGR gains are marginal (+0.002 dB on the A/B corpus)
             # for ~2x the search cost: slow tiers only
             if try_sgr and (pl == 0 or (native_sgr and sgr_full)):
                 if native_sgr:
-                    ssets, sxqd, ssse = lr_sgr_plane(
+                    res = lr_sgr_plane(
                         self.planes[pl].src, stack[pl], h, w, u, rows,
                         cols, self.bit_depth, sgr_full, n_threads=nthr,
+                        want_var=guard > 0.0,
                     )
+                    ssets, sxqd, ssse = res[:3]
+                    if len(res) > 3:
+                        svar = res[3]
                 else:
                     # per-unit f32 conversion below: whole-plane f64 copies
                     # cost seconds at 8K; the numpy SGR search needs a
@@ -2362,6 +2427,21 @@ class FrameEncoder:
                                 - psy_px * float(u * u)
                                 and sgr[2] < best[1]):
                             best = (2, sgr[2])
+                    if guard > 0.0 and best[0] != 0:
+                        # variance guard (see _lr_var_guard): turn the unit
+                        # off when its filter trades reconstruction
+                        # variance for SSE at worse than β:1 AND the
+                        # filtered unit ends up below the source variance
+                        # (over-varianced units — ringing — may denoise
+                        # freely)
+                        var = (wvar[ui] if best[0] == 1 else
+                               (svar[ui] if svar is not None else None))
+                        if var is not None:
+                            var_drop = float(var[1] - var[2])
+                            sse_gain = base - best[1]
+                            if (var[2] < var[0]
+                                    and var_drop > guard * sse_gain):
+                                best = (0, base)
                     if best[0] == 2:
                         units[(pl, ur, uc)] = (2, (0,) * 6, sgr[0], sgr[1])
                     else:

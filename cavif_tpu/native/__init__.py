@@ -150,6 +150,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # rec ops (nullable)
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # rec levels
             ctypes.POINTER(ctypes.c_int32),  # rec sizes[2]
+            ctypes.c_int,                    # ec_off (deferred EC)
         ]
         lib.bp_encode_tile.restype = ctypes.c_int
         lib.bs_search.argtypes = [
@@ -222,6 +223,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # out taps (U, 6)
             ctypes.POINTER(ctypes.c_double),  # out sse
             ctypes.POINTER(ctypes.c_double),  # out base sse
+            ctypes.POINTER(ctypes.c_double),  # out var (U, 3), nullable
         ]
         lib.lr_wiener_plane.restype = ctypes.c_int
         lib.lr_sgr_plane.argtypes = [
@@ -231,6 +233,7 @@ def _load():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),  # out var (U, 3), nullable
         ]
         lib.lr_sgr_plane.restype = ctypes.c_int
         lib.cs_rgb_to_ycbcr.argtypes = [
@@ -376,6 +379,7 @@ def encode_tile_bp(
     edge_filter: bool = False,
     tx_exhaustive: bool = False,
     psy_map: np.ndarray = None,
+    ec_skip: bool = False,
 ):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -386,7 +390,12 @@ def encode_tile_bp(
     With record=True returns (bytes, replay_ops, replay_levels) — the
     expanded concrete op stream of this encode, re-serializable via
     encode_tile_native (so output-filter passes re-run only the entropy
-    coder); (bytes, None, None) if recording overflowed."""
+    coder); (bytes, None, None) if recording overflowed.
+
+    ec_skip=True runs decisions/recon/capture WITHOUT entropy coding (the
+    returned bytes are empty): the caller produces the bitstream once via
+    the replay coder after the loop-restoration decision, instead of
+    coding every symbol twice."""
     lib = _load()
     ops = np.ascontiguousarray(ops, dtype=np.int32)
     src_planes = np.ascontiguousarray(src_planes, dtype=np.int32)
@@ -428,6 +437,7 @@ def encode_tile_bp(
             rlvl.size if rlvl is not None else 0,
             rsz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
             if rsz is not None else None,
+            int(ec_skip),
         )
         if n >= 0:
             data = out[:n].tobytes()
@@ -783,10 +793,14 @@ def lr_wiener_plane(
     ntaps: int,
     margin: float,
     n_threads: int = 1,
+    want_var: bool = False,
 ):
     """Per-unit separable Wiener LS solve over one plane's restoration
     grid (C++ mirror of encoder._wiener_unit). Returns (use, taps, sse,
-    base) arrays of shape (rows*cols,) / (rows*cols, 6)."""
+    base) arrays of shape (rows*cols,) / (rows*cols, 6); with
+    want_var=True appends a (rows*cols, 3) array of per-unit central
+    second moments [source, pre-filter recon, filtered output] for the
+    SSIM-contrast variance guard."""
     lib = _load()
     src = np.ascontiguousarray(src, dtype=np.int32)
     rec = np.ascontiguousarray(rec, dtype=np.int32)
@@ -795,6 +809,7 @@ def lr_wiener_plane(
     taps = np.empty((U, 6), dtype=np.int32)
     sse = np.empty(U, dtype=np.float64)
     base = np.empty(U, dtype=np.float64)
+    var = np.empty((U, 3), dtype=np.float64) if want_var else None
     i32 = ctypes.POINTER(ctypes.c_int32)
     f64 = ctypes.POINTER(ctypes.c_double)
     rc = lib.lr_wiener_plane(
@@ -803,9 +818,12 @@ def lr_wiener_plane(
         ntaps, float(margin), n_threads,
         use.ctypes.data_as(i32), taps.ctypes.data_as(i32),
         sse.ctypes.data_as(f64), base.ctypes.data_as(f64),
+        var.ctypes.data_as(f64) if var is not None else None,
     )
     if rc != 0:
         raise RuntimeError("lr_wiener_plane failed")
+    if want_var:
+        return use, taps, sse, base, var
     return use, taps, sse, base
 
 
@@ -820,12 +838,15 @@ def lr_sgr_plane(
     bit_depth: int,
     full: bool,
     n_threads: int = 1,
+    want_var: bool = False,
 ):
     """Per-unit self-guided (SGRPROJ) restoration search over one plane's
     grid (C++ mirror of av1/sgr.search_unit: decoder-exact integer filter,
     LS projection solve, exact integer SSE). Returns (set (U,), xqd (U, 2),
     sse (U,)) for the best searched set per unit; `full` selects the
-    16-set tier vs the reduced 6-set tier."""
+    16-set tier vs the reduced 6-set tier. want_var=True appends a
+    (U, 3) per-unit central-second-moment array [source, pre-filter recon,
+    best-set filtered output] for the SSIM-contrast variance guard."""
     lib = _load()
     src = np.ascontiguousarray(src, dtype=np.int32)
     rec = np.ascontiguousarray(rec, dtype=np.int32)
@@ -833,6 +854,7 @@ def lr_sgr_plane(
     sets = np.empty(U, dtype=np.int32)
     xqd = np.empty((U, 2), dtype=np.int32)
     sse = np.empty(U, dtype=np.float64)
+    var = np.empty((U, 3), dtype=np.float64) if want_var else None
     i32 = ctypes.POINTER(ctypes.c_int32)
     f64 = ctypes.POINTER(ctypes.c_double)
     rc = lib.lr_sgr_plane(
@@ -841,9 +863,12 @@ def lr_sgr_plane(
         bit_depth, int(full), n_threads,
         sets.ctypes.data_as(i32), xqd.ctypes.data_as(i32),
         sse.ctypes.data_as(f64),
+        var.ctypes.data_as(f64) if var is not None else None,
     )
     if rc != 0:
         raise RuntimeError("lr_sgr_plane failed")
+    if want_var:
+        return sets, xqd, sse, var
     return sets, xqd, sse
 
 

@@ -301,6 +301,15 @@ struct TileCoder {
   RangeEncoder enc;
   bool cdf_update;
   bool reduced_tx_set = false;
+  // ec_off: run the block pipeline WITHOUT entropy coding (every write_*
+  // is a no-op). Used by the deferred-EC encode flow: the pipeline's
+  // decisions/recon/op-capture run first, the loop-restoration decision
+  // lands, and the bitstream is produced ONCE by the replay coder
+  // (encode_tile_native) — instead of coding every symbol here and again
+  // in the LR re-serialization. Decisions never read EC state (rates come
+  // from the uploaded cost tables), so outputs are unchanged; the replay
+  // byte-identity tests pin that.
+  bool ec_off = false;
   int qctx;
   int num_planes;
   int w4, h4;        // context array extents (tile + 32 slack)
@@ -522,6 +531,7 @@ struct TileCoder {
   }
 
   void write_lr_unit(int plane, int use, const int32_t* taps) {
+    if (ec_off) return;
     code(cdf_wiener, use ? 1 : 0, 2);
     if (!use) return;
     wiener_taps(plane, taps);
@@ -550,6 +560,7 @@ struct TileCoder {
   // use_type 0 none / 1 wiener / 2 sgrproj (spec read_lr_unit).
   void write_lr_generic(int plane, int frame_type, int use_type, int set,
                         int xqd0, int xqd1, const int32_t* taps) {
+    if (ec_off) return;
     if (frame_type == 2) {
       code(cdf_wiener, use_type == 1 ? 1 : 0, 2);
     } else if (frame_type == 3) {
@@ -562,6 +573,7 @@ struct TileCoder {
   }
 
   void write_partition(int r, int c, int bsl, int part) {
+    if (ec_off) return;
     int above = (above_part[c] >> (bsl - 1)) & 1;
     int left = (left_part[r] >> (bsl - 1)) & 1;
     int ctx = left * 2 + above;
@@ -569,6 +581,7 @@ struct TileCoder {
   }
 
   void write_split_binary(int r, int c, int bsl, int horz, int split) {
+    if (ec_off) return;
     int above = (above_part[c] >> (bsl - 1)) & 1;
     int left = (left_part[r] >> (bsl - 1)) & 1;
     int ctx = left * 2 + above;
@@ -604,6 +617,7 @@ struct TileCoder {
   // a length-prefixed tail), then sign; CurrentQIndex steps by
   // delta << dq_res_log2 (caller guarantees divisibility).
   void write_delta_qindex(int target) {
+    if (ec_off) return;
     int delta = (target - cur_qindex) >> dq_res_log2;
     int abs_ = delta < 0 ? -delta : delta;
     int small = abs_ < 3 ? abs_ : 3;
@@ -624,6 +638,7 @@ struct TileCoder {
   void write_block(int r, int c, int bw4, int bh4, int y_mode, int uv_mode,
                    int skip, int cfl_allowed, int y_delta, int uv_delta,
                    int cfl_signs = 0, int cfl_au = 0, int cfl_av = 0) {
+    if (ec_off) return;
     // skip
     {
       int above = r > 0 ? skips[(size_t)(r - 1) * w4 + c] : 0;
@@ -694,6 +709,7 @@ struct TileCoder {
   void write_coeffs(int plane, int r4, int c4, int txw, int txh,
                     int eq_block, int ch, int cw, const int32_t* lv,
                     int y_mode, int v_adst, int h_adst) {
+    if (ec_off) return;
 #ifdef CAVIF_BP_PROF
     struct EcT { double t0 = bp_now();
                  ~EcT() { g_bpt[3] += bp_now() - t0; } } ect;
@@ -3848,10 +3864,11 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
-                   int32_t* rec_sizes) {
+                   int32_t* rec_sizes, int ec_off) {
   TileCoder tc;
   tc.init(mi_c0, mi_c1, mi_r0, mi_r1, base_q, num_planes, disable_cdf_update);
   tc.reduced_tx_set = reduced_tx_set != 0;
+  tc.ec_off = ec_off != 0;
   BlockPipe bp;
   bp.init(src, num_planes, Hp, Wp, mi_rows, mi_cols, mi_r0, mi_c0, mi_r1,
           mi_c1, bit_depth, dc_q, ac_q, gain, lam);
@@ -3949,6 +3966,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                bp.recon + ((size_t)pl * Hp + y) * Wp + x0,
                (size_t)(x1 - x0) * 4);
   }
+  if (ec_off) return 0;  // deferred EC: replay produces the bitstream
   return tc.enc.done(out, cap);
 }
 
@@ -4896,7 +4914,7 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                     int sstride, int rstride, int unit, int rows, int cols,
                     int ntaps, double margin, int n_threads,
                     int32_t* out_use, int32_t* out_taps, double* out_sse,
-                    double* out_base) {
+                    double* out_base, double* out_var) {
   using namespace search;
   auto worker = [&](int u0, int u1) {
     std::vector<float> srcf, recf, mid, fin, gbuf;
@@ -4908,6 +4926,7 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
       srcf.resize(n); recf.resize(n); mid.resize(n); fin.resize(n);
       gbuf.resize((size_t)3 * n);
       int64_t base = 0;
+      double ssum = 0, ssq = 0, rsum = 0, rsq = 0;
       for (int r = 0; r < uh; r++) {
         const int32_t* sr = &src[(size_t)(y0 + r) * sstride + x0];
         const int32_t* rr_ = &rec[(size_t)(y0 + r) * rstride + x0];
@@ -4918,6 +4937,8 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
           base += d * d;
           sf[c] = (float)sr[c];
           rf[c] = (float)rr_[c];
+          ssum += sr[c]; ssq += (double)sr[c] * sr[c];
+          rsum += rr_[c]; rsq += (double)rr_[c] * rr_[c];
         }
       }
       int th[3], tv[3];
@@ -4925,15 +4946,25 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                         gbuf.data(), th, mid.data());
       wiener_axis_solve(mid.data(), srcf.data(), uh, uw, 0, ntaps,
                         gbuf.data(), tv, fin.data());
-      double sse = 0.0;
+      double sse = 0.0, fsum = 0.0, fsq = 0.0;
       for (int x = 0; x < n; x++) {
         double d = (double)srcf[x] - fin[x];
         sse += d * d;
+        fsum += fin[x]; fsq += (double)fin[x] * fin[x];
       }
       bool zero = !(th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2]);
       int use = sse < (double)base - margin && !zero;
       out_use[ui] = use;
       out_base[ui] = (double)base;
+      if (out_var) {
+        // unnormalized central second moments (sum of squared deviation
+        // from the unit mean): source, pre-filter recon, filtered output
+        // — the SSIM-contrast variance-guard inputs (encoder.py _lr_solve)
+        double* vp = &out_var[(size_t)ui * 3];
+        vp[0] = ssq - ssum * ssum / n;
+        vp[1] = rsq - rsum * rsum / n;
+        vp[2] = use ? fsq - fsum * fsum / n : vp[1];
+      }
       int32_t* tp = &out_taps[(size_t)ui * 6];
       if (use) {
         out_sse[ui] = sse;
@@ -4977,7 +5008,7 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
 int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
                  int sstride, int rstride, int unit, int rows, int cols,
                  int bit_depth, int full, int n_threads, int32_t* out_set,
-                 int32_t* out_xqd, double* out_sse) {
+                 int32_t* out_xqd, double* out_sse, double* out_var) {
   struct SgrParams { int r0, r1, s0, s1; };
   static const SgrParams kSets[16] = {
       {2, 1, 140, 3236}, {2, 1, 112, 2158}, {2, 1, 93, 1618},
@@ -5235,6 +5266,8 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
         if (cl[si].pred < cl[o1].pred) { o2 = o1; o1 = si; }
         else if (o2 < 0 || cl[si].pred < cl[o2].pred) o2 = si;
       }
+      double best_fsum = 0.0, best_fsq = 0.0;
+      double ssum = 0.0, ssq = 0.0, rsum = 0.0, rsq = 0.0;
       for (int pass_i = 0; pass_i < 2; pass_i++) {
         const int si = pass_i == 0 ? o1 : o2;
         if (si < 0) continue;
@@ -5242,6 +5275,7 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
         const int32_t* cf0 = slot_ptr(C.i0);
         const int32_t* cf1 = slot_ptr(C.i1);
         int64_t sse = 0;
+        double fsum = 0.0, fsq = 0.0;
         for (int rr_ = 0; rr_ < uh; rr_++) {
           const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
           const int32_t* dr_ = &rec[(size_t)(y0 + rr_) * rstride + x0];
@@ -5256,6 +5290,11 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
             if (wv > maxv) wv = maxv;
             const int64_t dd = wv - sr[cc];
             sse += dd * dd;
+            fsum += (double)wv; fsq += (double)wv * wv;
+            if (pass_i == 0 && out_var) {
+              ssum += sr[cc]; ssq += (double)sr[cc] * sr[cc];
+              rsum += dr_[cc]; rsq += (double)dr_[cc] * dr_[cc];
+            }
           }
         }
         if (best_set < 0 || (double)sse < best_sse) {
@@ -5263,12 +5302,21 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
           best_x0 = C.x0;
           best_x1 = C.x1;
           best_sse = (double)sse;
+          best_fsum = fsum; best_fsq = fsq;
         }
       }
       out_set[ui] = best_set;
       out_xqd[(size_t)ui * 2] = best_x0;
       out_xqd[(size_t)ui * 2 + 1] = best_x1;
       out_sse[ui] = best_sse;
+      if (out_var) {
+        // central second moments: source, pre-filter recon, best-set
+        // filtered output (decoded-pixel domain) — variance-guard inputs
+        double* vp = &out_var[(size_t)ui * 3];
+        vp[0] = ssq - ssum * ssum / (double)n;
+        vp[1] = rsq - rsum * rsum / (double)n;
+        vp[2] = best_fsq - best_fsum * best_fsum / (double)n;
+      }
     }
   };
   const int B = rows * cols;

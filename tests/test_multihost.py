@@ -24,7 +24,7 @@ coord = sys.argv[2]
 import jax
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                           process_id=pid)
+                           process_id=pid, initialization_timeout=300)
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cavif_tpu.ops.block_search import _kernel
@@ -60,7 +60,7 @@ print(f"proc {pid} ok: {len(out_modes.addressable_shards)} shards verified")
 """ % ROOT
 
 
-def _run_two_procs(worker_src: str, ok_marker: str = "ok:"):
+def _run_two_procs_once(worker_src: str, ok_marker: str = "ok:"):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -97,6 +97,22 @@ def _run_two_procs(worker_src: str, ok_marker: str = "ok:"):
     return outs
 
 
+def _run_two_procs(worker_src: str, ok_marker: str = "ok:"):
+    """Run the 2-process mesh job, retrying ONCE (fresh coordinator port)
+    when the failure is the gloo key-value rendezvous missing its hard
+    deadline under CPU contention ("GetKeyValue() timed out") — an
+    infrastructure flake of loaded shared VMs, not a correctness signal
+    (VERDICT r03 weak #3). Real failures (assertion mismatches, nonzero
+    exits without the timeout signature) are never retried."""
+    try:
+        return _run_two_procs_once(worker_src, ok_marker)
+    except AssertionError as e:
+        msg = str(e)
+        if "timed out" not in msg and "DEADLINE_EXCEEDED" not in msg:
+            raise
+        return _run_two_procs_once(worker_src, ok_marker)
+
+
 def test_two_process_mesh():
     _run_two_procs(WORKER)
 
@@ -114,7 +130,7 @@ coord = sys.argv[2]
 import jax
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                           process_id=pid)
+                           process_id=pid, initialization_timeout=300)
 from jax.sharding import Mesh
 from cavif_tpu import Encoder
 from cavif_tpu.parallel.batch import encode_batch_sharded
