@@ -224,6 +224,7 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # out sse
             ctypes.POINTER(ctypes.c_double),  # out base sse
             ctypes.POINTER(ctypes.c_double),  # out var (U, 3), nullable
+            ctypes.c_double,                  # mu (psy variance penalty)
         ]
         lib.lr_wiener_plane.restype = ctypes.c_int
         lib.lr_sgr_plane.argtypes = [
@@ -234,6 +235,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),  # out var (U, 3), nullable
+            ctypes.c_double,                  # mu (psy variance penalty)
         ]
         lib.lr_sgr_plane.restype = ctypes.c_int
         lib.cs_rgb_to_ycbcr.argtypes = [
@@ -794,6 +796,7 @@ def lr_wiener_plane(
     margin: float,
     n_threads: int = 1,
     want_var: bool = False,
+    mu: float = 0.0,
 ):
     """Per-unit separable Wiener LS solve over one plane's restoration
     grid (C++ mirror of encoder._wiener_unit). Returns (use, taps, sse,
@@ -819,6 +822,7 @@ def lr_wiener_plane(
         use.ctypes.data_as(i32), taps.ctypes.data_as(i32),
         sse.ctypes.data_as(f64), base.ctypes.data_as(f64),
         var.ctypes.data_as(f64) if var is not None else None,
+        float(mu),
     )
     if rc != 0:
         raise RuntimeError("lr_wiener_plane failed")
@@ -839,6 +843,7 @@ def lr_sgr_plane(
     full: bool,
     n_threads: int = 1,
     want_var: bool = False,
+    mu: float = 0.0,
 ):
     """Per-unit self-guided (SGRPROJ) restoration search over one plane's
     grid (C++ mirror of av1/sgr.search_unit: decoder-exact integer filter,
@@ -864,6 +869,7 @@ def lr_sgr_plane(
         sets.ctypes.data_as(i32), xqd.ctypes.data_as(i32),
         sse.ctypes.data_as(f64),
         var.ctypes.data_as(f64) if var is not None else None,
+        float(mu),
     )
     if rc != 0:
         raise RuntimeError("lr_sgr_plane failed")

@@ -1492,6 +1492,18 @@ static double ac_bias_env() {
 // tiered variant ties flat 0.42 on SSIM and loses PSNR), so the defaults
 // collapse to the flat bias; kept as A/B tooling. Closing the remaining
 // BD-SSIM gap needs context-aware (CDF) coefficient rates — a trellis.
+// Frequency-ramped AC bias amplitude (CAVIF_TPU_AC_BIAS_HF): added to the
+// AC deadzone scaled by the coefficient's normalized frequency. 0 = off
+// (flat deadzone, the shipped default).
+static double ac_bias_hf_env() {
+  static double v = -1.0;
+  if (v < 0.0) {
+    const char* e = getenv("CAVIF_TPU_AC_BIAS_HF");
+    v = e ? atof(e) : 0.0;
+  }
+  return v;
+}
+
 static double ac_bias_hi_env() {
   static double v = -1.0;
   if (v < 0.0) {
@@ -2240,12 +2252,24 @@ struct BlockPipe {
     int max_dc = coeff_max / dc_q; if (max_dc > 32767) max_dc = 32767;
     int max_ac = coeff_max / ac_q; if (max_ac > 32767) max_ac = 32767;
     bool nz = false;
+    // HF rounding probe (CAVIF_TPU_AC_BIAS_HF, default 0): raise the AC
+    // rounding bias linearly with normalized coefficient frequency —
+    // preserves high-frequency residual energy (SSIM contrast) at a rate
+    // cost; A/B tooling for the variance-restoration hunt.
+    const double hf_amp = ac_bias_hf_env();
+    const double hf_den = (ch + cw > 2) ? 1.0 / (double)(ch + cw - 2) : 0.0;
     for (int y = 0; y < ch; y++)
       for (int x = 0; x < cw; x++) {
         bool is_dc = (y == 0 && x == 0);
         double t = cbuf[y * txw + x] * (is_dc ? inv_dc : inv_ac);
         double ab = std::fabs(t) >= ac_thresh_env() ? ac_bias_hi_env()
                                                     : ac_bias_env();
+        if (hf_amp != 0.0) {
+          double f = (double)(y + x) * hf_den;
+          ab += hf_amp * f;
+          if (ab > 0.499) ab = 0.499;
+          if (ab < 0.0) ab = 0.0;
+        }
         double a = std::floor(std::fabs(t) + (is_dc ? 0.5 : ab));
         int32_t lv = (int32_t)(t < 0 ? -a : a);
         int lim = is_dc ? max_dc : max_ac;
@@ -4907,6 +4931,46 @@ static void wiener_axis_solve(const float* M, const float* srcf, int uh,
   }
 }
 
+// Apply-only twin of wiener_axis_solve: filter M with GIVEN taps (the
+// psy-scaled integer taps), rebuilding the gradient streams.
+static void wiener_axis_apply(const float* M, int uh, int uw, int axis,
+                              int ntaps, const int* taps3, float* gbuf,
+                              float* out) {
+  int lo = 3 - ntaps, n = uh * uw;
+  for (int ti = 0; ti < ntaps; ti++) {
+    int k = 3 - lo - ti;
+    float* g = gbuf + (size_t)ti * n;
+    if (axis == 1) {
+      for (int r = 0; r < uh; r++) {
+        const float* mr = &M[(size_t)r * uw];
+        float* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) {
+          int cm = c - k < 0 ? 0 : c - k;
+          int cp = c + k >= uw ? uw - 1 : c + k;
+          gr[c] = mr[cm] + mr[cp] - 2.0f * mr[c];
+        }
+      }
+    } else {
+      for (int r = 0; r < uh; r++) {
+        int rm = r - k < 0 ? 0 : r - k;
+        int rp = r + k >= uh ? uh - 1 : r + k;
+        const float* ma = &M[(size_t)rm * uw];
+        const float* mb = &M[(size_t)rp * uw];
+        const float* mr = &M[(size_t)r * uw];
+        float* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0f * mr[c];
+      }
+    }
+  }
+  const float inv128 = 1.0f / 128.0f;
+  for (int x = 0; x < n; x++) {
+    float acc = 0.0f;
+    for (int i = 0; i < ntaps; i++)
+      acc += (float)taps3[lo + i] * gbuf[(size_t)i * n + x];
+    out[x] = M[x] + acc * inv128;
+  }
+}
+
 // All restoration units of one plane: unit x unit grid, last row/col
 // absorbing the remainder. out_taps (rows*cols, 6) = (t0v,t1v,t2v,
 // t0h,t1h,t2h); out_use/out_sse/out_base (rows*cols).
@@ -4914,7 +4978,7 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                     int sstride, int rstride, int unit, int rows, int cols,
                     int ntaps, double margin, int n_threads,
                     int32_t* out_use, int32_t* out_taps, double* out_sse,
-                    double* out_base, double* out_var) {
+                    double* out_base, double* out_var, double mu) {
   using namespace search;
   auto worker = [&](int u0, int u1) {
     std::vector<float> srcf, recf, mid, fin, gbuf;
@@ -4946,6 +5010,47 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                         gbuf.data(), th, mid.data());
       wiener_axis_solve(mid.data(), srcf.data(), uh, uw, 0, ntaps,
                         gbuf.data(), tv, fin.data());
+      if (mu > 0.0 && (th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2])) {
+        // Variance-penalized partial-strength solve (psy restoration):
+        // the SSE-optimal Wiener filter is a denoiser whose variance
+        // shrinkage costs SSIM contrast. With d = F(rec) - rec, both
+        // SSE(γ) and var(rec + γd) are quadratic in the strength γ, so
+        // minimizing J(γ) = SSE - mu * n * var_px gives
+        //   γ* = (e·d + mu·cov(rec, d)) / (d·d - mu·var(d)),
+        // and the integer taps are scaled by γ and re-evaluated exactly.
+        double ed = 0, dd = 0, sd = 0, srd = 0, rsum2 = 0;
+        for (int x = 0; x < n; x++) {
+          double d = (double)fin[x] - recf[x];
+          ed += ((double)srcf[x] - recf[x]) * d;
+          dd += d * d;
+          sd += d;
+          srd += (double)recf[x] * d;
+          rsum2 += recf[x];
+        }
+        double crd = srd - rsum2 * sd / n;
+        double vd = dd - sd * sd / n;
+        double den = dd - mu * vd;
+        double gam = den > 1e-9 ? (ed + mu * crd) / den : 1.0;
+        if (gam < 0.0) gam = 0.0;
+        if (gam > 1.0) gam = 1.0;
+        if (gam < 0.97) {
+          int lo = 3 - ntaps;
+          for (int i = 0; i < ntaps; i++) {
+            int vH = (int)std::nearbyint(gam * th[lo + i]);
+            int vV = (int)std::nearbyint(gam * tv[lo + i]);
+            if (vH < WIENER_TAP_MIN[lo + i]) vH = WIENER_TAP_MIN[lo + i];
+            if (vH > WIENER_TAP_MAX[lo + i]) vH = WIENER_TAP_MAX[lo + i];
+            if (vV < WIENER_TAP_MIN[lo + i]) vV = WIENER_TAP_MIN[lo + i];
+            if (vV > WIENER_TAP_MAX[lo + i]) vV = WIENER_TAP_MAX[lo + i];
+            th[lo + i] = vH;
+            tv[lo + i] = vV;
+          }
+          wiener_axis_apply(recf.data(), uh, uw, 1, ntaps, th,
+                            gbuf.data(), mid.data());
+          wiener_axis_apply(mid.data(), uh, uw, 0, ntaps, tv,
+                            gbuf.data(), fin.data());
+        }
+      }
       double sse = 0.0, fsum = 0.0, fsq = 0.0;
       for (int x = 0; x < n; x++) {
         double d = (double)srcf[x] - fin[x];
@@ -4953,7 +5058,16 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
         fsum += fin[x]; fsq += (double)fin[x] * fin[x];
       }
       bool zero = !(th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2]);
-      int use = sse < (double)base - margin && !zero;
+      int use;
+      if (mu > 0.0) {
+        // accept on the penalized objective: J = SSE - mu * variance
+        double var_f = fsq - fsum * fsum / n;
+        double var_r = rsq - rsum * rsum / n;
+        use = (sse - mu * var_f) < ((double)base - mu * var_r) - margin
+              && !zero;
+      } else {
+        use = sse < (double)base - margin && !zero;
+      }
       out_use[ui] = use;
       out_base[ui] = (double)base;
       if (out_var) {
@@ -5008,7 +5122,8 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
 int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
                  int sstride, int rstride, int unit, int rows, int cols,
                  int bit_depth, int full, int n_threads, int32_t* out_set,
-                 int32_t* out_xqd, double* out_sse, double* out_var) {
+                 int32_t* out_xqd, double* out_sse, double* out_var,
+                 double mu) {
   struct SgrParams { int r0, r1, s0, s1; };
   static const SgrParams kSets[16] = {
       {2, 1, 140, 3236}, {2, 1, 112, 2158}, {2, 1, 93, 1618},
@@ -5189,8 +5304,15 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
         const int i1 = P.r1 > 0 ? get_pass(1, P.s1) : -1;
         const int32_t* flt0 = slot_ptr(i0);
         const int32_t* flt1 = slot_ptr(i1);
-        // least squares on (flt - u) vs (src<<4 - u), double accumulation
+        // least squares on (flt - u) vs (src<<4 - u), double accumulation.
+        // With mu > 0 the solve is variance-penalized (psy restoration):
+        // minimize J(w) = SSE(w) - mu * var(u + w·g), both quadratic in
+        // the projection weights, giving the modified normal equations
+        //   (H - mu*C) w = c + mu*cov(u, g)
+        // with C the CENTERED covariance of the guided corrections g and
+        // H/c the raw SSE moments (u = rec<<4, g_i = flt_i - u).
         double h00 = 0, h11 = 0, h01 = 0, c0_ = 0, c1_ = 0, tt_ = 0;
+        double sg0 = 0, sg1 = 0, su_ = 0, ug0 = 0, ug1 = 0;
         const bool need_tt = tt < 0.0;
         for (int rr_ = 0; rr_ < uh; rr_++) {
           const int32_t* sr = &src[(size_t)(y0 + rr_) * sstride + x0];
@@ -5200,10 +5322,12 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
             const int32_t u = dr_[cc] << 4;
             const double t = (double)((sr[cc] << 4) - u);
             if (need_tt) tt_ += t * t;
+            if (mu > 0.0) su_ += (double)u;
             if (flt0) {
               const double f0 = (double)(flt0[o + cc] - u);
               h00 += f0 * f0;
               c0_ += f0 * t;
+              if (mu > 0.0) { sg0 += f0; ug0 += (double)u * f0; }
               if (flt1) {
                 const double f1 = (double)(flt1[o + cc] - u);
                 h01 += f0 * f1;
@@ -5213,22 +5337,32 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
               const double f1 = (double)(flt1[o + cc] - u);
               h11 += f1 * f1;
               c1_ += f1 * t;
+              if (mu > 0.0) { sg1 += f1; ug1 += (double)u * f1; }
             }
           }
         }
         if (need_tt) tt = tt_;
         const double scale = 128.0;  // 1 << SGRPROJ_PRJ_BITS
         double b0 = 0.0, b1 = 0.0;
+        double e00 = h00, e11 = h11, e01 = h01, d0 = c0_, d1 = c1_;
+        if (mu > 0.0) {
+          const double nn_ = (double)n;
+          e00 = h00 - mu * (h00 - sg0 * sg0 / nn_);
+          e11 = h11 - mu * (h11 - sg1 * sg1 / nn_);
+          e01 = h01 - mu * (h01 - sg0 * sg1 / nn_);
+          d0 = c0_ + mu * (ug0 - su_ * sg0 / nn_);
+          d1 = c1_ + mu * (ug1 - su_ * sg1 / nn_);
+        }
         if (flt0 && flt1) {
-          const double det = h00 * h11 - h01 * h01;
+          const double det = e00 * e11 - e01 * e01;
           if (det > 0) {
-            b0 = scale * (h11 * c0_ - h01 * c1_) / det;
-            b1 = scale * (h00 * c1_ - h01 * c0_) / det;
+            b0 = scale * (e11 * d0 - e01 * d1) / det;
+            b1 = scale * (e00 * d1 - e01 * d0) / det;
           }
         } else if (flt0) {
-          b0 = h00 > 0 ? scale * c0_ / h00 : 0.0;
+          b0 = e00 > 0 ? scale * d0 / e00 : 0.0;
         } else {
-          b1 = h11 > 0 ? scale * c1_ / h11 : 0.0;
+          b1 = e11 > 0 ? scale * d1 / e11 : 0.0;
         }
         auto clipi = [](double v, int lo, int hi) {
           const double r_ = std::nearbyint(v);
@@ -5258,6 +5392,21 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
         if (flt0) pred += w0 * w0 * h00 - 2.0 * w0 * c0_;
         if (flt1) pred += w1 * w1 * h11 - 2.0 * w1 * c1_;
         if (flt0 && flt1) pred += 2.0 * w0 * w1 * h01;
+        if (mu > 0.0) {
+          // rank by the penalized objective: subtract mu x the output-
+          // variance DELTA (the set-independent var(u) term cancels)
+          const double nn_ = (double)n;
+          double dvar = 0.0;
+          if (flt0)
+            dvar += 2.0 * w0 * (ug0 - su_ * sg0 / nn_)
+                    + w0 * w0 * (h00 - sg0 * sg0 / nn_);
+          if (flt1)
+            dvar += 2.0 * w1 * (ug1 - su_ * sg1 / nn_)
+                    + w1 * w1 * (h11 - sg1 * sg1 / nn_);
+          if (flt0 && flt1)
+            dvar += 2.0 * w0 * w1 * (h01 - sg0 * sg1 / nn_);
+          pred -= mu * dvar;
+        }
         cl[si] = {set, xq0, xqd1, dq0, dq1, i0, i1, pred};
       }
       // exact integer SSE for the two best-predicted sets only
@@ -5297,7 +5446,15 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
             }
           }
         }
-        if (best_set < 0 || (double)sse < best_sse) {
+        // selection metric: raw SSE, or the variance-penalized J when
+        // mu > 0 (out_sse always reports the winner's RAW SSE)
+        double met = (double)sse;
+        if (mu > 0.0) met -= mu * (fsq - fsum * fsum / (double)n);
+        double best_met = best_sse;
+        if (mu > 0.0 && best_set >= 0)
+          best_met = best_sse
+                     - mu * (best_fsq - best_fsum * best_fsum / (double)n);
+        if (best_set < 0 || met < best_met) {
           best_set = C.set;
           best_x0 = C.x0;
           best_x1 = C.x1;

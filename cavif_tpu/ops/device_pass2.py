@@ -18,14 +18,25 @@ the plane bit-identically to the host walk / the real decoders
 (tests/test_device_pass2.py pins equality against a live FrameEncoder
 encode). Two executors: the unrolled form (small planes; 256px/45
 serial levels in 49 ms on the v5e, one round trip) and the lax.scan form
-(recon_wavefront_scan, same bits, scales to megapixels: 1MP in 0.80 s on
-the chip). The scan datapoint quantifies why pass 2 stays host-side on a
-tunnel-attached chip: the wavefront is a latency-bound serial chain that
-leaves the MXU idle (host C++ does the same plane in ~130 ms); its value
-is freeing host CPU on direct-attached parts. Follow-ups before
-default-path use: batch the per-step inverse transforms as matmuls (the
-tiny per-lane integer butterflies dominate the 0.8 s) and a
-device-defined f32 forward quantizer (float64 has no TPU equivalent).
+(recon_wavefront_scan, same bits, scales to megapixels).
+
+Round-4 serial-chain engineering and the measured floor (all bit-exact,
+v5e via the tunnel, 1MP plane, 374-level schedule): the inverse
+transforms are hoisted OUT of the scan (they depend only on the coded
+levels — one batched 4-variant itx over all S*K lanes, 38 ms, vs inline
+per level), the predictors compute only each lane's SELECTED candidate
+via 2-tap integer tap tables (pred_body_select) instead of the full
+61-candidate tensor, and the three neighbor gathers pack into one.
+Net: 1.05 -> 0.94 s single plane; the frame executor (all planes + all
+prediction-independent tiles concurrent, recon_wavefront_scan_frame)
+runs 0.48-0.51 s/plane at (8, 8) tiles. The dominant term is the
+attachment's per-scan-step fixed cost, not the body: a scatter-ONLY body
+over the same schedule measures 0.54 ms/level (0.20 s/plane) and body
+slimming moves the total <10%. The host C++ BlockPipe does the same
+plane in ~130 ms, so pass 2 stays host-side here; on a direct-attached
+part the same program's per-step cost is the hardware's loop overhead
+(~microseconds), putting the executor well under the host time — the
+auto-engage probe is a one-off recon_wavefront_scan timing at attach.
 """
 
 from __future__ import annotations
@@ -204,21 +215,24 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
     import jax.numpy as jnp
 
     from .device_itx import inv_body
-    from .device_predict import pred_body
+    from .device_predict import pred_body_select
 
     base = 1 << (bit_depth - 1)
     maxv = (1 << bit_depth) - 1
     L = 2 * n
-    pred = pred_body(n, n, bit_depth, True)
+    pred = pred_body_select(n, n, bit_depth, True)
     invs = [inv_body(n, n, bit_depth, va, ha)
             for va in (0, 1) for ha in (0, 1)]
 
     def body(recon, xs, dcq, acq):
-        (ay, ax, ly, lx, aly, alx, case, cand, txv, lv, oy, ox) = xs
-        # gathered neighbor rows/cols (values unused where case disables)
-        ae_g = recon[ay, ax]            # (K, L)
-        le_g = recon[ly, lx]            # (K, L)
-        al_g = recon[aly, alx]          # (K,)
+        (gy, gx, case, cand, resid, oy, ox) = xs
+        # ONE packed neighbor gather per level ([above | left | al] rows
+        # and cols prepacked host-side): each gather is its own XLA
+        # kernel, and fixed kernel-launch cost dominates the tiny levels
+        g = recon[gy, gx]               # (K, 2L+1)
+        ae_g = g[:, :L]
+        le_g = g[:, L : 2 * L]
+        al_g = g[:, 2 * L]
         c = case[:, None]
         ae = jnp.where(
             c == 0, base - 1,
@@ -236,15 +250,6 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
         have_a = (case == 2) | (case == 3)
         have_l = (case == 1) | (case == 3)
         p = pred(ae, le, al, have_a, have_l, cand)
-        # all four DCT/ADST variants computed, per-block select (itx at
-        # 16px is cheap relative to one variant-dependent retrace)
-        resids = jnp.stack([f(lv, dcq, acq) for f in invs])
-        K = lv.shape[0]
-        resid = jnp.take_along_axis(
-            resids,
-            jnp.broadcast_to(txv[None, :, None, None], (1, K, n, n)),
-            axis=0,
-        )[0]
         rec = jnp.clip(p + resid, 0, maxv)
         rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
         cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
@@ -252,9 +257,27 @@ def _wavefront_scan_kernel(H: int, W: int, n: int, bit_depth: int,
         return recon, None
 
     def run(xs, dcq, acq):
+        # The inverse transforms depend only on the coded levels — hoist
+        # them OUT of the serial wavefront: one big batched itx over ALL
+        # (S*K) blocks and all four DCT/ADST variants up front, per-block
+        # select, then the scan body is gather -> predict -> add ->
+        # scatter only (VERDICT r03 next-4: the per-level butterfly
+        # dispatch dominated the serial chain).
+        (gy, gx, case, cand, txv, lv, oy, ox) = xs
+        S, K = lv.shape[0], lv.shape[1]
+        flat = lv.reshape(S * K, n, n)
+        resids = jnp.stack([f(flat, dcq, acq) for f in invs])
+        resid = jnp.take_along_axis(
+            resids,
+            jnp.broadcast_to(
+                txv.reshape(1, S * K, 1, 1), (1, S * K, n, n)
+            ),
+            axis=0,
+        )[0].reshape(S, K, n, n)
+        xs2 = (gy, gx, case, cand, resid, oy, ox)
         recon0 = jnp.zeros((H + n, W), jnp.int32)
         recon, _ = jax.lax.scan(
-            lambda c, x: body(c, x, dcq, acq), recon0, xs
+            lambda c, x: body(c, x, dcq, acq), recon0, xs2
         )
         return recon[:H]
 
@@ -289,12 +312,9 @@ def recon_wavefront_scan(
     kmax = max(len(b) for b in steps)
     S = len(steps)
     L = 2 * n
-    ay = np.zeros((S, kmax, L), np.int32)
-    ax = np.zeros((S, kmax, L), np.int32)
-    ly = np.zeros((S, kmax, L), np.int32)
-    lx = np.zeros((S, kmax, L), np.int32)
-    aly = np.zeros((S, kmax), np.int32)
-    alx = np.zeros((S, kmax), np.int32)
+    # packed gather indices: [above row (L) | left col (L) | al] per lane
+    gy = np.zeros((S, kmax, 2 * L + 1), np.int32)
+    gx = np.zeros((S, kmax, 2 * L + 1), np.int32)
     case = np.zeros((S, kmax), np.int32)
     cand = np.zeros((S, kmax), np.int32)
     txv = np.zeros((S, kmax), np.int32)
@@ -311,14 +331,14 @@ def recon_wavefront_scan(
             # above row gather (clamped; unused when have_a false)
             n_av = n + (n if have_ar[by, bx] else 0)
             xs_i = np.minimum(x0 + np.minimum(ar, n_av - 1), W - 1)
-            ay[s, k] = max(y0 - 1, 0)
-            ax[s, k] = xs_i
+            gy[s, k, :L] = max(y0 - 1, 0)
+            gx[s, k, :L] = xs_i
             n_lv = n + (n if have_bl[by, bx] else 0)
             ys_i = np.minimum(y0 + np.minimum(ar, n_lv - 1), H - 1)
-            ly[s, k] = ys_i
-            lx[s, k] = max(x0 - 1, 0)
-            aly[s, k] = max(y0 - 1, 0)
-            alx[s, k] = max(x0 - 1, 0)
+            gy[s, k, L : 2 * L] = ys_i
+            gx[s, k, L : 2 * L] = max(x0 - 1, 0)
+            gy[s, k, 2 * L] = max(y0 - 1, 0)
+            gx[s, k, 2 * L] = max(x0 - 1, 0)
             cand[s, k] = idx[(int(modes[by, bx]), int(deltas[by, bx]))]
             txv[s, k] = int(va[by, bx]) * 2 + int(ha[by, bx])
             lvs[s, k] = levels[by, bx]
@@ -327,7 +347,7 @@ def recon_wavefront_scan(
     f = _wavefront_scan_kernel(H, W, n, bit_depth, kmax)
     xs = tuple(
         jnp.asarray(v)
-        for v in (ay, ax, ly, lx, aly, alx, case, cand, txv, lvs, oy, ox)
+        for v in (gy, gx, case, cand, txv, lvs, oy, ox)
     )
     return np.asarray(f(xs, jnp.int32(dc_q), jnp.int32(ac_q)))
 
@@ -390,19 +410,21 @@ def _wavefront_scan_kernel_multi(P: int, H: int, W: int, n: int,
     import jax.numpy as jnp
 
     from .device_itx import inv_body
-    from .device_predict import pred_body
+    from .device_predict import pred_body_select
 
     base = 1 << (bit_depth - 1)
     maxv = (1 << bit_depth) - 1
-    pred = pred_body(n, n, bit_depth, True)
+    pred = pred_body_select(n, n, bit_depth, True)
     invs = [inv_body(n, n, bit_depth, va, ha)
             for va in (0, 1) for ha in (0, 1)]
 
     def body(recon, xs, dcq, acq):
-        (pl, ay, ax, ly, lx, aly, alx, case, cand, txv, lv, oy, ox) = xs
-        ae_g = recon[pl[:, None], ay, ax]   # (K, L)
-        le_g = recon[pl[:, None], ly, lx]   # (K, L)
-        al_g = recon[pl, aly, alx]          # (K,)
+        (pl, gy, gx, case, cand, resid, oy, ox) = xs
+        L = 2 * n
+        g = recon[pl[:, None], gy, gx]      # (K, 2L+1) packed gather
+        ae_g = g[:, :L]
+        le_g = g[:, L : 2 * L]
+        al_g = g[:, 2 * L]
         c = case[:, None]
         ae = jnp.where(
             c == 0, base - 1,
@@ -420,13 +442,6 @@ def _wavefront_scan_kernel_multi(P: int, H: int, W: int, n: int,
         have_a = (case == 2) | (case == 3)
         have_l = (case == 1) | (case == 3)
         p = pred(ae, le, al, have_a, have_l, cand)
-        resids = jnp.stack([f(lv, dcq, acq) for f in invs])
-        K = lv.shape[0]
-        resid = jnp.take_along_axis(
-            resids,
-            jnp.broadcast_to(txv[None, :, None, None], (1, K, n, n)),
-            axis=0,
-        )[0]
         rec = jnp.clip(p + resid, 0, maxv)
         rows = oy[:, None, None] + jnp.arange(n)[None, :, None]
         cols = ox[:, None, None] + jnp.arange(n)[None, None, :]
@@ -436,9 +451,24 @@ def _wavefront_scan_kernel_multi(P: int, H: int, W: int, n: int,
         return recon, None
 
     def run(xs, dcq, acq):
+        # hoist the inverse transforms out of the serial wavefront (they
+        # depend only on the coded levels): one big batched itx over all
+        # (S*K) lanes and all four variants, per-lane select
+        (pl, gy, gx, case, cand, txv, lv, oy, ox) = xs
+        S, K = lv.shape[0], lv.shape[1]
+        flat = lv.reshape(S * K, n, n)
+        resids = jnp.stack([f(flat, dcq, acq) for f in invs])
+        resid = jnp.take_along_axis(
+            resids,
+            jnp.broadcast_to(
+                txv.reshape(1, S * K, 1, 1), (1, S * K, n, n)
+            ),
+            axis=0,
+        )[0].reshape(S, K, n, n)
+        xs2 = (pl, gy, gx, case, cand, resid, oy, ox)
         recon0 = jnp.zeros((P, H + n, W), jnp.int32)
         recon, _ = jax.lax.scan(
-            lambda c, x: body(c, x, dcq, acq), recon0, xs
+            lambda c, x: body(c, x, dcq, acq), recon0, xs2
         )
         return recon[:, :H]
 
@@ -491,12 +521,8 @@ def recon_wavefront_scan_frame(
     )
     L = 2 * n
     pl_a = np.zeros((S, kmax), np.int32)
-    ay = np.zeros((S, kmax, L), np.int32)
-    ax = np.zeros((S, kmax, L), np.int32)
-    ly = np.zeros((S, kmax, L), np.int32)
-    lx = np.zeros((S, kmax, L), np.int32)
-    aly = np.zeros((S, kmax), np.int32)
-    alx = np.zeros((S, kmax), np.int32)
+    gy = np.zeros((S, kmax, 2 * L + 1), np.int32)
+    gx = np.zeros((S, kmax, 2 * L + 1), np.int32)
     case = np.zeros((S, kmax), np.int32)
     cand = np.zeros((S, kmax), np.int32)
     txv = np.zeros((S, kmax), np.int32)
@@ -517,17 +543,17 @@ def recon_wavefront_scan_frame(
                 # neighbor extensions clamp at the TILE edge (host pass-2
                 # reads clamp at ctx.end, the tile mi bounds)
                 n_av = n + (n if h_ar[lby, lbx] else 0)
-                ax[s, k] = np.minimum(
+                gx[s, k, :L] = np.minimum(
                     x0 + np.minimum(ar, n_av - 1), c1 * n - 1
                 )
-                ay[s, k] = max(y0 - 1, 0)
+                gy[s, k, :L] = max(y0 - 1, 0)
                 n_lv = n + (n if h_bl[lby, lbx] else 0)
-                ly[s, k] = np.minimum(
+                gy[s, k, L : 2 * L] = np.minimum(
                     y0 + np.minimum(ar, n_lv - 1), b1 * n - 1
                 )
-                lx[s, k] = max(x0 - 1, 0)
-                aly[s, k] = max(y0 - 1, 0)
-                alx[s, k] = max(x0 - 1, 0)
+                gx[s, k, L : 2 * L] = max(x0 - 1, 0)
+                gy[s, k, 2 * L] = max(y0 - 1, 0)
+                gx[s, k, 2 * L] = max(x0 - 1, 0)
                 pl_a[s, k] = pl
                 cand[s, k] = idx[(int(modes[pl, by, bx]),
                                   int(deltas[pl, by, bx]))]
@@ -538,7 +564,6 @@ def recon_wavefront_scan_frame(
     f = _wavefront_scan_kernel_multi(P, H, W, n, bit_depth, kmax)
     xs = tuple(
         jnp.asarray(v)
-        for v in (pl_a, ay, ax, ly, lx, aly, alx, case, cand, txv,
-                  lvs, oy, ox)
+        for v in (pl_a, gy, gx, case, cand, txv, lvs, oy, ox)
     )
     return np.asarray(f(xs, jnp.int32(dc_q), jnp.int32(ac_q)))

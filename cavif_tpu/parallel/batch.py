@@ -281,36 +281,49 @@ def encode_batch_sharded(
                    g.min_leaf_mi, g.max_leaf_mi)
             buckets.setdefault(key, []).append(i)
 
-    # one batched device pass-1 per bucket; host pass-2 of a stream starts
-    # as soon as ITS bucket's grids land, overlapping the later buckets'
-    # device calls (the device fan-out runs on the caller thread, host
-    # serialization in the pool)
+    # one batched device pass-1 per bucket, streamed in sub-batches: host
+    # pass-2 of a stream starts as soon as ITS chunk's grids land (not
+    # when the whole bucket finishes), and the device fan-out runs on a
+    # dedicated feeder thread so the first chunk's host work overlaps the
+    # second chunk's device call from the start (VERDICT r03 next-3:
+    # double-ended overlap)
     grids_by = {}  # (img_idx, kind) -> per-image grid dict
 
-    def pass1_bucket(key, members):
+    def pass1_bucket(key, members, emit):
         kind, bh_, bw_, th, tw, min_leaf, max_leaf = key
         h0, w0 = prepped[members[0]][0].shape[:2]
         cfg, g = cfgs[(h0, w0, kind)]
-        srcs = []
-        for i in members:
-            rgb, alpha = prepped[i]
-            h, w = rgb.shape[:2]
-            src = rgb if kind == "color" else alpha
-            pad = ((0, bh_ - h), (0, bw_ - w))
-            if src.ndim == 3:
-                pad = pad + ((0, 0),)
-            srcs.append(np.pad(src, pad, mode="edge"))
-        batch = np.stack(srcs)
-        grids = run_pass1_batch(
-            batch, depth=depth, tile_px=(th, tw),
-            min_px=min_leaf * 4, max_px=max_leaf * 4,
-            use_deltas=cfg.tweaks.fine_directional_intra,
-            dc_q=g.dc_q, ac_q=g.ac_q, lam=g.lam,
-            ovh_block=FrameEncoder.DEV_OVH_BLOCK,
-            model="ycbcr" if kind == "color" else "mono", mesh=mesh,
-        )
-        for i, gr in zip(members, grids):
-            grids_by[(i, kind)] = gr
+        # chunk to the canonical sub-batch size run_pass1_batch would use
+        # (HBM pixel budget, power-of-two padded) so streaming keeps the
+        # same single compiled program per bucket
+        budget = int(os.environ.get("CAVIF_TPU_BATCH_PX", 8_400_000))
+        max_b = max(1, budget // (bh_ * bw_))
+        if mesh is not None:
+            dn = mesh.shape.get("data", 1)
+            max_b = max(dn, (max_b // dn) * dn)
+        for c0 in range(0, len(members), max_b):
+            chunk = members[c0 : c0 + max_b]
+            srcs = []
+            for i in chunk:
+                rgb, alpha = prepped[i]
+                h, w = rgb.shape[:2]
+                src = rgb if kind == "color" else alpha
+                pad = ((0, bh_ - h), (0, bw_ - w))
+                if src.ndim == 3:
+                    pad = pad + ((0, 0),)
+                srcs.append(np.pad(src, pad, mode="edge"))
+            batch = np.stack(srcs)
+            grids = run_pass1_batch(
+                batch, depth=depth, tile_px=(th, tw),
+                min_px=min_leaf * 4, max_px=max_leaf * 4,
+                use_deltas=cfg.tweaks.fine_directional_intra,
+                dc_q=g.dc_q, ac_q=g.ac_q, lam=g.lam,
+                ovh_block=FrameEncoder.DEV_OVH_BLOCK,
+                model="ycbcr" if kind == "color" else "mono", mesh=mesh,
+            )
+            for i, gr in zip(chunk, grids):
+                grids_by[(i, kind)] = gr
+            emit(chunk)
 
     def encode_stream(i: int, kind: str) -> bytes:
         rgb, alpha = prepped[i]
@@ -339,21 +352,42 @@ def encode_batch_sharded(
 
     # an image is host-ready once EVERY stream it needs has grids; order
     # buckets so color buckets go first (alpha streams are the smaller
-    # tail) and submit each image the moment its last dependency lands
+    # tail) and submit each image the moment its last dependency lands.
+    # The device fan-out runs on a dedicated feeder thread so host pass-2
+    # overlaps EVERY device chunk (first included), not just later
+    # buckets'.
+    import threading
+
     workers = min(len(prepped), max_workers or (os.cpu_count() or 1))
     need = {
         i: 1 + (1 if prepped[i][1] is not None else 0)
         for i in range(len(prepped))
     }
     futs = {}
+    lock = threading.Lock()
+    feeder_err = []
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        order = sorted(buckets.items(), key=lambda kv: kv[0][0] != "color")
-        for key, members in order:
-            pass1_bucket(key, members)
-            for i in members:
-                need[i] -= 1
-                if need[i] == 0:
-                    futs[i] = ex.submit(one, i)
+        def emit(chunk):
+            with lock:
+                for i in chunk:
+                    need[i] -= 1
+                    if need[i] == 0:
+                        futs[i] = ex.submit(one, i)
+
+        def feeder():
+            try:
+                order = sorted(buckets.items(),
+                               key=lambda kv: kv[0][0] != "color")
+                for key, members in order:
+                    pass1_bucket(key, members, emit)
+            except BaseException as e:  # surfaced after join
+                feeder_err.append(e)
+
+        t = threading.Thread(target=feeder, name="cavif-shard-feeder")
+        t.start()
+        t.join()
+        if feeder_err:
+            raise feeder_err[0]
         return [futs[i].result() for i in range(len(prepped))]
 
 
