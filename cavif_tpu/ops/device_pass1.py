@@ -767,7 +767,12 @@ def run_pass1_batch(
     # live at once — a 128-image 512px bucket measured 17.9G of HBM temps
     # on a 16G v5e. Large batches run as fixed-size sub-batches (padded
     # tail), which also reuse ONE compiled program.
-    budget = int(os.environ.get("CAVIF_TPU_BATCH_PX", 8_400_000))
+    # 4.2M px/invocation measured as the knee on the v5e: bigger batches
+    # split the candidate family into more chunk passes (re-reading the
+    # candidate-independent tensors each pass — 8.4M px measured 47% more
+    # HBM bytes/MP and ~2x lower achieved bandwidth), smaller ones pay
+    # per-call round trips
+    budget = int(os.environ.get("CAVIF_TPU_BATCH_PX", 4_200_000))
     max_b = max(1, budget // (H * W))
     if mesh is not None:
         dn = mesh.shape.get("data", 1)
