@@ -2279,6 +2279,17 @@ class FrameEncoder:
         per_plane = []
         frame_sse = 0.0
         for pl in range(self.num_planes):
+            if pl > 0:
+                # arbitration is luma-only: chroma restoration SSE is a
+                # small fraction of the frame total and never decides the
+                # CDEF-vs-deblock branch, while solving it on BOTH
+                # branches doubled a third of the LR cost. The winning
+                # branch's full solve (_lr_solve) still searches chroma —
+                # dropping chroma from the SOLVE was measured NOT
+                # neutral: -0.196 dB BD-PSNR on the noisy texture image
+                # (r04 sweep), so only the branch-compare skips it.
+                per_plane.append(None)
+                continue
             res = lr_wiener_plane(
                 self.planes[pl].src, stack[pl], h, w, u, rows, cols,
                 ntaps=2 if pl > 0 else 3,
@@ -2402,7 +2413,7 @@ class FrameEncoder:
             mu = self._lr_psy_mu()
             want_var = guard > 0.0 or mu > 0.0
             wvar = None
-            if wiener is not None:
+            if wiener is not None and wiener[pl] is not None:
                 res = wiener[pl]
                 wu, wtaps, wsse, wbase = res[:4]
                 if len(res) > 4:
@@ -2423,9 +2434,16 @@ class FrameEncoder:
             # for ~2x the search cost: slow tiers only
             if try_sgr and (pl == 0 or (native_sgr and sgr_full)):
                 if native_sgr:
+                    # tier: 1 full 16-set (sgr_complexity_full), 0 the
+                    # reference's reduced 6-set, 2 the fast 3-set
+                    # {6, 9, 14} at speed >= 4 (95% of observed picks;
+                    # set-usage audit + matched-rate A/B, round 4)
+                    tier = 1 if sgr_full else (
+                        2 if self.cfg.tweaks.speed_preset >= 4 else 0
+                    )
                     res = lr_sgr_plane(
                         self.planes[pl].src, stack[pl], h, w, u, rows,
-                        cols, self.bit_depth, sgr_full, n_threads=nthr,
+                        cols, self.bit_depth, tier, n_threads=nthr,
                         want_var=want_var, mu=mu,
                     )
                     ssets, sxqd, ssse = res[:3]

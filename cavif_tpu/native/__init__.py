@@ -840,7 +840,7 @@ def lr_sgr_plane(
     rows: int,
     cols: int,
     bit_depth: int,
-    full: bool,
+    full,
     n_threads: int = 1,
     want_var: bool = False,
     mu: float = 0.0,
@@ -848,10 +848,12 @@ def lr_sgr_plane(
     """Per-unit self-guided (SGRPROJ) restoration search over one plane's
     grid (C++ mirror of av1/sgr.search_unit: decoder-exact integer filter,
     LS projection solve, exact integer SSE). Returns (set (U,), xqd (U, 2),
-    sse (U,)) for the best searched set per unit; `full` selects the
-    16-set tier vs the reduced 6-set tier. want_var=True appends a
-    (U, 3) per-unit central-second-moment array [source, pre-filter recon,
-    best-set filtered output] for the SSIM-contrast variance guard."""
+    sse (U,)) for the best searched set per unit. `full` is the tier:
+    True/1 = full 16-set, False/0 = reduced 6-set, 2 = fast 3-set
+    {6, 9, 14} (the sets chosen in 95% of units across the BD corpus;
+    speed >= 4). want_var=True appends a (U, 3) per-unit
+    central-second-moment array [source, pre-filter recon, best-set
+    filtered output] for the SSIM-contrast variance guard."""
     lib = _load()
     src = np.ascontiguousarray(src, dtype=np.int32)
     rec = np.ascontiguousarray(rec, dtype=np.int32)

@@ -5119,9 +5119,13 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
 // one_by_x / x_by_xplus1 (validated bit-exact vs dav1d by tests/test_sgr.py).
 // Reference behavior: rav1e's SGR search under the `lrf`/`sgr_complexity`
 // preset toggles (/root/reference/ravif/src/av1encoder.rs:573,589,623).
+// `tier`: 1 = full 16-set, 0 = reduced 6-set (the reference's
+// sgr_complexity policy), 2 = fast 3-set {6, 9, 14} for speed >= 4 —
+// the sets chosen in 95% of units across the BD corpus x Q60/80/92
+// (set-usage audit, round 4); halves the guided-filter pass count.
 int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
                  int sstride, int rstride, int unit, int rows, int cols,
-                 int bit_depth, int full, int n_threads, int32_t* out_set,
+                 int bit_depth, int tier, int n_threads, int32_t* out_set,
                  int32_t* out_xqd, double* out_sse, double* out_var,
                  double mu) {
   struct SgrParams { int r0, r1, s0, s1; };
@@ -5133,6 +5137,7 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
       {0, 1, -1, 1177},  {0, 1, -1, 925},   {2, 0, 56, -1},
       {2, 0, 22, -1}};
   static const int kReduced[6] = {0, 3, 6, 9, 11, 14};
+  static const int kFast[3] = {6, 9, 14};
   // x_by_xplus1[z] = ((z<<8) + z/2) / (z+1), [0] = 1, [255] = 256
   static int32_t xby[256];
   static int32_t oneby[25];
@@ -5149,7 +5154,7 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
   auto rpot = [](int64_t x, int n) {  // x >= 0
     return n == 0 ? x : (x + ((int64_t)1 << (n - 1))) >> n;
   };
-  const int nsets = full ? 16 : 6;
+  const int nsets = tier == 1 ? 16 : (tier == 2 ? 3 : 6);
 
   auto worker = [&](int u0, int u1) {
     std::vector<int64_t> ii1, ii2;
@@ -5298,7 +5303,8 @@ int lr_sgr_plane(const int32_t* src, const int32_t* rec, int h, int w,
       Cand cl[16];
       double tt = -1.0;  // sum t^2 (set-independent), computed once
       for (int si = 0; si < nsets; si++) {
-        const int set = full ? si : kReduced[si];
+        const int set = tier == 1 ? si
+                        : (tier == 2 ? kFast[si] : kReduced[si]);
         const SgrParams& P = kSets[set];
         const int i0 = P.r0 > 0 ? get_pass(2, P.s0) : -1;
         const int i1 = P.r1 > 0 ? get_pass(1, P.s1) : -1;
