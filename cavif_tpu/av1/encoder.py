@@ -1216,9 +1216,22 @@ class FrameEncoder:
         rect_parent = {}
         for s4 in sizes:
             half = s4 // 2
-            if s4 < 2 or s4 > 8 or half not in cost_a:
-                # no 64-px rect halves: 64x32/32x64 transforms stay out of
-                # scope (the 64 tier is square NONE leaves only)
+            if s4 < 2 or half not in cost_a:
+                continue
+            # 64-px rect halves (64x32/32x64, TX_64X32-family): plumbed
+            # end-to-end in round 4 — the partition walk, EC, and recon
+            # handle them dav1d-bit-exact (the pass-2/EC pipeline needed
+            # no changes; a forced-partition probe pinned exactness) —
+            # and MEASURED as never BD-positive: the TX_64 coded-area
+            # discard prices any horizontal detail in the wide half as
+            # pure distortion, so a 64x32 half costs MORE than its two
+            # 32x32 children wherever the content isn't flat (and flat
+            # content keeps NONE at 64). Byte-identical on the whole BD
+            # corpus AND on adversarial band-edge synthetics with the
+            # search enabled. Default off per the intra-edge-filter
+            # precedent (capability present, measured ~neutral);
+            # CAVIF_TPU_RECT64=1 searches them (python cascade).
+            if s4 == 16 and os.environ.get("CAVIF_TPU_RECT64", "0") != "1":
                 continue
             q = quad_sum(cost_a[half])
             pa = cost_a[s4]

@@ -1316,6 +1316,14 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
       else if (rect) v = 0;
       buf[(size_t)y * txw + x] = v;
     }
+  // NOTE on spec 7.13.3 intermediate clamping: the decoders clip
+  // dequanted values and row-pass outputs to a signed (BitDepth+8)-bit
+  // range. This mirror deliberately does NOT clamp — measured a no-op
+  // on every stream the encoder emits (recon dav1d-bit-exact without
+  // clamps, TX_64-rects included: conformance-bounded levels keep the
+  // intermediates in range), and the device kernels
+  // (ops/device_itx.py) pin equality against this function over
+  // unconstrained stress inputs where a clamp WOULD diverge.
   // row pass (horizontal transform)
   int64_t tmp[64], o[64];
   for (int y = 0; y < txh; y++) {
