@@ -96,13 +96,26 @@ def run_config(n_proc: int, n_img: int, size: int) -> float:
     return result
 
 
+def _retry_gloo(fn):
+    """One retry on the gloo rendezvous-deadline flake (the KV exchange
+    at the first collective has a hard 30 s deadline that a cold XLA CPU
+    compile can cross; the retry runs against the warm cache) — same
+    policy as tests/test_multihost.py."""
+    try:
+        return fn()
+    except RuntimeError as e:
+        if "timed out" not in str(e) and "DEADLINE_EXCEEDED" not in str(e):
+            raise
+        return fn()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="images per batch")
     ap.add_argument("--size", type=int, default=512)
     a = ap.parse_args()
-    r1 = run_config(1, a.n, a.size)
-    r2 = run_config(2, a.n, a.size)
+    r1 = _retry_gloo(lambda: run_config(1, a.n, a.size))
+    r2 = _retry_gloo(lambda: run_config(2, a.n, a.size))
     print(json.dumps({
         "mp_s_1proc": round(r1, 2),
         "mp_s_2proc": round(r2, 2),
