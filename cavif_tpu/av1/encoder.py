@@ -2390,7 +2390,6 @@ class FrameEncoder:
         # threshold) — the Wiener solve is an SSE-optimal denoiser whose
         # variance shrinkage costs SSIM contrast (tools/ssim_probe.py)
         if self.base_q < int(os.environ.get("CAVIF_TPU_LR_MINQ", "0")):
-            self._lr_final_sse = None
             return False
 
         h, w = self.cfg.height, self.cfg.width
@@ -2401,7 +2400,6 @@ class FrameEncoder:
         lam = self._lambda()
         units = {}
         types = []
-        total_sse = 0.0  # frame SSE after restoration (CDEF arbitration)
         from ..native import lr_sgr_plane, lr_wiener_plane
         from .opstream import _native_available
 
@@ -2529,7 +2527,6 @@ class FrameEncoder:
                     else:
                         units[(pl, ur, uc)] = (best[0], taps, 0, (0, 0))
                     kinds.add(best[0])
-                    total_sse += best[1]
             kinds.discard(0)
             # cheapest legal frame type covering this plane's unit kinds
             if not kinds:
@@ -2540,7 +2537,6 @@ class FrameEncoder:
                 types.append(3)  # RESTORE_SGRPROJ
             else:
                 types.append(1)  # RESTORE_SWITCHABLE
-        self._lr_final_sse = total_sse
         if not any(types):
             return False
         self._lr_types = tuple(types) + (0,) * (3 - len(types))
