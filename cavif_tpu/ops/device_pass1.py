@@ -360,7 +360,16 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         # has 500k+ blocks at the smallest tiers
         nblocks = (H // bh) * (W // bw)
         per_cand = P * nblocks * n2 * 4
-        chunk = max(1, min(cdir, (1 << 30) // max(per_cand, 1)))
+        # candidate-chunk budget: bounds the live (P, nblocks, CH, n2)
+        # expansion (~1 GB). Small planes hit the cdir cap either way;
+        # only HUGE single frames (8K: per_cand ~400 MB at the 8x8 tier)
+        # split into many chunk passes — and an isolated A/B on the chip
+        # measured the splitting NEUTRAL-to-slightly-better (1 GB 3.93 s
+        # vs 4 GB 4.23 s for the whole 8K pass-1; apparent whole-encode
+        # gains at bigger budgets were VM-load noise), so the budget
+        # stays at 1 GB with the env knob as calibration tooling.
+        chunk = max(1, min(cdir, int(os.environ.get(
+            "CAVIF_TPU_CHUNK_B", 1 << 30)) // max(per_cand, 1)))
         nb = _nbrs(planes, bw, bh, bit_depth, tile_px)
         nby, nbx = nb["nby"], nb["nbx"]
         blocks_f = (
