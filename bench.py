@@ -104,12 +104,22 @@ def _device_mfu(img, dt_device_s: float):
     try:
         import jax.numpy as jnp
 
+        from cavif_tpu.ops import device_pass1
         from cavif_tpu.ops.device_pass1 import _program
 
-        h, w = img.shape[:2]
-        key = (h, w, 10, "ycbcr", 3, 4, 32, True, 23.0, 2.0, 4.0)
+        # profile the EXACT program the warmup encode just ran (its key
+        # is recorded by run_pass1) — a guessed key would silently
+        # compile and measure a second, non-production program on any
+        # preset drift
+        key = device_pass1.LAST_KEY
+        if key is None:
+            return {"error": "no device pass-1 ran"}
+        h, w = key[0], key[1]
         prog, _spec = _program(key)
-        args = (jnp.asarray(img), jnp.float32(8), jnp.float32(8),
+        src = img
+        if key[3] != "ycbcr" or img.shape[:2] != (h, w):
+            return {"error": f"unexpected program key {key}"}
+        args = (jnp.asarray(src), jnp.float32(8), jnp.float32(8),
                 jnp.float32(100.0), jnp.int32(h), jnp.int32(w))
         ca = prog.lower(*args).compile().cost_analysis()
         if isinstance(ca, list):

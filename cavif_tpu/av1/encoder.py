@@ -287,11 +287,7 @@ class FrameEncoder:
            modes — prediction from live recon, exactly what the decoder sees
            — emitting the op stream for the native serializer.
         """
-        backend = self.cfg.ec_backend
-        if backend is None:
-            from .opstream import _native_available
-
-            backend = "native" if _native_available() else "python"
+        backend = self._ec_backend()
         if backend == "native":
             return self._encode_tile_native(mi_r0, mi_r1, mi_c0, mi_c1)
         from .opstream import replay_python
@@ -2498,7 +2494,11 @@ class FrameEncoder:
                         j_w = sse_w - mu * float(wvar[ui, 2])
                     else:
                         j_base, j_w = base, sse_w
+                    # best carries the selection metric (J under psy);
+                    # best_raw tracks the winner's RAW SSE for the
+                    # variance guard's gain computation
                     best = (1, j_w) if use_w else (0, j_base)
+                    best_raw = sse_w if use_w else base
                     sgr = None
                     if try_sgr and (ssse is not None or pl == 0):
                         if ssse is not None:
@@ -2512,29 +2512,42 @@ class FrameEncoder:
                                 src_i, rec_i, y0, y1, x0, x1,
                                 self.bit_depth, sgr_full,
                             )
-                        j_sgr = sgr[2]
-                        if mu > 0.0 and svar is not None:
-                            j_sgr = sgr[2] - mu * float(svar[ui, 2])
-                        # exact integer SSE: only the signaling margin
-                        if (j_sgr < j_base - 2.0 * lam * 30.0
-                                - psy_px * float(u * u)
-                                and j_sgr < best[1]):
-                            best = (2, j_sgr)
+                        margin_s = 2.0 * lam * 30.0 + psy_px * float(u * u)
+                        if mu > 0.0 and svar is None:
+                            # numpy-fallback SGR has no variance stats:
+                            # compare raw-vs-raw rather than raw-vs-J
+                            # (a J-reduced threshold would systematically
+                            # bias the decision against SGR)
+                            ok = (sgr[2] < base - margin_s
+                                  and sgr[2] < best_raw)
+                            j_pick = sgr[2]
+                        else:
+                            j_sgr = sgr[2]
+                            if mu > 0.0:
+                                j_sgr = sgr[2] - mu * float(svar[ui, 2])
+                            # exact integer SSE: only the signaling margin
+                            ok = (j_sgr < j_base - margin_s
+                                  and j_sgr < best[1])
+                            j_pick = j_sgr
+                        if ok:
+                            best = (2, j_pick)
+                            best_raw = sgr[2]
                     if guard > 0.0 and best[0] != 0:
                         # variance guard (see _lr_var_guard): turn the unit
                         # off when its filter trades reconstruction
                         # variance for SSE at worse than β:1 AND the
                         # filtered unit ends up below the source variance
                         # (over-varianced units — ringing — may denoise
-                        # freely)
+                        # freely). Gain is measured on RAW SSE (best_raw):
+                        # the penalized J would inflate it by μ·var.
                         var = (wvar[ui] if best[0] == 1 else
                                (svar[ui] if svar is not None else None))
                         if var is not None:
                             var_drop = float(var[1] - var[2])
-                            sse_gain = base - best[1]
+                            sse_gain = base - best_raw
                             if (var[2] < var[0]
                                     and var_drop > guard * sse_gain):
-                                best = (0, base)
+                                best = (0, j_base)
                     if best[0] == 2:
                         units[(pl, ur, uc)] = (2, (0,) * 6, sgr[0], sgr[1])
                     else:
@@ -2695,11 +2708,7 @@ class FrameEncoder:
                 for i in range(len(starts) - 1)]
 
     def _encode_tiles(self, tcl: int, trl: int) -> List[bytes]:
-        backend = self.cfg.ec_backend
-        if backend is None:
-            from .opstream import _native_available
-
-            backend = "native" if _native_available() else "python"
+        backend = self._ec_backend()
         if (
             self._want_filters
             and backend == "native"
@@ -2717,11 +2726,6 @@ class FrameEncoder:
             (r0, r1, c0, c1) for (r0, r1) in row_ranges for (c0, c1) in col_ranges
         ]
         self._n_tiles = len(tiles_rc)
-        backend = self.cfg.ec_backend
-        if backend is None:
-            from .opstream import _native_available
-
-            backend = "native" if _native_available() else "python"
         if backend != "native" or len(tiles_rc) == 1:
             return [self.encode_tile(*t) for t in tiles_rc]
         # native path: whole tiles in parallel — the walk/search is reentrant

@@ -861,13 +861,20 @@ def run_pass1_batch(
     return out
 
 
-# Optional hook called once the per-frame device round trip (upload,
-# program, packed fetch) has completed — success or failure. The hybrid
-# batch scheduler (parallel/batch.py) points this at its device-slot
-# release so a slot bounds IN-FLIGHT TUNNEL CALLS only: holding the slot
-# through the encode's host phase (~60% of a device-path encode) starved
-# the chip (VERDICT r03 next-1).
+# Optional hooks around the per-frame device round trip (upload,
+# program, packed fetch). The hybrid batch scheduler (parallel/batch.py)
+# points DONE at its device-slot release so a slot bounds IN-FLIGHT
+# TUNNEL CALLS only (holding it through the encode's host phase starved
+# the chip, VERDICT r03 next-1), and START at a re-acquire so an
+# encode's later pass-1 calls (the RGBA alpha stream) stay under the
+# same in-flight bound. DONE fires on success or failure.
 PASS1_DONE_HOOK = None
+PASS1_START_HOOK = None
+
+# last single-frame program key run_pass1 used (diagnostics: bench.py's
+# MFU entry profiles the exact production program instead of guessing
+# the key and silently compiling a second one on drift)
+LAST_KEY = None
 
 
 def run_pass1(
@@ -907,7 +914,12 @@ def run_pass1(
         int(min_px), int(max_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
     )
+    global LAST_KEY
+    LAST_KEY = key
     prog, spec = _program(key)
+    start = PASS1_START_HOOK
+    if start is not None:
+        start()
     try:
         packed = np.asarray(
             prog(

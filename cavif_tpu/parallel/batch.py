@@ -131,23 +131,36 @@ def _encode_batch_hybrid(enc, images, workers: int) -> List[BatchResult]:
             tls.slot = False
             sem.release()
 
+    def acquire_slot():
+        # a device-path encode's LATER pass-1 calls (the RGBA alpha
+        # stream) re-acquire before touching the tunnel, so the slot
+        # count bounds in-flight device calls for every stream — the
+        # first call already holds the slot the job's path choice took
+        if not getattr(tls, "slot", False) and getattr(tls, "dev", False):
+            sem.acquire()
+            tls.slot = True
+
     def job(i: int) -> BatchResult:
-        tls.slot = sem.acquire(blocking=False)
+        tls.slot = tls.dev = sem.acquire(blocking=False)
         try:
-            e = enc if tls.slot else host_enc
+            e = enc if tls.dev else host_enc
             return BatchResult(index=i, encoded=_encode_one(e, images[i]))
         except BaseException as exc:  # per-image isolation
             return BatchResult(index=i, error=exc)
         finally:
             release_slot()  # no-op when the pass-1 hook already fired
+            tls.dev = False
 
     prev_hook = device_pass1.PASS1_DONE_HOOK
+    prev_start = device_pass1.PASS1_START_HOOK
     device_pass1.PASS1_DONE_HOOK = release_slot
+    device_pass1.PASS1_START_HOOK = acquire_slot
     try:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             return list(ex.map(job, range(len(images))))
     finally:
         device_pass1.PASS1_DONE_HOOK = prev_hook
+        device_pass1.PASS1_START_HOOK = prev_start
 
 
 def _device_engaged() -> bool:
@@ -310,6 +323,15 @@ def encode_batch_sharded(
             max_b = max(dn, (max_b // dn) * dn)
 
         def one_chunk(chunk):
+            # pad the tail chunk by repeating its last member so EVERY
+            # chunk hands run_pass1_batch the same B — one compiled
+            # program per bucket (a short tail would canonicalize to a
+            # smaller power of two and silently compile a second ~20-60 s
+            # program); duplicate grids overwrite with equal values and
+            # only the real members are emitted
+            real = chunk
+            if len(chunk) < max_b and len(members) > max_b:
+                chunk = chunk + [chunk[-1]] * (max_b - len(chunk))
             srcs = []
             for i in chunk:
                 rgb, alpha = prepped[i]
@@ -330,7 +352,7 @@ def encode_batch_sharded(
             )
             for i, gr in zip(chunk, grids):
                 grids_by[(i, kind)] = gr
-            emit(chunk)
+            emit(real)
 
         chunks = [members[c0 : c0 + max_b]
                   for c0 in range(0, len(members), max_b)]
@@ -340,8 +362,15 @@ def encode_batch_sharded(
             for chunk in chunks:
                 one_chunk(chunk)
         else:
-            with ThreadPoolExecutor(max_workers=2) as dev_ex:
-                list(dev_ex.map(one_chunk, chunks))
+            # first chunk runs synchronously so the bucket's program
+            # compiles exactly once (concurrent cold calls with the same
+            # key would both miss the jit cache and each pay the ~20-60 s
+            # compile); the rest run 2-deep so the next chunk's
+            # upload/dispatch hides behind the current chunk's compute
+            one_chunk(chunks[0])
+            if len(chunks) > 1:
+                with ThreadPoolExecutor(max_workers=2) as dev_ex:
+                    list(dev_ex.map(one_chunk, chunks[1:]))
 
     def encode_stream(i: int, kind: str) -> bytes:
         rgb, alpha = prepped[i]
@@ -370,10 +399,9 @@ def encode_batch_sharded(
 
     # an image is host-ready once EVERY stream it needs has grids; order
     # buckets so color buckets go first (alpha streams are the smaller
-    # tail) and submit each image the moment its last dependency lands.
-    # The device fan-out runs on a dedicated feeder thread so host pass-2
-    # overlaps EVERY device chunk (first included), not just later
-    # buckets'.
+    # tail) and submit each image the moment its CHUNK's grids land —
+    # host pass-2 (pool threads) overlaps every later device chunk, and
+    # within a bucket the chunks themselves run 2-deep (pass1_bucket)
     import threading
 
     workers = min(len(prepped), max_workers or (os.cpu_count() or 1))
@@ -383,7 +411,6 @@ def encode_batch_sharded(
     }
     futs = {}
     lock = threading.Lock()
-    feeder_err = []
     with ThreadPoolExecutor(max_workers=workers) as ex:
         def emit(chunk):
             with lock:
@@ -392,20 +419,10 @@ def encode_batch_sharded(
                     if need[i] == 0:
                         futs[i] = ex.submit(one, i)
 
-        def feeder():
-            try:
-                order = sorted(buckets.items(),
-                               key=lambda kv: kv[0][0] != "color")
-                for key, members in order:
-                    pass1_bucket(key, members, emit)
-            except BaseException as e:  # surfaced after join
-                feeder_err.append(e)
-
-        t = threading.Thread(target=feeder, name="cavif-shard-feeder")
-        t.start()
-        t.join()
-        if feeder_err:
-            raise feeder_err[0]
+        order = sorted(buckets.items(),
+                       key=lambda kv: kv[0][0] != "color")
+        for key, members in order:
+            pass1_bucket(key, members, emit)
         return [futs[i].result() for i in range(len(prepped))]
 
 
