@@ -263,6 +263,10 @@ class FrameEncoder:
         # the bitstream is produced once by the replay coder after the
         # loop-restoration decision
         self._defer_ec = False
+        # set around the post-LR re-serialization pass so the replay-miss
+        # fallback (cache overflow -> whole block pipeline re-runs) is
+        # observable instead of silent (trace counter `ec_replay_miss`)
+        self._reserialize_pass = False
 
     # -- per-tile encode ----------------------------------------------------
 
@@ -423,6 +427,17 @@ class FrameEncoder:
             return encode_tile_native(tp0, self._splice_lr(rops), rlvl)
 
         tp, ops = self._tile_skeleton(mi_r0, mi_r1, mi_c0, mi_c1)
+        if self._reserialize_pass:
+            # the record pass overflowed (or never cached) this tile: the
+            # whole block pipeline re-runs instead of the cheap EC replay
+            from ..utils import trace as _trace
+
+            _trace.count("ec_replay_miss")
+            if os.environ.get("CAVIF_TPU_VERBOSE"):
+                print(
+                    f"cavif_tpu: EC replay cache miss for tile {key}; "
+                    "re-running the block pipeline", file=sys.stderr,
+                )
         src = self._src_stack()
         record = self._want_filters
         out = encode_tile_bp(
@@ -2033,7 +2048,10 @@ class FrameEncoder:
         # and again in the LR re-serialization (the in-pipe EC measured
         # ~66 ms/MP vs the replay's ~36 ms, and Q80 frames nearly always
         # take the LR pass).
-        defer = self._want_filters and self._ec_backend() == "native"
+        # CAVIF_TPU_DEFER_EC=0: escape hatch forcing the in-pipe entropy
+        # coder (tests pin byte-identity of the two flows; ADVICE r04)
+        defer = (self._want_filters and self._ec_backend() == "native"
+                 and os.environ.get("CAVIF_TPU_DEFER_EC", "1") != "0")
         with span("tiles_pass1+2"):
             if defer:
                 self._defer_ec = True
@@ -2098,10 +2116,18 @@ class FrameEncoder:
             lr_types = tuple(self._lr_types[: self.num_planes])
         if defer:
             with span("tiles_ec"):
-                tiles = self._encode_tiles(tcl, trl)
+                self._reserialize_pass = True
+                try:
+                    tiles = self._encode_tiles(tcl, trl)
+                finally:
+                    self._reserialize_pass = False
         elif lr_on:
             with span("tiles_lr_reserialize"):
-                tiles = self._encode_tiles(tcl, trl)
+                self._reserialize_pass = True
+                try:
+                    tiles = self._encode_tiles(tcl, trl)
+                finally:
+                    self._reserialize_pass = False
         seq = write_sequence_header(
             width=cfg.width,
             height=cfg.height,

@@ -131,6 +131,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.tc_inv_txfm.restype = ctypes.c_int
+        lib.tc_itx_clamp_violations.argtypes = [ctypes.c_int]
+        lib.tc_itx_clamp_violations.restype = ctypes.c_longlong
         lib.bp_encode_tile.argtypes = [
             ctypes.POINTER(ctypes.c_int32),  # src planes
             ctypes.c_int, ctypes.c_int,      # Hp, Wp
@@ -955,6 +957,15 @@ def inv_txfm_exact(levels: np.ndarray, txw: int, txh: int, dc_q: int,
     if rc != 0:
         raise RuntimeError("tc_inv_txfm failed")
     return out
+
+
+def itx_clamp_violations(reset: bool = True) -> int:
+    """7.13.3 clamp-tripwire counter (see tilecoder.cpp inv_txfm_exact):
+    with CAVIF_TPU_ITX_CLAMP_CHECK set, counts intermediates that left
+    the signed (BitDepth+8)-bit window the decoders clip to — any
+    nonzero value means the unclamped inverse would silently diverge
+    from real decoders. reset also re-reads the env gate."""
+    return int(_load().tc_itx_clamp_violations(1 if reset else 0))
 
 
 def op_arity_native(op: int) -> int:

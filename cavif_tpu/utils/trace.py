@@ -45,6 +45,16 @@ def span(name: str):
         tab[name] = tab.get(name, 0.0) + dt
 
 
+def count(name: str, n: int = 1) -> None:
+    """Accumulate an event counter into the span table (reported next to
+    the timings; e.g. `ec_replay_miss` when the deferred-EC replay cache
+    overflowed and a tile re-ran the whole block pipeline)."""
+    if not ENABLED:
+        return
+    tab = _table()
+    tab[name] = tab.get(name, 0.0) + n
+
+
 def set_enabled(flag: bool) -> None:
     """Programmatic switch (bench.py uses it to capture one traced encode
     without requiring CAVIF_TPU_TRACE in the parent environment)."""

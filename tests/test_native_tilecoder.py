@@ -62,3 +62,56 @@ def test_native_disable_cdf_update():
     py = replay_python(tp, ops, levels)
     nat = native.encode_tile_native(tp, ops, levels)
     assert py == nat
+
+
+def test_deferred_ec_byte_identity(monkeypatch):
+    """Deferred entropy coding (block pipeline with EC off + one replay
+    after the LR decision) must produce the same AVIF bytes as the
+    in-pipe coder it replaced (CAVIF_TPU_DEFER_EC=0 escape hatch;
+    ADVICE r04: pin the identity directly, not just via decode parity)."""
+    pytest.importorskip("cavif_tpu.native")
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(7)
+    grad = (np.mgrid[0:160, 0:144][0] * 3 % 256).astype(np.int32)
+    img = np.clip(
+        grad[..., None] + rng.integers(-60, 60, (160, 144, 3)), 0, 255
+    ).astype(np.uint8)
+    from dataclasses import replace
+    enc = replace(Encoder.new().with_quality(80).with_speed(4), device="off")
+    monkeypatch.setenv("CAVIF_TPU_DEFER_EC", "0")
+    a = enc.encode_rgb(img).avif_file
+    monkeypatch.setenv("CAVIF_TPU_DEFER_EC", "1")
+    b = enc.encode_rgb(img).avif_file
+    assert a == b
+
+
+def test_itx_clamp_tripwire(monkeypatch):
+    """inv_txfm_exact omits the spec 7.13.3 intermediate clamps (no-op on
+    emitted streams); the CAVIF_TPU_ITX_CLAMP_CHECK tripwire must (a)
+    count range escapes on adversarial inputs a clamp WOULD touch, and
+    (b) stay zero across a real encode — so any future path driving
+    intermediates out of range fails in CI instead of silently diverging
+    from real decoders (ADVICE r04)."""
+    native = pytest.importorskip("cavif_tpu.native")
+    from dataclasses import replace
+
+    from cavif_tpu import Encoder
+
+    monkeypatch.setenv("CAVIF_TPU_ITX_CLAMP_CHECK", "1")
+    native.itx_clamp_violations()  # reset counter + re-read env gate
+    # adversarial: every coefficient at the dequant conformance bound —
+    # the row pass must leave the (bd+8)-bit window
+    big = np.full((32, 32), 30000, np.int32)
+    native.inv_txfm_exact(big, 32, 32, 8000, 8000, 8)
+    assert native.itx_clamp_violations(reset=False) > 0
+    native.itx_clamp_violations()
+    # a real encode keeps every intermediate in range
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (96, 96, 3)).astype(np.uint8)
+    enc = replace(Encoder.new().with_quality(55).with_speed(4),
+                  device="off")
+    enc.encode_rgb(img)
+    assert native.itx_clamp_violations(reset=False) == 0
+    monkeypatch.delenv("CAVIF_TPU_ITX_CLAMP_CHECK")
+    native.itx_clamp_violations()  # restore the off gate for later tests

