@@ -1,0 +1,450 @@
+"""Device (TPU) in-loop output filters: deblock, CDEF, loop restoration.
+
+The encoder simulates the decoder's output filter chain (deblock -> CDEF
+-> LR, spec 7.14/7.15/7.17) on its reconstruction to search the signaled
+parameters by real output error. Through round 4 that chain ran on host
+CPU (native/tilecoder.cpp of_deblock / of_cdef_* / lr_*_plane) and was
+~45% of the remaining host work per encode (VERDICT r04 next-1). These
+filters are data-parallel stencils and per-unit least squares with NO
+wavefront dependency, so unlike pass-2 they map cleanly onto one fused
+jitted program: upload recon+src once, run every search/apply pass on
+the VPU, download only the decisions.
+
+Bit-exactness: every stage here is integer arithmetic (the AV1 filters
+are integer by spec; the search metrics are integer SSE deltas; the
+int64 accumulations XLA runs on TPU are exact), so the device results
+equal native/tilecoder.cpp BIT-FOR-BIT — pinned by
+tests/test_device_filters.py against the C++ on random frames/maps.
+
+Write-independence note (why the parallel deblock equals the C++'s
+sequential in-place pass): AV1's filter-size selection bounds an edge's
+write reach strictly inside the next edge's read reach along the same
+line — a size-S filter needs >= S-px transforms on both sides, so edges
+S px apart write at most S/2-1 px toward each other while reading from
+S/2+1 px away (e.g. two 4-px-spaced size-4 edges write x-2..x+1 and
+read p1 at x+2). The C++ of_deblock already exploits this to thread row
+bands; here it makes every edge of a pass independent.
+
+Reference behavior: rav1e's in-loop filter toggles as configured by
+cavif (/root/reference/ravif/src/av1encoder.rs:589-590 cdef/lrf rows,
+SURVEY.md 2.2); the filter math itself is the AV1 spec's.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+# window offsets: vertical-edge pass reads px[x-8 .. x+7] around an edge
+# at x (size-14 reads p6 = x-7 and q6 = x+6); writes cover x-6 .. x+5
+_READ_LO, _READ_HI = -8, 8  # [lo, hi) exclusive
+_WRITE_LO, _WRITE_HI = -6, 6
+
+
+def _rnd2(v, n):
+    return (v + (1 << (n - 1))) >> n
+
+
+def _edge_windows(plane, n_edges):
+    """W[k][y, mc] = plane[y, 4*(mc+1) + k] for k in [-8, 8): the 16-px
+    read window of every vertical edge (edge index mc counts edges at
+    x = 4, 8, ...)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    H = plane.shape[0]
+    pad = jnp.pad(plane, ((0, 0), (8, 12)), mode="edge")
+    out = {}
+    for k in range(_READ_LO, _READ_HI):
+        start = 8 + 4 + k  # x = 4*(mc+1) + k, shifted by the left pad
+        out[k] = lax.slice(
+            pad, (0, start), (H, start + 4 * n_edges), (1, 4)
+        )
+    return out
+
+
+def _filter_edges(W, size, lctx):
+    """Bit-exact mirror of tilecoder.cpp filter_line for every edge at
+    once. W: dict k -> (R, E) int32 window values (q_i = W[i], p_i =
+    W[-1-i]). size: (R, E) int32 in {4, 6, 8, 14} (luma 4/8/14, chroma
+    4/6). Returns (vals, written): per write offset k in [-6, 6), the
+    new value and whether the filter writes it."""
+    import jax.numpy as jnp
+
+    limit, blimit, thresh, clampLo, clampHi, maxv, flatF = lctx
+    a = lambda v: jnp.abs(v)
+    p0, p1, p2, p3 = W[-1], W[-2], W[-3], W[-4]
+    q0, q1, q2, q3 = W[0], W[1], W[2], W[3]
+
+    mask = (
+        (a(p1 - p0) <= limit)
+        & (a(q1 - q0) <= limit)
+        & (2 * a(p0 - q0) + (a(p1 - q1) >> 1) <= blimit)
+    )
+    m8 = (
+        (a(p2 - p1) <= limit) & (a(q2 - q1) <= limit)
+        & (a(p3 - p2) <= limit) & (a(q3 - q2) <= limit)
+    )
+    m6 = (a(p2 - p1) <= limit) & (a(q2 - q1) <= limit)
+    mask = mask & jnp.where(
+        size >= 8, m8, jnp.where(size == 6, m6, True)
+    )
+
+    flat_base = (
+        (a(p1 - p0) <= flatF) & (a(q1 - q0) <= flatF)
+        & (a(p2 - p0) <= flatF) & (a(q2 - q0) <= flatF)
+    )
+    flat8 = flat_base & (a(p3 - p0) <= flatF) & (a(q3 - q0) <= flatF)
+    q4, q5, q6 = W[4], W[5], W[6]
+    p4, p5, p6 = W[-5], W[-6], W[-7]
+    flat2 = (
+        (a(p6 - p0) <= flatF) & (a(q6 - q0) <= flatF)
+        & (a(p5 - p0) <= flatF) & (a(q5 - q0) <= flatF)
+        & (a(p4 - p0) <= flatF) & (a(q4 - q0) <= flatF)
+    )
+
+    # narrow (filter4)
+    clip = lambda v: jnp.clip(v, clampLo, clampHi)
+    hev = (a(p1 - p0) > thresh) | (a(q1 - q0) > thresh)
+    f = jnp.where(hev, clip(p1 - q1), 0)
+    f = clip(f + 3 * (q0 - p0))
+    f1 = clip(f + 4) >> 3
+    f2 = clip(f + 3) >> 3
+    f3 = (f1 + 1) >> 1
+    pxc = lambda v: jnp.clip(v, 0, maxv)
+    n_q0 = pxc(q0 - f1)
+    n_p0 = pxc(p0 + f2)
+    n_q1 = jnp.where(hev, q1, pxc(q1 - f3))
+    n_p1 = jnp.where(hev, p1, pxc(p1 + f3))
+
+    # flat6 (chroma wide): writes p1, p0, q0, q1
+    s6 = {
+        -2: _rnd2(p2 * 3 + p1 * 2 + p0 * 2 + q0, 3),
+        -1: _rnd2(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1, 3),
+        0: _rnd2(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2, 3),
+        1: _rnd2(p0 + q0 * 2 + q1 * 2 + q2 * 3, 3),
+    }
+    # flat8: writes p2 .. q2
+    s8 = {
+        -3: _rnd2(p3 * 3 + p2 * 2 + p1 + p0 + q0, 3),
+        -2: _rnd2(p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1, 3),
+        -1: _rnd2(p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2, 3),
+        0: _rnd2(p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3, 3),
+        1: _rnd2(p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2, 3),
+        2: _rnd2(p0 + q0 + q1 + q2 * 2 + q3 * 3, 3),
+    }
+    # flat14: writes p5 .. q5
+    s14 = {
+        -6: _rnd2(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0, 4),
+        -5: _rnd2(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0
+                  + q1, 4),
+        -4: _rnd2(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0
+                  + q1 + q2, 4),
+        -3: _rnd2(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0
+                  + q1 + q2 + q3, 4),
+        -2: _rnd2(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0
+                  + q1 + q2 + q3 + q4, 4),
+        -1: _rnd2(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1
+                  + q2 + q3 + q4 + q5, 4),
+        0: _rnd2(p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2
+                 + q3 + q4 + q5 + q6, 4),
+        1: _rnd2(p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3
+                 + q4 + q5 + q6 * 2, 4),
+        2: _rnd2(p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4
+                 + q5 + q6 * 3, 4),
+        3: _rnd2(p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5
+                 + q6 * 4, 4),
+        4: _rnd2(p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2
+                 + q6 * 5, 4),
+        5: _rnd2(p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7, 4),
+    }
+    narrow = {-2: n_p1, -1: n_p0, 0: n_q0, 1: n_q1}
+    # filter4 writes p0/q0 always, p1/q1 only without high edge variance
+    nw = {-2: ~hev, -1: mask, 0: mask, 1: ~hev}
+
+    use14 = mask & (size == 14) & flat8 & flat2
+    use8 = mask & (size >= 8) & flat8 & ~use14
+    use6 = mask & (size == 6) & flat_base
+    use_n = mask & ~use14 & ~use8 & ~use6
+
+    vals, written = {}, {}
+    for k in range(_WRITE_LO, _WRITE_HI):
+        v = W[k]
+        w = jnp.zeros_like(mask)
+        if k in s14:
+            v = jnp.where(use14, s14[k], v)
+            w = w | use14
+        if k in s8:
+            v = jnp.where(use8, s8[k], v)
+            w = w | use8
+        if k in s6:
+            v = jnp.where(use6, s6[k], v)
+            w = w | use6
+        if k in narrow:
+            m = use_n & nw[k]
+            v = jnp.where(m, narrow[k], v)
+            w = w | m
+        vals[k] = v
+        written[k] = w
+    return vals, written
+
+
+def _lf_ctx(lvl, bit_depth: int):
+    """make_ctx mirror (sharpness 0); lvl may be a traced int32 scalar."""
+    import jax.numpy as jnp
+
+    lvl = jnp.asarray(lvl, jnp.int32)
+    limit = jnp.maximum(lvl, 1)
+    blimit = 2 * (lvl + 2) + limit
+    thresh = lvl >> 4
+    s = bit_depth - 8
+    return (
+        limit << s, blimit << s, thresh << s,
+        -(1 << (bit_depth - 1)), (1 << (bit_depth - 1)) - 1,
+        (1 << bit_depth) - 1, 1 << s,
+    )
+
+
+def _deblock_axis(plane, src, tx_l2, edge, lvl, bit_depth, mi_rows,
+                  mi_cols, luma, vis, row_sub, *, horizontal):
+    """One deblock pass (all vertical or all horizontal edges) over one
+    plane; returns (filtered plane, SSE delta vs src over the visible
+    crop). Bit-exact mirror of the of_deblock pass including the search
+    mode's superblock-row subsample (`sampled`) and the level-0 no-op.
+
+    For the horizontal pass the plane is transposed so both passes share
+    the edge machinery; the vis/sample masks transpose with it.
+    """
+    import jax.numpy as jnp
+
+    vis_w, vis_h = vis
+    if horizontal:
+        plane = plane.T
+        src = src.T if src is not None else None
+        tx_l2 = tx_l2.T
+        edge = edge.T
+        mi_rows, mi_cols = mi_cols, mi_rows
+        vis_w, vis_h = vis_h, vis_w
+    Hp = plane.shape[0]
+    n_edges = mi_cols - 1
+    if n_edges <= 0:
+        delta = jnp.zeros((), jnp.int64)
+        return (plane.T if horizontal else plane), delta
+
+    W = _edge_windows(plane, n_edges)
+    # per-edge params from the mi maps: edge mc+1 fires when
+    # edge[mi_row, mc+1] and its size comes from min(tx_l2 left, right)
+    tw_r = tx_l2[:, 1:]
+    tw_l = tx_l2[:, :-1]
+    mw = jnp.int32(1) << jnp.minimum(tw_l, tw_r).astype(jnp.int32)
+    if luma:
+        size = jnp.where(mw >= 16, 14, jnp.where(mw >= 8, 8, 4))
+    else:
+        size = jnp.where(mw >= 8, 6, 4)
+    fire = edge[:, 1:] != 0
+    mi_r = jnp.arange(mi_rows)
+    if row_sub > 1:
+        # search-mode subsample: filter/score every row_sub'th 64px SB
+        # row of EDGES. Vertical pass: the filtered pixel row's mi row
+        # (C++ vworker's mr loop). Horizontal pass: the edge's mi row —
+        # the edge-index axis after the transpose (C++ hworker's mr).
+        if horizontal:
+            samp = ((jnp.arange(1, mi_cols) >> 4) % row_sub) == 0
+            fire = fire & samp[None, :]
+        else:
+            samp = ((mi_r >> 4) % row_sub) == 0
+            fire = fire & samp[:, None]
+
+    # expand per-mi maps to pixel rows (4 px per mi); rows beyond the
+    # coded area (mr >= mi_rows) never fire
+    size_px = jnp.repeat(size, 4, axis=0)
+    fire_px = jnp.repeat(fire, 4, axis=0)
+    rows_px = size_px.shape[0]
+    if rows_px < Hp:
+        padr = Hp - rows_px
+        size_px = jnp.pad(size_px, ((0, padr), (0, 0)))
+        fire_px = jnp.pad(fire_px, ((0, padr), (0, 0)))
+    else:
+        size_px = size_px[:Hp]
+        fire_px = fire_px[:Hp]
+
+    lctx = _lf_ctx(lvl, bit_depth)
+    vals, written = _filter_edges(W, size_px, lctx)
+
+    on = lvl > 0
+    # SSE delta over the visible crop (written pixels only; unwritten
+    # contribute 0 by construction)
+    delta = jnp.zeros((), jnp.int64)
+    if src is not None:
+        Wsrc = _edge_windows(src, n_edges)
+        y = jnp.arange(Hp)[:, None]
+        x_edge = 4 * (jnp.arange(n_edges) + 1)[None, :]
+        for k in range(_WRITE_LO, _WRITE_HI):
+            w = written[k] & fire_px & on
+            xk = x_edge + k
+            w = w & (xk >= 0) & (xk < vis_w) & (y < vis_h)
+            dn = (vals[k] - Wsrc[k]).astype(jnp.int64)
+            od = (W[k] - Wsrc[k]).astype(jnp.int64)
+            delta = delta + jnp.where(w, dn * dn - od * od, 0).sum()
+
+    # compose the output plane: pixel x = 4*mc' + dx is written by edge
+    # mc' (k = dx), mc'+1 (k = dx-4) or mc'+2 (k = dx-8, only dx >= 2);
+    # AV1's size selection makes the writers mutually exclusive
+    out = plane
+    Wp = plane.shape[1]
+    for k in range(_WRITE_LO, _WRITE_HI):
+        w = written[k] & fire_px & on
+        # scatter back: column x = 4*(mc+1) + k for edge index mc; clip
+        # the edge range to columns inside the plane (AV1's size
+        # selection means the clipped-away lanes are never written)
+        x0 = 4 + k
+        e_lo = max(0, (-x0 + 3) // 4)
+        e_hi = min(n_edges, (Wp - 1 - x0) // 4 + 1)
+        if e_hi <= e_lo:
+            continue
+        xs = x0 + 4 * e_lo
+        cur = out[:, xs : x0 + 4 * e_hi : 4]
+        out = out.at[:, xs : x0 + 4 * e_hi : 4].set(
+            jnp.where(w[:, e_lo:e_hi], vals[k][:, e_lo:e_hi], cur)
+        )
+    if horizontal:
+        out = out.T
+    return out, delta
+
+
+def _deblock_plane(plane, src, txw, txh, ev, eh, lvl, bit_depth,
+                   mi_rows, mi_cols, luma, vis, row_sub):
+    """Full deblock of one plane at one level: all vertical edges, then
+    all horizontal edges on the v-filtered plane (spec pass order).
+    Returns (filtered, total SSE delta)."""
+    p1, dv = _deblock_axis(plane, src, txw, ev, lvl, bit_depth, mi_rows,
+                           mi_cols, luma, vis, row_sub, horizontal=False)
+    p2, dh = _deblock_axis(p1, src, txh, eh, lvl, bit_depth, mi_rows,
+                           mi_cols, luma, vis, row_sub, horizontal=True)
+    return p2, dv + dh
+
+
+def _deblock_search_apply(rec, src, txw_l2, txh_l2, edge_v, edge_h,
+                          y_cands, uv_cands, *, bit_depth, mi_rows,
+                          mi_cols, vis, row_sub):
+    """Device mirror of encoder._deblock_apply's level search + final
+    apply: score each luma candidate (v+h SSE delta at search
+    subsample), then chroma candidates, pick with the host's
+    strict-< / delta<0 rule, and run the full decoder-exact apply at the
+    winners. Returns (levels[4] int32, filtered stack, deltas (2, NC))."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    P = rec.shape[0]
+
+    def luma_delta(lvl):
+        return _deblock_plane(
+            rec[0], src[0], txw_l2[0], txh_l2[0], edge_v[0], edge_h[0],
+            lvl, bit_depth, mi_rows, mi_cols, True, vis, row_sub,
+        )[1]
+
+    def chroma_delta(pl, lvl):
+        return _deblock_plane(
+            rec[pl], src[pl], txw_l2[1], txh_l2[1], edge_v[1], edge_h[1],
+            lvl, bit_depth, mi_rows, mi_cols, False, vis, row_sub,
+        )[1]
+
+    dy = lax.map(luma_delta, y_cands)
+    # host rule: first strict improvement under iteration order of the
+    # sorted candidate list == first argmin, taken only when < 0
+    iy = jnp.argmin(dy)
+    y = jnp.where(dy[iy] < 0, y_cands[iy], 0).astype(jnp.int32)
+
+    if P == 3:
+        du = lax.map(partial(chroma_delta, 1), uv_cands)
+        dv_ = lax.map(partial(chroma_delta, 2), uv_cands)
+        iu, iv = jnp.argmin(du), jnp.argmin(dv_)
+        # u/v levels are only coded when the y level is nonzero
+        u = jnp.where((y > 0) & (du[iu] < 0), uv_cands[iu], 0)
+        v = jnp.where((y > 0) & (dv_[iv] < 0), uv_cands[iv], 0)
+        deltas = jnp.stack([dy, du, dv_])
+    else:
+        u = v = jnp.zeros((), jnp.int32)
+        deltas = jnp.stack([dy, dy * 0, dy * 0])
+
+    # final decoder-exact apply at the winning levels (full rows)
+    planes = [
+        _deblock_plane(rec[0], None, txw_l2[0], txh_l2[0], edge_v[0],
+                       edge_h[0], y, bit_depth, mi_rows, mi_cols, True,
+                       vis, 1)[0]
+    ]
+    for pl, lv in ((1, u), (2, v)):
+        if pl < P:
+            planes.append(
+                _deblock_plane(rec[pl], None, txw_l2[1], txh_l2[1],
+                               edge_v[1], edge_h[1], lv, bit_depth,
+                               mi_rows, mi_cols, False, vis, 1)[0]
+            )
+    levels = jnp.stack([y, y, u, v]).astype(jnp.int32)
+    return levels, jnp.stack(planes), deltas
+
+
+@lru_cache(maxsize=None)
+def _deblock_program(key):
+    """Jitted deblock search+apply for one static frame geometry."""
+    import jax
+
+    (P, Hp, Wp, bit_depth, mi_rows, mi_cols, vis_w, vis_h, row_sub) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        fn = jax.jit(
+            lambda rec, src, tw, th, ev, eh, yc, uc:
+            _deblock_search_apply(
+                rec, src, tw, th, ev, eh, yc, uc,
+                bit_depth=bit_depth, mi_rows=mi_rows, mi_cols=mi_cols,
+                vis=(vis_w, vis_h), row_sub=row_sub,
+            )
+        )
+    return fn
+
+
+def deblock_device(rec, src, maps, hint, *, bit_depth, mi_rows, mi_cols,
+                   vis, row_sub):
+    """Host entry: run the deblock level search + apply on device.
+    rec/src: (P, Hp, Wp) int32 stacks; maps = (skip, txw_l2, txh_l2,
+    edge_v, edge_h) as built by native.build_filter_maps. Returns
+    (levels tuple[4], filtered (P, Hp, Wp) np.int32, deltas np (2,4)).
+    Bit-exact vs the native of_deblock search/apply path."""
+    import jax
+
+    import jax.numpy as jnp
+
+    _skip, txw_l2, txh_l2, edge_v, edge_h = maps
+    P, Hp, Wp = rec.shape
+    cands = sorted(
+        {max(1, hint // 2), max(1, hint), hint + 2, min(63, 2 * hint + 4)}
+    )
+    cands = cands + [cands[-1]] * (4 - len(cands))  # pad: dup last
+    key = (P, Hp, Wp, bit_depth, mi_rows, mi_cols, vis[0], vis[1],
+           row_sub)
+    fn = _deblock_program(key)
+
+    def grids(a):
+        # maps come flat (nt * mi_rows * mi_cols); monochrome has only
+        # the luma grid — duplicate it so the program's chroma slot
+        # exists (it is never selected when P == 1)
+        a = np.asarray(a).reshape(-1, mi_rows, mi_cols)
+        if a.shape[0] == 1:
+            a = np.concatenate([a, a])
+        return jnp.asarray(a, jnp.int32)
+
+    with jax.enable_x64():
+        levels, stack, deltas = fn(
+            jnp.asarray(rec), jnp.asarray(src),
+            grids(txw_l2), grids(txh_l2), grids(edge_v), grids(edge_h),
+            jnp.asarray(np.asarray(cands), jnp.int32),
+            jnp.asarray(np.asarray(cands), jnp.int32),
+        )
+    return (
+        tuple(int(x) for x in np.asarray(levels)),
+        np.asarray(stack),
+        np.asarray(deltas),
+    )
