@@ -385,6 +385,503 @@ def _deblock_search_apply(rec, src, txw_l2, txh_l2, edge_v, edge_h,
     return levels, jnp.stack(planes), deltas
 
 
+# ---------------------------------------------------------------------------
+# CDEF (spec 7.15): direction search, batched strength search, apply.
+# Bit-exact mirror of tilecoder.cpp cdefns::{direction, filter8,
+# search_plane_rows} / of_cdef_*.
+# ---------------------------------------------------------------------------
+
+# {dy, dx} at distances 1 and 2 for the 8 directions (spec Cdef_Directions)
+_CDEF_DIRS = (
+    ((-1, 1), (-2, 2)), ((0, 1), (-1, 2)), ((0, 1), (0, 2)),
+    ((0, 1), (1, 2)), ((1, 1), (2, 2)), ((1, 0), (2, 1)),
+    ((1, 0), (2, 0)), ((1, 0), (2, -1)),
+)
+_PRI_TAPS = ((4, 2), (3, 3))
+_SEC_TAPS = (2, 1)
+_SEC_ACT = (0, 1, 2, 4)
+_DIV_TABLE = (0, 840, 420, 280, 210, 168, 140, 120, 105)
+
+
+def _fl2(v):
+    """floor(log2(v)) for v >= 1 (0 for v <= 0), branchless integers —
+    exact mirror of the C++ floor_log2 loop."""
+    import jax.numpy as jnp
+
+    r = jnp.zeros_like(v)
+    y = v
+    for s in (16, 8, 4, 2, 1):
+        m = y >= (1 << s)
+        r = r + jnp.where(m, s, 0)
+        y = jnp.where(m, y >> s, y)
+    return r
+
+
+@lru_cache(maxsize=None)
+def _dir_bin_matrices():
+    """One-hot (64, 15) matrices mapping a flattened 8x8 to the 8
+    direction partial-sum tables (spec 7.15.2)."""
+    mats = np.zeros((8, 64, 15), np.float32)
+    for i in range(8):
+        for j in range(8):
+            q = i * 8 + j
+            mats[0, q, i + j] = 1
+            mats[1, q, i + (j >> 1)] = 1
+            mats[2, q, i] = 1
+            mats[3, q, 3 + i - (j >> 1)] = 1
+            mats[4, q, 7 + i - j] = 1
+            mats[5, q, 3 - (i >> 1) + j] = 1
+            mats[6, q, j] = 1
+            mats[7, q, (i >> 1) + j] = 1
+    return mats
+
+
+def _cdef_dirs_dev(luma, sb8r, sb8c, bit_depth):
+    """Per-8x8 direction + variance grids (bit-exact vs of_cdef_dirs)."""
+    import jax.numpy as jnp
+
+    shift = bit_depth - 8
+    x = (luma[: 8 * sb8r, : 8 * sb8c] >> shift) - 128
+    xb = (
+        x.reshape(sb8r, 8, sb8c, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(sb8r * sb8c, 64)
+        .astype(jnp.float32)
+    )
+    mats = jnp.asarray(_dir_bin_matrices())  # (8, 64, 15)
+    # |x| <= 128, 8 terms per bin: exact in f32
+    parts = jnp.einsum("nq,dqb->dnb", xb, mats).astype(jnp.int64)
+    sq = parts * parts  # (8, N, 15)
+    div = jnp.asarray(_DIV_TABLE, jnp.int64)
+    cost = []
+    for d in range(8):
+        p2 = sq[d]
+        if d in (2, 6):
+            c = 105 * p2[:, :8].sum(1)
+        elif d in (0, 4):
+            c = 105 * p2[:, 7]
+            for i in range(7):
+                c = c + div[i + 1] * (p2[:, i] + p2[:, 14 - i])
+        else:
+            c = jnp.zeros(p2.shape[0], jnp.int64)
+            for i in range(11):
+                count = min(2 * (i + 1), 2 * (11 - i), 8)
+                c = c + div[count] * p2[:, i]
+        cost.append(c)
+    cost = jnp.stack(cost)  # (8, N)
+    best = jnp.argmax(cost, axis=0)  # first max (C++ strict >)
+    n = jnp.arange(cost.shape[1])
+    var = ((cost[best, n] - cost[(best + 4) & 7, n]) >> 10).astype(
+        jnp.int32
+    )
+    return best.astype(jnp.int32).reshape(sb8r, sb8c), var.reshape(
+        sb8r, sb8c
+    )
+
+
+def _shifted(plane, dy, dx, region):
+    """plane shifted so out[y, x] = plane[y + dy, x + dx], over the
+    (Hc, Wc8) region; the plane must already cover region + 2 margin."""
+    from jax import lax
+
+    Hc, Wc8 = region
+    return lax.slice(plane, (2 + dy, 2 + dx), (2 + dy + Hc, 2 + dx + Wc8))
+
+
+def _cdef_taps(stack_pl, region, coded, dirs_px):
+    """Per-pixel primary/secondary tap differences, availability masks
+    and tap min/max for one plane. Returns dict with:
+    pd[k], pa[k], pv[k] (4 primary: diff, |diff|, valid), pmn, pmx;
+    sd/sa/sv (8 secondary, dir variant) + smnd/smxd;
+    sz variants + smnz/smxz. dirs_px: per-pixel dir (int32)."""
+    import jax.numpy as jnp
+
+    Hc, Wc8 = region
+    cw, ch = coded
+    pad = jnp.pad(stack_pl[:Hc + 2, :Wc8 + 2], ((2, 2), (2, 2)))
+    y = jnp.arange(Hc)[:, None]
+    x = jnp.arange(Wc8)[None, :]
+    px = pad[2:2 + Hc, 2:2 + Wc8]
+
+    # cache of shifted planes by offset
+    cache = {}
+
+    def sh(dy, dx):
+        if (dy, dx) not in cache:
+            cache[(dy, dx)] = _shifted(pad, dy, dx, region)
+        return cache[(dy, dx)]
+
+    def select_dir(fn):
+        """Sum_d (dirs_px == d) * fn(d) elementwise."""
+        out = None
+        for d in range(8):
+            m = dirs_px == d
+            v = fn(d)
+            out = jnp.where(m, v, 0 if out is None else out)
+        return out
+
+    def tap(offs_by_dir):
+        """Per-pixel tap value/valid for a dir-dependent offset."""
+        val = select_dir(lambda d: sh(*offs_by_dir(d)))
+        vy = select_dir(lambda d: jnp.full_like(px, offs_by_dir(d)[0]))
+        vx = select_dir(lambda d: jnp.full_like(px, offs_by_dir(d)[1]))
+        valid = (
+            (y + vy >= 0) & (y + vy < ch) & (x + vx >= 0) & (x + vx < cw)
+        )
+        return val, valid
+
+    out = {"px": px}
+    # 4 primary taps: k (distance) x sign
+    p_taps = []
+    for k in range(2):
+        for s in (-1, 1):
+            v, ok = tap(lambda d, k=k, s=s: (
+                s * _CDEF_DIRS[d][k][0], s * _CDEF_DIRS[d][k][1]))
+            p_taps.append((v, ok, k))
+    out["p"] = [
+        ((v - px), jnp.abs(v - px), ok, k, v) for (v, ok, k) in p_taps
+    ]
+    mn = px
+    mx = px
+    for (v, ok, k) in p_taps:
+        mn = jnp.where(ok, jnp.minimum(mn, v), mn)
+        mx = jnp.where(ok, jnp.maximum(mx, v), mx)
+    out["pmn"], out["pmx"] = mn, mx
+
+    for variant in ("d", "z"):
+        taps = []
+        for dd in (2, 6):
+            for k in range(2):
+                for s in (-1, 1):
+                    if variant == "d":
+                        f = lambda d, dd=dd, k=k, s=s: (
+                            s * _CDEF_DIRS[(d + dd) & 7][k][0],
+                            s * _CDEF_DIRS[(d + dd) & 7][k][1],
+                        )
+                    else:
+                        # signaled-pri-zero variant: dir forced 0
+                        f = lambda d, dd=dd, k=k, s=s: (
+                            s * _CDEF_DIRS[dd & 7][k][0],
+                            s * _CDEF_DIRS[dd & 7][k][1],
+                        )
+                    v, ok = tap(f)
+                    taps.append((v, ok, k))
+        out["s" + variant] = [
+            ((v - px), jnp.abs(v - px), ok, k, v) for (v, ok, k) in taps
+        ]
+        mn = px
+        mx = px
+        for (v, ok, k) in taps:
+            mn = jnp.where(ok, jnp.minimum(mn, v), mn)
+            mx = jnp.where(ok, jnp.maximum(mx, v), mx)
+        out["smn" + variant], out["smx" + variant] = mn, mx
+    return out
+
+
+def _constrain(diff, adiff, valid, strength_px, adj_px):
+    """constrain_pre mirror with availability masking; strength/adj are
+    per-pixel int32 (strength 0 -> contribution 0 via the min)."""
+    import jax.numpy as jnp
+
+    v = strength_px - (adiff >> adj_px)
+    v = jnp.maximum(v, 0)
+    v = jnp.minimum(adiff, v)
+    v = jnp.where(diff < 0, -v, v)
+    return jnp.where(valid, v, 0)
+
+
+def _cdef_psum(taps, eff_px, adj_px, pt_px):
+    """Primary filter sum for per-pixel effective strength (0 = off)."""
+    import jax.numpy as jnp
+
+    s = None
+    for (d, a, ok, k, _v) in taps["p"]:
+        w = jnp.where(pt_px == 0, _PRI_TAPS[0][k], _PRI_TAPS[1][k])
+        c = w * _constrain(d, a, ok, eff_px, adj_px)
+        s = c if s is None else s + c
+    return jnp.where(eff_px > 0, s, 0)
+
+
+def _cdef_ssum(taps, variant, st, adj):
+    import jax.numpy as jnp
+
+    s = None
+    for (d, a, ok, k, _v) in taps["s" + variant]:
+        c = _SEC_TAPS[k] * _constrain(d, a, ok, st, adj)
+        s = c if s is None else s + c
+    return s
+
+
+def _cdef_combine(pxv, sum_, mn, mx):
+    import jax.numpy as jnp
+
+    v = pxv + ((8 + sum_ + jnp.where(sum_ < 0, -1, 0)) >> 4)
+    return jnp.clip(v, mn, mx)
+
+
+def _blk_to_px(a, region):
+    """Expand a (sb8r, sb8c) block quantity to pixels."""
+    import jax.numpy as jnp
+
+    return jnp.repeat(jnp.repeat(a, 8, axis=0), 8, axis=1)
+
+
+def _cdef_eff(pri_scalar, var_blk, luma, cs, damping_eff):
+    """Per-block effective primary strength / tap set / shift (mirrors
+    the eff[]/pt[]/eff_adj[] block in search_plane_rows; pri_scalar may
+    be traced)."""
+    import jax.numpy as jnp
+
+    p = pri_scalar << cs
+    if luma:
+        v6 = var_blk >> 6
+        vs = jnp.where(v6 > 0, jnp.minimum(_fl2(v6), 12), 0)
+        eff = jnp.where(var_blk != 0, (p * (4 + vs) + 8) >> 4,
+                        jnp.zeros_like(var_blk))
+    else:
+        eff = jnp.zeros_like(var_blk) + p
+    pt = (eff >> cs) & 1
+    adj = jnp.maximum(damping_eff - _fl2(eff), 0)
+    return eff, pt, adj
+
+
+def _cdef_plane_filter(taps, dirs_px, var_blk, luma, pri, sec, cs,
+                       damping, region, sig_pri=None):
+    """filter8 output for one plane at (pri, sec) — both may be traced
+    scalars. sig_pri: traced bool for the signaled-primary-nonzero test
+    (defaults to pri != 0); selects the secondary dir variant and the
+    min/max sets exactly like the C++."""
+    import jax.numpy as jnp
+
+    px = taps["px"]
+    damping_eff = damping + cs - (0 if luma else 1)
+    if sig_pri is None:
+        sig_pri = pri != 0
+    eff_b, pt_b, adj_b = _cdef_eff(pri, var_blk, luma, cs, damping_eff)
+    eff = _blk_to_px(eff_b, region)
+    ptx = _blk_to_px(pt_b, region)
+    adj = _blk_to_px(adj_b, region)
+    psum = _cdef_psum(taps, eff, adj, ptx)
+    st = sec << cs
+    sadj = jnp.maximum(damping_eff - _fl2(st), 0)
+    ssum_d = _cdef_ssum(taps, "d", st, sadj)
+    ssum_z = _cdef_ssum(taps, "z", st, sadj)
+    use_p = (eff > 0) & sig_pri
+    use_s = sec > 0
+    ss = jnp.where(sig_pri, ssum_d, ssum_z)
+    smn = jnp.where(sig_pri, taps["smnd"], taps["smnz"])
+    smx = jnp.where(sig_pri, taps["smxd"], taps["smxz"])
+    total = jnp.where(use_p, psum, 0) + jnp.where(use_s, ss, 0)
+    mn = jnp.where(use_p, jnp.minimum(px, taps["pmn"]), px)
+    mx = jnp.where(use_p, jnp.maximum(px, taps["pmx"]), px)
+    mn = jnp.where(use_s, jnp.minimum(mn, smn), mn)
+    mx = jnp.where(use_s, jnp.maximum(mx, smx), mx)
+    return _cdef_combine(px, total, mn, mx)
+
+
+def _cdef_search_apply(stack, src, skip_mi, damping, *, bit_depth,
+                       mi_rows, mi_cols, vis, sub, fast_sec, cands):
+    """Device mirror of encoder._cdef_apply: dirs -> batched strength
+    search -> best_of selection -> apply, one traced graph. Returns
+    (strengths (4,) int32 [y_pri, y_sec, uv_pri, uv_sec], applied
+    stack, acc_y, acc_uv (int64 (NC, 4)), dirs, vars)."""
+    import jax.numpy as jnp
+
+    P = stack.shape[0]
+    cs = bit_depth - 8
+    sb8r, sb8c = (mi_rows + 1) >> 1, (mi_cols + 1) >> 1
+    region = (8 * sb8r, 8 * sb8c)
+    cw, ch = mi_cols * 4, mi_rows * 4
+    vis_w, vis_h = vis
+    NC = len(cands)
+
+    dirs, vars_ = _cdef_dirs_dev(stack[0], sb8r, sb8c, bit_depth)
+    dirs_px = _blk_to_px(dirs, region)
+
+    # block score/apply masks
+    skip_pad = jnp.pad(
+        skip_mi, ((0, 2 * sb8r - mi_rows), (0, 2 * sb8c - mi_cols)),
+        constant_values=1,
+    )
+    nonskip_blk = (
+        skip_pad.reshape(sb8r, 2, sb8c, 2).transpose(0, 2, 1, 3)
+        .reshape(sb8r, sb8c, 4)
+        == 0
+    ).any(-1)
+    br = jnp.arange(sb8r)[:, None]
+    bc = jnp.arange(sb8c)[None, :]
+    if sub == 2:
+        sub_blk = ((br + bc) & 1) == 0
+    elif sub >= 4:
+        sub_blk = ((br | bc) & 1) == 0
+    else:
+        sub_blk = jnp.ones((sb8r, sb8c), bool)
+    score_blk = nonskip_blk & sub_blk
+    y = jnp.arange(region[0])[:, None]
+    x = jnp.arange(region[1])[None, :]
+    coded_px = (y < ch) & (x < cw)
+    vis_px = coded_px & (y < vis_h) & (x < vis_w)
+    score_px = _blk_to_px(score_blk, region) & vis_px
+    apply_px = _blk_to_px(nonskip_blk, region) & coded_px
+
+    def search_plane(pl, luma):
+        # the C++ decomposition: psum depends only on the primary
+        # candidate, ssum only on the secondary strength (x2 dir
+        # variants); combos combine the precomputed sums
+        taps = _cdef_taps(stack[pl], region, (cw, ch), dirs_px)
+        px = taps["px"]
+        s = src[pl][: region[0], : region[1]]
+        base_e = (px - s).astype(jnp.int64) ** 2
+        damping_eff = damping + cs - (0 if luma else 1)
+        psums, use_ps = {}, {}
+        for cand in cands:
+            if cand == 0 or cand in psums:
+                continue
+            eff_b, pt_b, adj_b = _cdef_eff(
+                jnp.int32(cand), vars_, luma, cs, damping_eff
+            )
+            eff = _blk_to_px(eff_b, region)
+            psums[cand] = _cdef_psum(
+                taps, eff, _blk_to_px(adj_b, region),
+                _blk_to_px(pt_b, region)
+            )
+            use_ps[cand] = eff > 0
+        ssums = {}
+        for j in (1, 2, 3):
+            if fast_sec and j == 1:
+                continue
+            st = jnp.int32(_SEC_ACT[j] << cs)
+            sadj = jnp.maximum(
+                damping_eff - (_SEC_ACT[j] << cs).bit_length() + 1, 0
+            )
+            for variant in ("d", "z"):
+                ssums[(variant, j)] = _cdef_ssum(taps, variant, st, sadj)
+        acc = []
+        for cand in cands:
+            variant = "d" if cand != 0 else "z"
+            smn = taps["smn" + variant]
+            smx = taps["smx" + variant]
+            row = []
+            for j in range(4):
+                if (cand == 0 and j == 0) or (fast_sec and j == 1):
+                    row.append(jnp.zeros((), jnp.int64))
+                    continue
+                if cand != 0:
+                    up = use_ps[cand]
+                    total = jnp.where(up, psums[cand], 0)
+                    mn = jnp.where(up, jnp.minimum(px, taps["pmn"]), px)
+                    mx = jnp.where(up, jnp.maximum(px, taps["pmx"]), px)
+                else:
+                    total, mn, mx = jnp.zeros_like(px), px, px
+                if j:
+                    total = total + ssums[(variant, j)]
+                    mn = jnp.minimum(mn, smn)
+                    mx = jnp.maximum(mx, smx)
+                v = _cdef_combine(px, total, mn, mx)
+                nd = (v - s).astype(jnp.int64) ** 2
+                row.append(jnp.where(score_px, nd - base_e, 0).sum())
+            acc.append(jnp.stack(row))
+        return jnp.stack(acc), taps
+
+    acc_y, taps_y = search_plane(0, True)
+    if P == 3:
+        acc_u, taps_u = search_plane(1, False)
+        acc_v, taps_v = search_plane(2, False)
+        acc_uv = acc_u + acc_v
+    else:
+        acc_uv = jnp.zeros_like(acc_y)
+
+    cands_arr = jnp.asarray(cands, jnp.int32)
+
+    def best_of(acc):
+        flat = acc.reshape(-1)
+        im = jnp.argmin(flat)
+        d = flat[im]
+        i, j = im // 4, im % 4
+        ok = d < 0
+        return (
+            jnp.where(ok, cands_arr[i], 0),
+            jnp.where(ok, jnp.asarray(_SEC_ACT, jnp.int32)[j], 0),
+        )
+
+    y_pri, y_sec = best_of(acc_y)
+    if P == 3:
+        uv_pri, uv_sec = best_of(acc_uv)
+    else:
+        uv_pri = uv_sec = jnp.zeros((), jnp.int32)
+
+    any_on = (y_pri > 0) | (y_sec > 0) | (uv_pri > 0) | (uv_sec > 0)
+
+    def apply_plane(taps, luma, pri, sec):
+        v = _cdef_plane_filter(
+            taps, dirs_px, vars_, luma, pri, sec, cs, damping, region,
+            sig_pri=pri != 0,
+        )
+        return jnp.where(apply_px & any_on, v, taps["px"])
+
+    planes = [apply_plane(taps_y, True, y_pri, y_sec)]
+    if P == 3:
+        planes.append(apply_plane(taps_u, False, uv_pri, uv_sec))
+        planes.append(apply_plane(taps_v, False, uv_pri, uv_sec))
+    region_stack = jnp.stack(planes)
+    # write the filtered region back into the full padded stack
+    out = stack.at[:, : region[0], : region[1]].set(region_stack)
+
+    strengths = jnp.stack([y_pri, y_sec, uv_pri, uv_sec])
+    return strengths, out, acc_y, acc_uv, dirs, vars_
+
+
+@lru_cache(maxsize=None)
+def _cdef_program(key):
+    import jax
+
+    (P, Hp, Wp, bit_depth, mi_rows, mi_cols, vis_w, vis_h, sub,
+     fast_sec, cands) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        fn = jax.jit(
+            lambda stack, src, skip, damping: _cdef_search_apply(
+                stack, src, skip, damping, bit_depth=bit_depth,
+                mi_rows=mi_rows, mi_cols=mi_cols, vis=(vis_w, vis_h),
+                sub=sub, fast_sec=fast_sec, cands=cands,
+            )
+        )
+    return fn
+
+
+def cdef_device(stack, src, skip_mi, damping, *, bit_depth, mi_rows,
+                mi_cols, vis, sub, fast_sec, cands):
+    """Host entry: CDEF dirs + strength search + apply on device.
+    Bit-exact vs the native of_cdef_dirs/of_cdef_search/of_cdef_apply
+    chain under encoder._cdef_apply's selection rule. Returns
+    (strengths tuple[4], applied np stack, acc_y, acc_uv)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    P, Hp, Wp = stack.shape
+    key = (P, Hp, Wp, bit_depth, mi_rows, mi_cols, vis[0], vis[1],
+           int(sub), int(fast_sec), tuple(int(c) for c in cands))
+    fn = _cdef_program(key)
+    with jax.enable_x64():
+        strengths, out, acc_y, acc_uv, dirs, vars_ = fn(
+            jnp.asarray(stack), jnp.asarray(src),
+            jnp.asarray(np.asarray(skip_mi).reshape(mi_rows, mi_cols),
+                        jnp.int32),
+            jnp.int32(damping),
+        )
+    return (
+        tuple(int(v) for v in np.asarray(strengths)),
+        np.asarray(out),
+        np.asarray(acc_y),
+        np.asarray(acc_uv),
+        np.asarray(dirs),
+        np.asarray(vars_),
+    )
+
+
 @lru_cache(maxsize=None)
 def _deblock_program(key):
     """Jitted deblock search+apply for one static frame geometry."""

@@ -102,3 +102,88 @@ def test_device_deblock_zero_levels():
     assert levels == (0, 0, 0, 0)
     assert (deltas >= 0).all()
     assert np.array_equal(stack, rec)
+
+
+def _cdef_host_and_device(dims, q, seed, speed=4, mono=False):
+    """Run the host CDEF chain (via encoder._cdef_apply) and the device
+    program on identical inputs; return both results."""
+    from cavif_tpu.ops.device_filters import cdef_device
+
+    H, W = dims
+    tw = dataclasses.replace(
+        SpeedTweaks.from_preset(speed, q),
+        fast_deblock=False, cdef=False, lrf=False,
+    )
+    img = _img(H, W, seed)
+    if mono:
+        img = img[..., 0]
+    cfg = AV1Config(
+        width=W, height=H, bit_depth=10, quantizer=q, tweaks=tw,
+        chroma_sampling="400" if mono else "444", full_range=True,
+        matrix_coefficients=None, threads=1,
+    )
+    fe = FrameEncoder(img, cfg)
+    fe.encode()
+    pre = (fe._filtered_stack if fe._filtered_stack is not None
+           else fe._recon_full()).copy()
+    fe.cfg = dataclasses.replace(cfg, tweaks=dataclasses.replace(
+        tw, cdef=True))
+    host_y, host_uv, damping = fe._cdef_apply()
+    host_stack = fe._filtered_stack
+    sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
+    fast_sec = 1 if speed >= 4 else 0
+    pri = (FrameEncoder.CDEF_PRI if speed <= 3
+           else FrameEncoder.CDEF_PRI_FAST)
+    dev = cdef_device(
+        pre, fe._src_stack(), fe._filter_maps[0], damping,
+        bit_depth=fe.bit_depth, mi_rows=fe.mi_rows, mi_cols=fe.mi_cols,
+        vis=(W, H), sub=sub, fast_sec=fast_sec, cands=(0,) + pri,
+    )
+    return fe, pre, (host_y, host_uv, host_stack), dev
+
+
+CDEF_CASES = [
+    ((192, 256), 140, 1, 4, False),
+    ((101, 129), 180, 2, 4, False),
+    ((96, 96), 170, 3, 2, False),
+    ((128, 64), 160, 4, 4, True),
+]
+
+
+@pytest.mark.parametrize("dims,q,seed,speed,mono", CDEF_CASES)
+def test_device_cdef_matches_native(dims, q, seed, speed, mono):
+    fe, pre, host, dev = _cdef_host_and_device(dims, q, seed, speed,
+                                               mono)
+    host_y, host_uv, host_stack = host
+    strengths, out, acc_y, acc_uv, dirs, vars_ = dev
+    uncode = lambda s: 4 if s == 3 else s
+    hy = (host_y[0][0], uncode(host_y[0][1])) if host_y else (0, 0)
+    huv = (host_uv[0][0], uncode(host_uv[0][1])) if host_uv else (0, 0)
+    assert (strengths[0], strengths[1]) == hy, (strengths, host_y)
+    assert (strengths[2], strengths[3]) == huv, (strengths, host_uv)
+    assert np.array_equal(out, host_stack)
+
+
+def test_device_cdef_acc_matches_native_search():
+    """The per-combo SSE-delta tables themselves must equal the C++
+    search's (exact integers on both sides)."""
+    from cavif_tpu import native
+
+    fe, pre, _host, dev = _cdef_host_and_device((160, 160), 150, 9)
+    _strengths, _out, acc_y, acc_uv, dirs, vars_ = dev
+    damping = min(6, 3 + (fe.base_q >> 6))
+    pri = FrameEncoder.CDEF_PRI_FAST
+    cands = np.array((0,) + pri, np.int32)
+    hd, hv = native.cdef_dirs(
+        np.ascontiguousarray(pre[0]), fe.mi_rows, fe.mi_cols,
+        fe.bit_depth, n_threads=2,
+    )
+    assert np.array_equal(dirs, np.asarray(hd).reshape(dirs.shape))
+    assert np.array_equal(vars_, np.asarray(hv).reshape(vars_.shape))
+    acc_y_h, acc_uv_h = native.cdef_search(
+        pre, fe._src_stack(), fe.mi_rows, fe.mi_cols, fe.bit_depth,
+        damping, cands, fe._filter_maps[0], hd, hv,
+        (fe.cfg.width, fe.cfg.height), 2, 4, 1,
+    )
+    assert np.array_equal(acc_y.astype(np.float64), acc_y_h)
+    assert np.array_equal(acc_uv.astype(np.float64), acc_uv_h)
