@@ -4864,49 +4864,56 @@ int bs_partition_tile(
 static const int WIENER_TAP_MIN[3] = {-5, -23, -17};
 static const int WIENER_TAP_MAX[3] = {10, 8, 46};
 
-static void wiener_axis_solve(const float* M, const float* srcf, int uh,
-                              int uw, int axis, int ntaps, float* gbuf,
-                              int* taps3, float* out) {
+static void wiener_axis_solve(const double* M, const double* srcf, int uh,
+                              int uw, int axis, int ntaps, double* gbuf,
+                              int* taps3, double* out) {
   int lo = 3 - ntaps, n = uh * uw;
   for (int t = 0; t < 3; t++) taps3[t] = 0;
   for (int ti = 0; ti < ntaps; ti++) {
     int k = 3 - lo - ti;  // offsets (3,2,1)[lo:]
-    float* g = gbuf + (size_t)ti * n;
+    double* g = gbuf + (size_t)ti * n;
     if (axis == 1) {
       for (int r = 0; r < uh; r++) {
-        const float* mr = &M[(size_t)r * uw];
-        float* gr = &g[(size_t)r * uw];
+        const double* mr = &M[(size_t)r * uw];
+        double* gr = &g[(size_t)r * uw];
         for (int c = 0; c < uw; c++) {
           int cm = c - k < 0 ? 0 : c - k;
           int cp = c + k >= uw ? uw - 1 : c + k;
-          gr[c] = mr[cm] + mr[cp] - 2.0f * mr[c];
+          gr[c] = mr[cm] + mr[cp] - 2.0 * mr[c];
         }
       }
     } else {
       for (int r = 0; r < uh; r++) {
         int rm = r - k < 0 ? 0 : r - k;
         int rp = r + k >= uh ? uh - 1 : r + k;
-        const float* ma = &M[(size_t)rm * uw];
-        const float* mb = &M[(size_t)rp * uw];
-        const float* mr = &M[(size_t)r * uw];
-        float* gr = &g[(size_t)r * uw];
-        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0f * mr[c];
+        const double* ma = &M[(size_t)rm * uw];
+        const double* mb = &M[(size_t)rp * uw];
+        const double* mr = &M[(size_t)r * uw];
+        double* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0 * mr[c];
       }
     }
   }
   // all 9 normal-equation moments in ONE fused pass (each stream read
   // once; 9 independent accumulation chains keep the FP adders busy) —
-  // the 9 separate dot loops this replaces were memory-bound
+  // the 9 separate dot loops this replaces were memory-bound.
+  // DOUBLE pipeline throughout (r05): with integer-valued rec/src the
+  // gradients, mid-stage image (1/128 granularity) and every moment are
+  // exactly representable, so the whole solve is deterministic exact
+  // arithmetic — the device Gram-matrix path (ops/device_filters.py)
+  // reconstructs identical values from integer moments. float buffers
+  // could round the stage-2 apply (tap*g products need up to 26
+  // significand bits) on overshooting units.
   double A[3][3], b[3];
   {
-    const float* g0 = gbuf;
-    const float* g1 = gbuf + (ntaps > 1 ? (size_t)n : 0);
-    const float* g2 = gbuf + (ntaps > 2 ? 2 * (size_t)n : 0);
+    const double* g0 = gbuf;
+    const double* g1 = gbuf + (ntaps > 1 ? (size_t)n : 0);
+    const double* g2 = gbuf + (ntaps > 2 ? 2 * (size_t)n : 0);
     double A00 = 0, A01 = 0, A02 = 0, A11 = 0, A12 = 0, A22 = 0;
     double b0 = 0, b1 = 0, b2 = 0;
     if (ntaps == 3) {
       for (int x = 0; x < n; x++) {
-        const double t = (double)srcf[x] - M[x];
+        const double t = srcf[x] - M[x];
         const double a = g0[x], bb = g1[x], c = g2[x];
         b0 += a * t; b1 += bb * t; b2 += c * t;
         A00 += a * a; A01 += a * bb; A02 += a * c;
@@ -4914,14 +4921,14 @@ static void wiener_axis_solve(const float* M, const float* srcf, int uh,
       }
     } else if (ntaps == 2) {
       for (int x = 0; x < n; x++) {
-        const double t = (double)srcf[x] - M[x];
+        const double t = srcf[x] - M[x];
         const double a = g0[x], bb = g1[x];
         b0 += a * t; b1 += bb * t;
         A00 += a * a; A01 += a * bb; A11 += bb * bb;
       }
     } else {
       for (int x = 0; x < n; x++) {
-        const double t = (double)srcf[x] - M[x];
+        const double t = srcf[x] - M[x];
         const double a = g0[x];
         b0 += a * t;
         A00 += a * a;
@@ -4970,51 +4977,51 @@ static void wiener_axis_solve(const float* M, const float* srcf, int uh,
     for (int x = 0; x < n; x++) out[x] = M[x];
     return;
   }
-  const float inv128 = 1.0f / 128.0f;
+  const double inv128 = 1.0 / 128.0;
   for (int x = 0; x < n; x++) {
-    float acc = 0.0f;
+    double acc = 0.0;
     for (int i = 0; i < ntaps; i++)
-      acc += (float)taps3[lo + i] * gbuf[(size_t)i * n + x];
+      acc += (double)taps3[lo + i] * gbuf[(size_t)i * n + x];
     out[x] = M[x] + acc * inv128;
   }
 }
 
 // Apply-only twin of wiener_axis_solve: filter M with GIVEN taps (the
 // psy-scaled integer taps), rebuilding the gradient streams.
-static void wiener_axis_apply(const float* M, int uh, int uw, int axis,
-                              int ntaps, const int* taps3, float* gbuf,
-                              float* out) {
+static void wiener_axis_apply(const double* M, int uh, int uw, int axis,
+                              int ntaps, const int* taps3, double* gbuf,
+                              double* out) {
   int lo = 3 - ntaps, n = uh * uw;
   for (int ti = 0; ti < ntaps; ti++) {
     int k = 3 - lo - ti;
-    float* g = gbuf + (size_t)ti * n;
+    double* g = gbuf + (size_t)ti * n;
     if (axis == 1) {
       for (int r = 0; r < uh; r++) {
-        const float* mr = &M[(size_t)r * uw];
-        float* gr = &g[(size_t)r * uw];
+        const double* mr = &M[(size_t)r * uw];
+        double* gr = &g[(size_t)r * uw];
         for (int c = 0; c < uw; c++) {
           int cm = c - k < 0 ? 0 : c - k;
           int cp = c + k >= uw ? uw - 1 : c + k;
-          gr[c] = mr[cm] + mr[cp] - 2.0f * mr[c];
+          gr[c] = mr[cm] + mr[cp] - 2.0 * mr[c];
         }
       }
     } else {
       for (int r = 0; r < uh; r++) {
         int rm = r - k < 0 ? 0 : r - k;
         int rp = r + k >= uh ? uh - 1 : r + k;
-        const float* ma = &M[(size_t)rm * uw];
-        const float* mb = &M[(size_t)rp * uw];
-        const float* mr = &M[(size_t)r * uw];
-        float* gr = &g[(size_t)r * uw];
-        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0f * mr[c];
+        const double* ma = &M[(size_t)rm * uw];
+        const double* mb = &M[(size_t)rp * uw];
+        const double* mr = &M[(size_t)r * uw];
+        double* gr = &g[(size_t)r * uw];
+        for (int c = 0; c < uw; c++) gr[c] = ma[c] + mb[c] - 2.0 * mr[c];
       }
     }
   }
-  const float inv128 = 1.0f / 128.0f;
+  const double inv128 = 1.0 / 128.0;
   for (int x = 0; x < n; x++) {
-    float acc = 0.0f;
+    double acc = 0.0;
     for (int i = 0; i < ntaps; i++)
-      acc += (float)taps3[lo + i] * gbuf[(size_t)i * n + x];
+      acc += (double)taps3[lo + i] * gbuf[(size_t)i * n + x];
     out[x] = M[x] + acc * inv128;
   }
 }
@@ -5029,7 +5036,7 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                     double* out_base, double* out_var, double mu) {
   using namespace search;
   auto worker = [&](int u0, int u1) {
-    std::vector<float> srcf, recf, mid, fin, gbuf;
+    std::vector<double> srcf, recf, mid, fin, gbuf;
     for (int ui = u0; ui < u1; ui++) {
       int ur = ui / cols, uc = ui % cols;
       int y0 = ur * unit, y1 = ur == rows - 1 ? h : (ur + 1) * unit;
@@ -5042,13 +5049,13 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
       for (int r = 0; r < uh; r++) {
         const int32_t* sr = &src[(size_t)(y0 + r) * sstride + x0];
         const int32_t* rr_ = &rec[(size_t)(y0 + r) * rstride + x0];
-        float* sf = &srcf[(size_t)r * uw];
-        float* rf = &recf[(size_t)r * uw];
+        double* sf = &srcf[(size_t)r * uw];
+        double* rf = &recf[(size_t)r * uw];
         for (int c = 0; c < uw; c++) {
           int64_t d = (int64_t)sr[c] - rr_[c];
           base += d * d;
-          sf[c] = (float)sr[c];
-          rf[c] = (float)rr_[c];
+          sf[c] = (double)sr[c];
+          rf[c] = (double)rr_[c];
           ssum += sr[c]; ssq += (double)sr[c] * sr[c];
           rsum += rr_[c]; rsq += (double)rr_[c] * rr_[c];
         }
@@ -5068,11 +5075,11 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
         // and the integer taps are scaled by γ and re-evaluated exactly.
         double ed = 0, dd = 0, sd = 0, srd = 0, rsum2 = 0;
         for (int x = 0; x < n; x++) {
-          double d = (double)fin[x] - recf[x];
-          ed += ((double)srcf[x] - recf[x]) * d;
+          double d = fin[x] - recf[x];
+          ed += (srcf[x] - recf[x]) * d;
           dd += d * d;
           sd += d;
-          srd += (double)recf[x] * d;
+          srd += recf[x] * d;
           rsum2 += recf[x];
         }
         double crd = srd - rsum2 * sd / n;
@@ -5101,9 +5108,9 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
       }
       double sse = 0.0, fsum = 0.0, fsq = 0.0;
       for (int x = 0; x < n; x++) {
-        double d = (double)srcf[x] - fin[x];
+        double d = srcf[x] - fin[x];
         sse += d * d;
-        fsum += fin[x]; fsq += (double)fin[x] * fin[x];
+        fsum += fin[x]; fsq += fin[x] * fin[x];
       }
       bool zero = !(th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2]);
       int use;
