@@ -5106,12 +5106,19 @@ int lr_wiener_plane(const int32_t* src, const int32_t* rec, int h, int w,
                             gbuf.data(), fin.data());
         }
       }
-      double sse = 0.0, fsum = 0.0, fsq = 0.0;
+      // output moments accumulate over dv = fin - rec (small, exact
+      // in double) and compose with the integer rec moments: a direct
+      // sum of fin^2 (1/2^28 granularity at ~2^20 magnitude) rounds,
+      // which would break device-Gram equality (ops/device_filters.py)
+      double sse = 0.0, dsum = 0.0, dsq = 0.0, drd = 0.0;
       for (int x = 0; x < n; x++) {
         double d = srcf[x] - fin[x];
         sse += d * d;
-        fsum += fin[x]; fsq += fin[x] * fin[x];
+        double dv = fin[x] - recf[x];
+        dsum += dv; dsq += dv * dv; drd += recf[x] * dv;
       }
+      double fsum = rsum + dsum;
+      double fsq = rsq + 2.0 * drd + dsq;
       bool zero = !(th[0] | th[1] | th[2] | tv[0] | tv[1] | tv[2]);
       int use;
       if (mu > 0.0) {

@@ -945,3 +945,337 @@ def deblock_device(rec, src, maps, hint, *, bit_depth, mi_rows, mi_cols,
         np.asarray(stack),
         np.asarray(deltas),
     )
+
+
+# ---------------------------------------------------------------------------
+# Loop restoration — Wiener (Gram-matrix formulation).
+#
+# The C++ solve (tilecoder.cpp lr_wiener_plane) is a two-stage separable
+# least squares with scalar double solves interleaved between image
+# passes — on a tunnel attachment, round-tripping per stage would cost
+# more than the host solve. The key identity: the final filtered image
+# is BILINEAR in the (horizontal, vertical) taps over a fixed 18-image
+# basis {1, rec, src-rec, Lh_k(rec), Lv_i(rec), Lv_i(Lh_k(rec))} with
+# unit-local boundary clamps, so EVERY moment the C++ pipeline ever
+# accumulates (stage-1/2 normal equations, psy-gamma stats, final
+# SSE/variance) is a small quadratic form over the per-unit Gram matrix
+# of that basis. The device computes the exact int64 Gram in ONE pass
+# (integral-image unit sums); the host reconstructs the C++ doubles
+# from it with exact rational arithmetic (python ints scaled 2^14,
+# single correctly-rounded float conversion) and replicates the scalar
+# solve sequence operation-for-operation. Equality holds whenever the
+# C++ double accumulations are themselves exact — true for all content
+# within the documented magnitude bounds (Gram entries < 2^53-ish;
+# pinned by tests/test_device_filters.py).
+# ---------------------------------------------------------------------------
+
+_WIENER_TAP_MIN = (-5, -23, -17)
+_WIENER_TAP_MAX = (10, 8, 46)
+_N_BASIS = 18
+_SC = 1 << 14  # coefficient scale: all tap coefficients are k/2^14
+
+
+@lru_cache(maxsize=None)
+def _unit_clamp_idx(n, u, m):
+    """Per offset k in {1,2,3}: gather indices clamping x±k to the
+    restoration unit containing x (last unit absorbs the tail — spec
+    unit grid, mirrors the per-unit gradient clamps in
+    wiener_axis_solve)."""
+    xs = np.arange(n)
+    uid = np.minimum(xs // u, m - 1)
+    x0 = uid * u
+    x1 = np.where(uid == m - 1, n, (uid + 1) * u)
+    return {
+        k: (np.clip(xs - k, x0, x1 - 1), np.clip(xs + k, x0, x1 - 1))
+        for k in (1, 2, 3)
+    }
+
+
+def _wiener_basis(rec, src, h, w, u, rows, cols):
+    """The 18 basis images (int32, (h, w)). Order: 0 ones, 1 rec, 2 t,
+    3..5 Lh_k(rec) k=(3,2,1), 6..8 Lv_i(rec), 9..17 Lv_i(Lh_k(rec))
+    (i-major)."""
+    import jax.numpy as jnp
+
+    r = rec[:h, :w]
+    t = src[:h, :w] - r
+    ci = _unit_clamp_idx(w, u, cols)
+    ri = _unit_clamp_idx(h, u, rows)
+
+    def lh(img, k):
+        xm, xp = ci[k]
+        return img[:, xm] + img[:, xp] - 2 * img
+
+    def lv(img, k):
+        ym, yp = ri[k]
+        return img[ym, :] + img[yp, :] - 2 * img
+
+    G = [lh(r, k) for k in (3, 2, 1)]
+    B = [lv(r, k) for k in (3, 2, 1)]
+    C = [lv(g, i) for i in (3, 2, 1) for g in G]
+    return [jnp.ones_like(r), r, t] + G + B + C
+
+
+def _unit_sums(P, ys, xs):
+    """Exact int64 per-unit sums of image P via integral images; ys/xs
+    are the static (y0, y1) / (x0, x1) unit boundary arrays."""
+    import jax.numpy as jnp
+
+    S = jnp.cumsum(jnp.cumsum(P.astype(jnp.int64), axis=0), axis=1)
+    S = jnp.pad(S, ((1, 0), (1, 0)))
+    (Y0, Y1), (X0, X1) = ys, xs
+    return (S[Y1][:, X1] - S[Y0][:, X1] - S[Y1][:, X0] + S[Y0][:, X0])
+
+
+def _wiener_gram(rec, src, *, h, w, u, rows, cols):
+    import jax.numpy as jnp
+
+    imgs = _wiener_basis(rec, src, h, w, u, rows, cols)
+    y0 = np.array([ur * u for ur in range(rows)])
+    y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
+                   for ur in range(rows)])
+    x0 = np.array([uc * u for uc in range(cols)])
+    x1 = np.array([w if uc == cols - 1 else (uc + 1) * u
+                   for uc in range(cols)])
+    out = []
+    for i in range(_N_BASIS):
+        a = imgs[i].astype(jnp.int64)
+        for j in range(i, _N_BASIS):
+            out.append(_unit_sums(a * imgs[j], (y0, y1), (x0, x1)))
+    return jnp.stack(out)  # (171, rows, cols)
+
+
+@lru_cache(maxsize=None)
+def _wiener_gram_program(key):
+    import jax
+
+    (h, w, u, rows, cols) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        return jax.jit(
+            lambda rec, src: _wiener_gram(
+                rec, src, h=h, w=w, u=u, rows=rows, cols=cols
+            )
+        )
+
+
+@lru_cache(maxsize=None)
+def _pair_index():
+    idx = {}
+    p = 0
+    for i in range(_N_BASIS):
+        for j in range(i, _N_BASIS):
+            idx[(i, j)] = p
+            idx[(j, i)] = p
+            p += 1
+    return idx
+
+
+def _gauss_solve(A, b, ntaps):
+    """Exact mirror of the C++ Gaussian elimination with partial
+    pivoting (same op order -> same doubles)."""
+    m = [[A[i][j] for j in range(ntaps)] + [b[i]] for i in range(ntaps)]
+    ok = True
+    for col in range(ntaps):
+        piv = col
+        for r_ in range(col + 1, ntaps):
+            if abs(m[r_][col]) > abs(m[piv][col]):
+                piv = r_
+        if abs(m[piv][col]) < 1e-30:
+            ok = False
+            break
+        if piv != col:
+            m[piv], m[col] = m[col], m[piv]
+        for r_ in range(ntaps):
+            if r_ == col:
+                continue
+            f = m[r_][col] / m[col][col]
+            for j in range(col, ntaps + 1):
+                m[r_][j] -= f * m[col][j]
+    t = [0.0, 0.0, 0.0]
+    if ok:
+        for i in range(ntaps):
+            t[i] = m[i][ntaps] / m[i][i]
+    return t
+
+
+def _round_tap(v, idx):
+    t = int(np.rint(v))
+    return max(_WIENER_TAP_MIN[idx], min(_WIENER_TAP_MAX[idx], t))
+
+
+def _wiener_unit_solve(q, n, ntaps, margin, mu, want_var):
+    """Per-unit host algebra on the exact Gram: reproduces the doubles
+    of the C++ lr_wiener_plane worker (stage solves, psy gamma path,
+    use decision, variance stats). q(i, j) -> exact int Gram entry."""
+    lo = 3 - ntaps
+
+    def qv(U, V):
+        # exact inner product of two sparse scaled coeff vectors over
+        # the basis; python-int numerator, one correctly-rounded float
+        num = 0
+        for i, ui in U:
+            for j, vj in V:
+                num += ui * vj * q(i, j)
+        return num / (_SC * _SC)
+
+    one = ((0, _SC),)
+    recv = ((1, _SC),)
+    tv_ = ((2, _SC),)
+    base = float(q(2, 2))
+    nf = float(n)
+
+    # stage 1 (horizontal): LS over the Lh gradients of rec
+    A = [[float(q(3 + lo + i, 3 + lo + j)) for j in range(ntaps)]
+         for i in range(ntaps)]
+    b = [128.0 * float(q(3 + lo + i, 2)) for i in range(ntaps)]
+    reg = 1e-4 * (A[0][0] if A[0][0] > 1.0 else 1.0)
+    for i in range(ntaps):
+        A[i][i] += reg
+    sol = _gauss_solve(A, b, ntaps)
+    th = [0, 0, 0]
+    for i in range(ntaps):
+        th[lo + i] = _round_tap(sol[i], lo + i)
+
+    def g2_vec(th3):
+        # stage-2 gradient images of mid = rec + sum th_k Lh_k /128
+        out = []
+        for i in range(ntaps):
+            v = [(6 + lo + i, _SC)]
+            for k in range(ntaps):
+                if th3[lo + k]:
+                    v.append((9 + (lo + i) * 3 + lo + k,
+                              th3[lo + k] * (_SC >> 7)))
+            out.append(tuple(v))
+        return out
+
+    def mid_delta(th3):
+        # mid - rec as a sparse vector
+        return tuple(
+            (3 + lo + k, th3[lo + k] * (_SC >> 7))
+            for k in range(ntaps) if th3[lo + k]
+        )
+
+    # stage 2 (vertical) on mid
+    g2 = g2_vec(th)
+    md = mid_delta(th)
+    tmid = ((2, _SC),) + tuple((i, -c) for (i, c) in md)  # src - mid
+    A2 = [[qv(g2[i], g2[j]) for j in range(ntaps)] for i in range(ntaps)]
+    b2 = [128.0 * qv(g2[i], tmid) for i in range(ntaps)]
+    reg2 = 1e-4 * (A2[0][0] if A2[0][0] > 1.0 else 1.0)
+    for i in range(ntaps):
+        A2[i][i] += reg2
+    sol2 = _gauss_solve(A2, b2, ntaps)
+    tvv = [0, 0, 0]
+    for i in range(ntaps):
+        tvv[lo + i] = _round_tap(sol2[i], lo + i)
+
+    def fin_delta(th3, tv3):
+        # fin - rec: sum th Lh/128 + sum tv Lv/128 + sum tv th Lv(Lh)/2^14
+        v = list(mid_delta(th3))
+        for i in range(ntaps):
+            if tv3[lo + i]:
+                v.append((6 + lo + i, tv3[lo + i] * (_SC >> 7)))
+                for k in range(ntaps):
+                    if th3[lo + k]:
+                        v.append((9 + (lo + i) * 3 + lo + k,
+                                  tv3[lo + i] * th3[lo + k]))
+        return tuple(v)
+
+    d = fin_delta(th, tvv)
+    if mu > 0.0 and any(th) or mu > 0.0 and any(tvv):
+        ed = qv(tv_, d)
+        dd = qv(d, d)
+        sd = qv(one, d)
+        srd = qv(recv, d)
+        rsum2 = float(q(0, 1))
+        crd = srd - rsum2 * sd / nf
+        vd = dd - sd * sd / nf
+        den = dd - mu * vd
+        gam = (ed + mu * crd) / den if den > 1e-9 else 1.0
+        if gam < 0.0:
+            gam = 0.0
+        if gam > 1.0:
+            gam = 1.0
+        if gam < 0.97:
+            for i in range(ntaps):
+                th[lo + i] = _round_tap(gam * th[lo + i], lo + i)
+                tvv[lo + i] = _round_tap(gam * tvv[lo + i], lo + i)
+            d = fin_delta(th, tvv)
+
+    # final SSE + output moments: src - fin = t - d
+    smf = ((2, _SC),) + tuple((i, -c) for (i, c) in d)
+    sse = qv(smf, smf)
+    rsum = float(q(0, 1))
+    rsq = float(q(1, 1))
+    # output moments composed exactly like the C++: d-based sums plus
+    # the integer rec moments (same op order -> same doubles)
+    fsum = rsum + qv(one, d)
+    fsq = rsq + 2.0 * qv(recv, d) + qv(d, d)
+    zero = not (any(th) or any(tvv))
+    if mu > 0.0:
+        var_f = fsq - fsum * fsum / nf
+        var_r = rsq - rsum * rsum / nf
+        use = (sse - mu * var_f) < (base - mu * var_r) - margin and not zero
+    else:
+        use = sse < base - margin and not zero
+    out_var = None
+    if want_var:
+        ssum = rsum + float(q(0, 2))
+        ssq = rsq + 2.0 * float(q(1, 2)) + float(q(2, 2))
+        vr = rsq - rsum * rsum / nf
+        out_var = (
+            ssq - ssum * ssum / nf,
+            vr,
+            (fsq - fsum * fsum / nf) if use else vr,
+        )
+    if use:
+        taps6 = (tvv[0], tvv[1], tvv[2], th[0], th[1], th[2])
+        return 1, taps6, sse, base, out_var
+    return 0, (0, 0, 0, 0, 0, 0), base, base, out_var
+
+
+def lr_wiener_plane_device(src, rec, h, w, unit, rows, cols, ntaps,
+                           margin, want_var=False, mu=0.0, gram=None):
+    """Device/Gram twin of native.lr_wiener_plane: identical returns
+    (use, taps, sse, base[, var]) — decisions bit-equal to the C++
+    within the documented exactness bounds."""
+    import jax
+
+    import jax.numpy as jnp
+
+    if gram is None:
+        fn = _wiener_gram_program((h, w, unit, rows, cols))
+        with jax.enable_x64():
+            gram = np.asarray(fn(jnp.asarray(rec, jnp.int32),
+                                 jnp.asarray(src, jnp.int32)))
+    pidx = _pair_index()
+    U = rows * cols
+    use = np.zeros(U, np.int32)
+    taps = np.zeros((U, 6), np.int32)
+    sse = np.zeros(U, np.float64)
+    base = np.zeros(U, np.float64)
+    var = np.zeros((U, 3), np.float64) if want_var else None
+    gi = gram.reshape(gram.shape[0], -1)
+    y1 = [h if ur == rows - 1 else (ur + 1) * unit for ur in range(rows)]
+    x1 = [w if uc == cols - 1 else (uc + 1) * unit for uc in range(cols)]
+    for ur in range(rows):
+        for uc in range(cols):
+            ui = ur * cols + uc
+            n = (y1[ur] - ur * unit) * (x1[uc] - uc * unit)
+            col = gi[:, ui]
+            q = lambda i, j: int(col[pidx[(i, j)]])
+            u_, t6, s_, b_, v_ = _wiener_unit_solve(
+                q, n, ntaps, margin, mu, want_var
+            )
+            use[ui] = u_
+            taps[ui] = t6
+            sse[ui] = s_
+            base[ui] = b_
+            if want_var:
+                var[ui] = v_
+    if want_var:
+        return use, taps, sse, base, var
+    return use, taps, sse, base

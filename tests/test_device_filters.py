@@ -187,3 +187,45 @@ def test_device_cdef_acc_matches_native_search():
     )
     assert np.array_equal(acc_y.astype(np.float64), acc_y_h)
     assert np.array_equal(acc_uv.astype(np.float64), acc_uv_h)
+
+
+def _lr_content(h, w, seed, amp=30):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 400 + 300 * np.sin(xx / 31.0) * np.cos(yy / 41.0)
+    src = np.clip(base + rng.normal(0, amp, (h, w)), 0, 1023)
+    rec = np.clip(src + rng.normal(0, amp / 2, (h, w)), 0, 1023)
+    return src.astype(np.int32), rec.astype(np.int32)
+
+
+@pytest.mark.parametrize("dims,ntaps,mu,seed", [
+    ((300, 300), 3, 0.0, 1),
+    ((256, 512), 3, 0.1, 2),
+    ((130, 270), 2, 0.0, 3),
+    ((384, 384), 2, 0.1, 4),
+    ((100, 100), 3, 0.0, 5),   # single unit absorbing everything
+])
+def test_device_wiener_matches_native(dims, ntaps, mu, seed):
+    """Gram-path Wiener must reproduce the C++ per-unit decisions,
+    taps, SSE/base and variance stats exactly."""
+    from cavif_tpu import native
+    from cavif_tpu.ops.device_filters import lr_wiener_plane_device
+
+    h, w = dims
+    src, rec = _lr_content(h, w, seed)
+    u = 256
+    rows = max((h + u // 2) // u, 1)
+    cols = max((w + u // 2) // u, 1)
+    margin = 2.0 * 30.0 * 40.0
+    host = native.lr_wiener_plane(
+        src, rec, h, w, u, rows, cols, ntaps=ntaps, margin=margin,
+        n_threads=2, want_var=True, mu=mu,
+    )
+    dev = lr_wiener_plane_device(
+        src, rec, h, w, u, rows, cols, ntaps, margin,
+        want_var=True, mu=mu,
+    )
+    for name, a, b in zip(("use", "taps", "sse", "base", "var"),
+                          host, dev):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            name, np.asarray(a), np.asarray(b))
