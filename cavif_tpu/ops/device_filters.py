@@ -1279,3 +1279,442 @@ def lr_wiener_plane_device(src, rec, h, w, unit, rows, cols, ntaps,
     if want_var:
         return use, taps, sse, base, var
     return use, taps, sse, base
+
+
+# ---------------------------------------------------------------------------
+# Loop restoration — SGRPROJ (self-guided) search.
+#
+# Split mirroring the C++ data flow (tilecoder.cpp lr_sgr_plane):
+#   program A: the decoder-exact integer guided-filter passes for every
+#     distinct (radius, strength) of the tier, plus exact int64 LS
+#     moments per (unit, set) and the per-unit base/variance moments;
+#   host: per-set projection solve, weight quantization/decode_xq,
+#     predicted-SSE top-2 pick (f64 from exact integer moments — same
+#     doubles as the C++);
+#   program B: exact integer SSE/fsum/fsq of the two best-predicted
+#     sets per unit at their quantized weights (the per-pixel
+#     round/clip makes this a pixel pass, not a quadratic form);
+#   host: final met comparison (raw SSE, or the mu-penalized J).
+# ---------------------------------------------------------------------------
+
+_SGR_SETS = (
+    (2, 1, 140, 3236), (2, 1, 112, 2158), (2, 1, 93, 1618),
+    (2, 1, 80, 1438), (2, 1, 70, 1295), (2, 1, 58, 1177),
+    (2, 1, 47, 1079), (2, 1, 37, 996), (2, 1, 30, 925),
+    (2, 1, 25, 863), (0, 1, -1, 2589), (0, 1, -1, 1618),
+    (0, 1, -1, 1177), (0, 1, -1, 925), (2, 0, 56, -1),
+    (2, 0, 22, -1),
+)
+_SGR_REDUCED = (0, 3, 6, 9, 11, 14)
+_SGR_FAST = (6, 9, 14)
+
+
+@lru_cache(maxsize=None)
+def _sgr_tables():
+    xby = np.empty(256, np.int64)
+    xby[0] = 1
+    for z in range(1, 255):
+        xby[z] = ((z << 8) + z // 2) // (z + 1)
+    xby[255] = 256
+    oneby = np.array([(4096 + n // 2) // n for n in range(1, 26)],
+                     np.int64)
+    return xby, oneby
+
+
+def _tier_sets(tier):
+    if tier == 1:
+        return tuple(range(16))
+    if tier == 2:
+        return _SGR_FAST
+    return _SGR_REDUCED
+
+
+def _rpot(x, n):
+    # rounded power-of-two shift for x >= 0 (C++ rpot)
+    return x if n == 0 else (x + (1 << (n - 1))) >> n
+
+
+def _sgr_pass(rec, h, w, r, s, bit_depth):
+    """One guided-filter pass (radius r, strength s) over the whole
+    plane, x16 domain output — bit-exact global formulation of the C++
+    per-unit pass (unit boundaries share identical grid values because
+    the extension clamp is at PLANE borders)."""
+    import jax.numpy as jnp
+
+    xby_t, oneby_t = _sgr_tables()
+    d = bit_depth - 8
+    k = 2 * r + 1
+    nn = k * k
+    p = rec[:h, :w].astype(jnp.int64)
+    ext = jnp.pad(p, ((3, 3), (3, 3)), mode="edge")
+    S1 = jnp.pad(jnp.cumsum(jnp.cumsum(ext, 0), 1), ((1, 0), (1, 0)))
+    S2 = jnp.pad(jnp.cumsum(jnp.cumsum(ext * ext, 0), 1),
+                 ((1, 0), (1, 0)))
+
+    # A/B grids over global positions R in [-1, h], C in [-1, w]:
+    # window rows/cols [R-r, R+r] with plane-border replication (the
+    # ext pad is 3 so indices stay in range)
+    R0 = np.arange(-1, h + 1) - r + 3
+    C0 = np.arange(-1, w + 1) - r + 3
+
+    def box(S):
+        a = S[R0 + k][:, C0 + k]
+        b = S[R0][:, C0 + k]
+        c = S[R0 + k][:, C0]
+        e = S[R0][:, C0]
+        return a - b - c + e
+
+    bsum = box(S1)
+    asum = box(S2)
+    a_ = _rpot(asum, 2 * d)
+    bd_ = _rpot(bsum, d)
+    pvar = a_ * nn - bd_ * bd_
+    pvar = jnp.maximum(pvar, 0)
+    z = jnp.minimum(_rpot(pvar * s, 20), 255)
+    a2 = jnp.take(jnp.asarray(xby_t), z)
+    b2 = _rpot((256 - a2) * bsum * int(oneby_t[nn - 1]), 12)
+
+    # filter application; grid row/col G maps to index G+1 in a2/b2
+    gU = lambda A, dy, dx: A[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+    dg = p
+    if r == 2:
+        yy = jnp.arange(h)[:, None]
+        even = (yy & 1) == 0
+        aE = (6 * (gU(a2, -1, 0) + gU(a2, 1, 0))
+              + 5 * (gU(a2, -1, -1) + gU(a2, -1, 1)
+                     + gU(a2, 1, -1) + gU(a2, 1, 1)))
+        bE = (6 * (gU(b2, -1, 0) + gU(b2, 1, 0))
+              + 5 * (gU(b2, -1, -1) + gU(b2, -1, 1)
+                     + gU(b2, 1, -1) + gU(b2, 1, 1)))
+        aO = 6 * gU(a2, 0, 0) + 5 * (gU(a2, 0, -1) + gU(a2, 0, 1))
+        bO = 6 * gU(b2, 0, 0) + 5 * (gU(b2, 0, -1) + gU(b2, 0, 1))
+        fE = _rpot(aE * dg + bE, 9)
+        fO = _rpot(aO * dg + bO, 8)
+        return jnp.where(even, fE, fO)
+    a_s = (4 * (gU(a2, 0, 0) + gU(a2, 0, -1) + gU(a2, 0, 1)
+                + gU(a2, -1, 0) + gU(a2, 1, 0))
+           + 3 * (gU(a2, -1, -1) + gU(a2, -1, 1)
+                  + gU(a2, 1, -1) + gU(a2, 1, 1)))
+    b_s = (4 * (gU(b2, 0, 0) + gU(b2, 0, -1) + gU(b2, 0, 1)
+                + gU(b2, -1, 0) + gU(b2, 1, 0))
+           + 3 * (gU(b2, -1, -1) + gU(b2, -1, 1)
+                  + gU(b2, 1, -1) + gU(b2, 1, 1)))
+    return _rpot(a_s * dg + b_s, 9)
+
+
+def _sgr_pass_list(tier):
+    """Static distinct (r, s) pass list + per-set pass indices."""
+    passes = []
+    refs = []
+    for si in _tier_sets(tier):
+        r0, r1, s0, s1 = _SGR_SETS[si]
+        i0 = i1 = -1
+        if r0 > 0:
+            if (2, s0) not in passes:
+                passes.append((2, s0))
+            i0 = passes.index((2, s0))
+        if r1 > 0:
+            if (1, s1) not in passes:
+                passes.append((1, s1))
+            i1 = passes.index((1, s1))
+        refs.append((si, i0, i1))
+    return tuple(passes), tuple(refs)
+
+
+def _sgr_moments(rec, src, *, h, w, u, rows, cols, bit_depth, tier):
+    """Program A: guided passes + exact int64 LS moments per (unit,
+    set): [h00, h11, h01, c0, c1, tt, sg0, sg1, su, ug0, ug1] plus the
+    per-unit [rsum, rsq, ssum, ssq]."""
+    import jax.numpy as jnp
+
+    passes, refs = _sgr_pass_list(tier)
+    flt = [_sgr_pass(rec, h, w, r, s, bit_depth) for (r, s) in passes]
+    uu = (rec[:h, :w].astype(jnp.int64)) << 4
+    tt_img = ((src[:h, :w].astype(jnp.int64)) << 4) - uu
+    y0 = np.array([ur * u for ur in range(rows)])
+    y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
+                   for ur in range(rows)])
+    x0 = np.array([uc * u for uc in range(cols)])
+    x1 = np.array([w if uc == cols - 1 else (uc + 1) * u
+                   for uc in range(cols)])
+    us = lambda P: _unit_sums(P, (y0, y1), (x0, x1))
+    z = jnp.zeros((rows, cols), jnp.int64)
+    tt = us(tt_img * tt_img)
+    su = us(uu)
+    per_set = []
+    for (si, i0, i1) in refs:
+        f0 = (flt[i0] - uu) if i0 >= 0 else None
+        f1 = (flt[i1] - uu) if i1 >= 0 else None
+        h00 = us(f0 * f0) if f0 is not None else z
+        h11 = us(f1 * f1) if f1 is not None else z
+        h01 = us(f0 * f1) if (f0 is not None and f1 is not None) else z
+        c0 = us(f0 * tt_img) if f0 is not None else z
+        c1 = us(f1 * tt_img) if f1 is not None else z
+        sg0 = us(f0) if f0 is not None else z
+        sg1 = us(f1) if f1 is not None else z
+        ug0 = us(uu * f0) if f0 is not None else z
+        ug1 = us(uu * f1) if f1 is not None else z
+        per_set.append(jnp.stack(
+            [h00, h11, h01, c0, c1, tt, sg0, sg1, su, ug0, ug1]))
+    rsum = us(rec[:h, :w].astype(jnp.int64))
+    rsq = us(rec[:h, :w].astype(jnp.int64) ** 2)
+    ssum = us(src[:h, :w].astype(jnp.int64))
+    ssq = us(src[:h, :w].astype(jnp.int64) ** 2)
+    unit_m = jnp.stack([rsum, rsq, ssum, ssq])
+    return jnp.stack(per_set), unit_m
+
+
+def _sgr_exact_sse(rec, src, cand_idx, cand_dq, *, h, w, u, rows, cols,
+                   bit_depth, tier):
+    """Program B: exact integer SSE/fsum/fsq for 2 candidate sets per
+    unit. cand_idx: (2, rows, cols, 2) pass indices (-1 = absent);
+    cand_dq: (2, rows, cols, 2) decoded weights."""
+    import jax.numpy as jnp
+
+    passes, _refs = _sgr_pass_list(tier)
+    flt = jnp.stack(
+        [_sgr_pass(rec, h, w, r, s, bit_depth) for (r, s) in passes]
+    )
+    uu = (rec[:h, :w].astype(jnp.int64)) << 4
+    sp = src[:h, :w].astype(jnp.int64)
+    maxv = (1 << bit_depth) - 1
+    y0 = np.array([ur * u for ur in range(rows)])
+    y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
+                   for ur in range(rows)])
+    x0 = np.array([uc * u for uc in range(cols)])
+    x1 = np.array([w if uc == cols - 1 else (uc + 1) * u
+                   for uc in range(cols)])
+    us = lambda P: _unit_sums(P, (y0, y1), (x0, x1))
+    # per-pixel unit coordinates (static)
+    uid_y = np.minimum(np.arange(h) // u, rows - 1)
+    uid_x = np.minimum(np.arange(w) // u, cols - 1)
+    out = []
+    for c in range(2):
+        idx_px = [
+            cand_idx[c, :, :, j][uid_y][:, uid_x] for j in range(2)
+        ]
+        dq_px = [
+            cand_dq[c, :, :, j][uid_y][:, uid_x].astype(jnp.int64)
+            for j in range(2)
+        ]
+        v = uu << 7
+        for j in range(2):
+            sel = jnp.zeros_like(uu)
+            for pi in range(len(passes)):
+                sel = jnp.where(idx_px[j] == pi, flt[pi], sel)
+            v = v + jnp.where(idx_px[j] >= 0,
+                              dq_px[j] * (sel - uu), 0)
+        wv = jnp.clip((v + (1 << 10)) >> 11, 0, maxv)
+        dd = wv - sp
+        out.append(jnp.stack([us(dd * dd), us(wv), us(wv * wv)]))
+    return jnp.stack(out)  # (2, 3, rows, cols)
+
+
+@lru_cache(maxsize=None)
+def _sgr_moments_program(key):
+    import jax
+
+    (h, w, u, rows, cols, bit_depth, tier) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        return jax.jit(
+            lambda rec, src: _sgr_moments(
+                rec, src, h=h, w=w, u=u, rows=rows, cols=cols,
+                bit_depth=bit_depth, tier=tier,
+            )
+        )
+
+
+@lru_cache(maxsize=None)
+def _sgr_sse_program(key):
+    import jax
+
+    (h, w, u, rows, cols, bit_depth, tier) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        return jax.jit(
+            lambda rec, src, ci, cd: _sgr_exact_sse(
+                rec, src, ci, cd, h=h, w=w, u=u, rows=rows, cols=cols,
+                bit_depth=bit_depth, tier=tier,
+            )
+        )
+
+
+def _clipi(v, lo, hi):
+    # C++ clipi: nearbyint then clamp (as a double compare), cast int
+    r_ = float(np.rint(v))
+    return int(lo if r_ < lo else (hi if r_ > hi else r_))
+
+
+def _sgr_unit_candidates(mrow, n, mu, tier):
+    """Per-set solve + predicted SSE for one unit (f64 mirror of the
+    C++ loop); mrow: (nsets, 11) int64 moments. Returns candidate list
+    and the top-2 indices picked with the C++ tie rule."""
+    _passes, refs = _sgr_pass_list(tier)
+    nf = float(n)
+    cl = []
+    for li, (si, i0, i1) in enumerate(refs):
+        (h00, h11, h01, c0, c1, tt, sg0, sg1, su, ug0, ug1) = (
+            float(v) for v in mrow[li]
+        )
+        r0, r1 = _SGR_SETS[si][0], _SGR_SETS[si][1]
+        flt0, flt1 = i0 >= 0, i1 >= 0
+        e00, e11, e01, d0, d1 = h00, h11, h01, c0, c1
+        if mu > 0.0:
+            e00 = h00 - mu * (h00 - sg0 * sg0 / nf)
+            e11 = h11 - mu * (h11 - sg1 * sg1 / nf)
+            e01 = h01 - mu * (h01 - sg0 * sg1 / nf)
+            d0 = c0 + mu * (ug0 - su * sg0 / nf)
+            d1 = c1 + mu * (ug1 - su * sg1 / nf)
+        scale = 128.0
+        b0 = b1 = 0.0
+        if flt0 and flt1:
+            det = e00 * e11 - e01 * e01
+            if det > 0:
+                b0 = scale * (e11 * d0 - e01 * d1) / det
+                b1 = scale * (e00 * d1 - e01 * d0) / det
+        elif flt0:
+            b0 = scale * d0 / e00 if e00 > 0 else 0.0
+        else:
+            b1 = scale * d1 / e11 if e11 > 0 else 0.0
+        xq0 = _clipi(b0, -96, 31) if r0 else 0
+        if r1:
+            xqd1 = _clipi(128.0 - xq0 - float(np.rint(b1)), -32, 95)
+        else:
+            xqd1 = _clipi(128.0 - xq0, -32, 95)
+        if r0 == 0:
+            dq0 = 0
+            dq1 = 128 - dq0 - xqd1
+        elif r1 == 0:
+            dq0 = xq0
+            dq1 = 0
+        else:
+            dq0 = xq0
+            dq1 = 128 - dq0 - xqd1
+        w0, w1 = dq0 / 128.0, dq1 / 128.0
+        pred = tt
+        if flt0:
+            pred += w0 * w0 * h00 - 2.0 * w0 * c0
+        if flt1:
+            pred += w1 * w1 * h11 - 2.0 * w1 * c1
+        if flt0 and flt1:
+            pred += 2.0 * w0 * w1 * h01
+        if mu > 0.0:
+            dvar = 0.0
+            if flt0:
+                dvar += (2.0 * w0 * (ug0 - su * sg0 / nf)
+                         + w0 * w0 * (h00 - sg0 * sg0 / nf))
+            if flt1:
+                dvar += (2.0 * w1 * (ug1 - su * sg1 / nf)
+                         + w1 * w1 * (h11 - sg1 * sg1 / nf))
+            if flt0 and flt1:
+                dvar += 2.0 * w0 * w1 * (h01 - sg0 * sg1 / nf)
+            pred -= mu * dvar
+        cl.append(dict(set=si, x0=xq0, x1=xqd1, dq0=dq0, dq1=dq1,
+                       i0=i0, i1=i1, pred=pred))
+    o1, o2 = 0, -1
+    for li in range(1, len(cl)):
+        if cl[li]["pred"] < cl[o1]["pred"]:
+            o2, o1 = o1, li
+        elif o2 < 0 or cl[li]["pred"] < cl[o2]["pred"]:
+            o2 = li
+    return cl, o1, o2
+
+
+def lr_sgr_plane_device(src, rec, h, w, unit, rows, cols, bit_depth,
+                        tier, want_var=False, mu=0.0, moments=None,
+                        sse_eval=None):
+    """Device twin of native.lr_sgr_plane: same returns (set, xqd,
+    sse[, var]), decisions bit-equal to the C++. `moments`/`sse_eval`
+    allow a fused pipeline to supply program outputs directly."""
+    import jax
+
+    import jax.numpy as jnp
+
+    tier = int(tier)
+    key = (h, w, unit, rows, cols, bit_depth, tier)
+    if moments is None:
+        fn = _sgr_moments_program(key)
+        with jax.enable_x64():
+            per_set, unit_m = fn(jnp.asarray(rec, jnp.int32),
+                                 jnp.asarray(src, jnp.int32))
+        per_set = np.asarray(per_set)
+        unit_m = np.asarray(unit_m)
+    else:
+        per_set, unit_m = moments
+    U = rows * cols
+    nsets = per_set.shape[0]
+    # host solve per unit -> candidate pass indices/weights for the
+    # exact-SSE device pass
+    cands = []
+    ci = np.full((2, rows, cols, 2), -1, np.int32)
+    cd = np.zeros((2, rows, cols, 2), np.int32)
+    for ur in range(rows):
+        for uc in range(cols):
+            ui = ur * cols + uc
+            y1 = h if ur == rows - 1 else (ur + 1) * unit
+            x1 = w if uc == cols - 1 else (uc + 1) * unit
+            n = (y1 - ur * unit) * (x1 - uc * unit)
+            mrow = per_set[:, :, ur, uc]
+            cl, o1, o2 = _sgr_unit_candidates(mrow, n, mu, tier)
+            cands.append((cl, o1, o2, n))
+            for c, li in ((0, o1), (1, o2)):
+                if li < 0:
+                    continue
+                C = cl[li]
+                ci[c, ur, uc] = (C["i0"], C["i1"])
+                cd[c, ur, uc] = (C["dq0"], C["dq1"])
+    if sse_eval is None:
+        fn2 = _sgr_sse_program(key)
+        with jax.enable_x64():
+            sse_eval = np.asarray(fn2(
+                jnp.asarray(rec, jnp.int32), jnp.asarray(src, jnp.int32),
+                jnp.asarray(ci), jnp.asarray(cd),
+            ))
+    out_set = np.zeros(U, np.int32)
+    out_xqd = np.zeros((U, 2), np.int32)
+    out_sse = np.zeros(U, np.float64)
+    out_var = np.zeros((U, 3), np.float64) if want_var else None
+    for ui, (cl, o1, o2, n) in enumerate(cands):
+        ur, uc = ui // cols, ui % cols
+        nf = float(n)
+        best = None  # (set, x0, x1, sse, fsum, fsq)
+        for c, li in ((0, o1), (1, o2)):
+            if li < 0:
+                continue
+            C = cl[li]
+            sse_i, fsum_i, fsq_i = (
+                float(v) for v in sse_eval[c, :, ur, uc]
+            )
+            met = sse_i
+            if mu > 0.0:
+                met -= mu * (fsq_i - fsum_i * fsum_i / nf)
+            if best is None:
+                best = (C, sse_i, fsum_i, fsq_i)
+                continue
+            best_met = best[1]
+            if mu > 0.0:
+                best_met = best[1] - mu * (
+                    best[3] - best[2] * best[2] / nf)
+            if met < best_met:
+                best = (C, sse_i, fsum_i, fsq_i)
+        C, bsse, bfsum, bfsq = best
+        out_set[ui] = C["set"]
+        out_xqd[ui] = (C["x0"], C["x1"])
+        out_sse[ui] = bsse
+        if want_var:
+            rsum, rsq, ssum, ssq = (
+                float(v) for v in unit_m[:, ur, uc]
+            )
+            out_var[ui] = (
+                ssq - ssum * ssum / nf,
+                rsq - rsum * rsum / nf,
+                bfsq - bfsum * bfsum / nf,
+            )
+    if want_var:
+        return out_set, out_xqd, out_sse, out_var
+    return out_set, out_xqd, out_sse

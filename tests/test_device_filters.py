@@ -229,3 +229,33 @@ def test_device_wiener_matches_native(dims, ntaps, mu, seed):
                           host, dev):
         assert np.array_equal(np.asarray(a), np.asarray(b)), (
             name, np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("dims,tier,mu,seed", [
+    ((300, 300), 2, 0.0, 1),
+    ((256, 512), 0, 0.0, 2),
+    ((384, 300), 1, 0.0, 3),
+    ((300, 384), 2, 0.1, 4),
+    ((100, 100), 1, 0.1, 5),
+])
+def test_device_sgr_matches_native(dims, tier, mu, seed):
+    """Device SGR (passes + moments + exact SSE) must reproduce the C++
+    per-unit set/weights/SSE/variance exactly."""
+    from cavif_tpu import native
+    from cavif_tpu.ops.device_filters import lr_sgr_plane_device
+
+    h, w = dims
+    src, rec = _lr_content(h, w, seed, amp=35)
+    u = 256
+    rows = max((h + u // 2) // u, 1)
+    cols = max((w + u // 2) // u, 1)
+    host = native.lr_sgr_plane(
+        src, rec, h, w, u, rows, cols, 10, tier, n_threads=2,
+        want_var=True, mu=mu,
+    )
+    dev = lr_sgr_plane_device(
+        src, rec, h, w, u, rows, cols, 10, tier, want_var=True, mu=mu,
+    )
+    for name, a, b in zip(("set", "xqd", "sse", "var"), host, dev):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            name, np.asarray(a), np.asarray(b))
