@@ -226,6 +226,14 @@ def main() -> None:
     else:
         measured = {"vs_libaom_measured": None}
     mfu = _device_mfu(img, stages.get("device_pass1")) if device else None
+    try:
+        from cavif_tpu.ops import attachment
+
+        att = dict(attachment.probe())
+        att["device_pass2_engaged"] = attachment.engage_device_pass2()
+        att["device_filters_engaged"] = attachment.engage_device_filters()
+    except Exception as e:  # pragma: no cover - diagnostics only
+        att = {"error": repr(e)}
     print(
         json.dumps(
             {
@@ -254,6 +262,7 @@ def main() -> None:
                     "device_pass1": bool(device),
                     "stage_seconds_single": stages,
                     "device_pass1_mfu": mfu,
+                    "attachment_probe": att,
                 },
             }
         )

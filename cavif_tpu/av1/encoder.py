@@ -263,6 +263,11 @@ class FrameEncoder:
         # the bitstream is produced once by the replay coder after the
         # loop-restoration decision
         self._defer_ec = False
+        # per-plane LR solve injections: the device filter chain
+        # (ops/device_filters.run_filter_chain) fills these so the
+        # shared _lr_solve selection below consumes device-computed
+        # results instead of re-running the native solves on host pixels
+        self._lr_sgr_cache = None
         # set around the post-LR re-serialization pass so the replay-miss
         # fallback (cache overflow -> whole block pipeline re-runs) is
         # observable instead of silent (trace counter `ec_replay_miss`)
@@ -2062,6 +2067,30 @@ class FrameEncoder:
                 tiles = None
             else:
                 tiles = self._encode_tiles(tcl, trl)
+        # Device filter chain (round 5): when the frame's pass-1 already
+        # runs on device, the whole decoder-simulation filter stack
+        # (deblock level search+apply, CDEF search+apply, LR solve
+        # statistics) runs as one fused device program + one small
+        # follow-up, bit-identical to the host C++ chain below
+        # (ops/device_filters.py; CAVIF_TPU_DEVICE_FILTERS=0/1
+        # overrides). Falls back to the host chain when the replay ops
+        # are unavailable (record overflow).
+        devres = None
+        if self._want_filters:
+            from ..ops import device_filters as devf
+
+            if devf.device_filters_enabled(self):
+                with span("device_filters"):
+                    devres = devf.run_filter_chain(self)
+        if devres is not None:
+            lf_levels, cdef_y, cdef_uv, cdef_damping, lr_on = devres
+            lr_types = ()
+            if lr_on:
+                lr_types = tuple(self._lr_types[: self.num_planes])
+            return self._assemble_frame(
+                tiles, tcl, trl, defer, lf_levels, cdef_y, cdef_uv,
+                cdef_damping, lr_types,
+            )
         # Deblocking is output-only for still pictures (intra prediction
         # reads unfiltered recon), so it's a free quality lever: simulate
         # the decoder's filter on the exact recon and pick the uniform
@@ -2114,6 +2143,20 @@ class FrameEncoder:
                 lr_on = cfg.tweaks.lrf and self._lr_solve()
         if lr_on:
             lr_types = tuple(self._lr_types[: self.num_planes])
+        return self._assemble_frame(
+            tiles, tcl, trl, defer, lf_levels, cdef_y, cdef_uv,
+            cdef_damping, lr_types,
+        )
+
+    def _assemble_frame(self, tiles, tcl, trl, defer, lf_levels, cdef_y,
+                        cdef_uv, cdef_damping, lr_types):
+        """Shared tail of encode(): the deferred-EC / LR re-serialization
+        pass and the OBU assembly (host and device filter paths both
+        land here)."""
+        from ..utils.trace import span
+
+        cfg = self.cfg
+        lr_on = bool(lr_types) and any(lr_types)
         if defer:
             with span("tiles_ec"):
                 self._reserialize_pass = True
@@ -2479,7 +2522,13 @@ class FrameEncoder:
             # chroma SGR gains are marginal (+0.002 dB on the A/B corpus)
             # for ~2x the search cost: slow tiers only
             if try_sgr and (pl == 0 or (native_sgr and sgr_full)):
-                if native_sgr:
+                cached_sgr = getattr(self, "_lr_sgr_cache", None)
+                if cached_sgr is not None and pl in cached_sgr:
+                    res = cached_sgr[pl]
+                    ssets, sxqd, ssse = res[:3]
+                    if len(res) > 3:
+                        svar = res[3]
+                elif native_sgr:
                     # tier: 1 full 16-set (sgr_complexity_full), 0 the
                     # reference's reduced 6-set, 2 the fast 3-set
                     # {6, 9, 14} at speed >= 4 (95% of observed picks;

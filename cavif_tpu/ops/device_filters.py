@@ -243,14 +243,15 @@ def _deblock_axis(plane, src, tx_l2, edge, lvl, bit_depth, mi_rows,
     else:
         size = jnp.where(mw >= 8, 6, 4)
     fire = edge[:, 1:] != 0
-    mi_r = jnp.arange(mi_rows)
+    mi_r = jnp.arange(mi_rows, dtype=jnp.int32)
     if row_sub > 1:
         # search-mode subsample: filter/score every row_sub'th 64px SB
         # row of EDGES. Vertical pass: the filtered pixel row's mi row
         # (C++ vworker's mr loop). Horizontal pass: the edge's mi row —
         # the edge-index axis after the transpose (C++ hworker's mr).
         if horizontal:
-            samp = ((jnp.arange(1, mi_cols) >> 4) % row_sub) == 0
+            samp = ((jnp.arange(1, mi_cols, dtype=jnp.int32) >> 4)
+                    % row_sub) == 0
             fire = fire & samp[None, :]
         else:
             samp = ((mi_r >> 4) % row_sub) == 0
@@ -278,36 +279,60 @@ def _deblock_axis(plane, src, tx_l2, edge, lvl, bit_depth, mi_rows,
     delta = jnp.zeros((), jnp.int64)
     if src is not None:
         Wsrc = _edge_windows(src, n_edges)
-        y = jnp.arange(Hp)[:, None]
-        x_edge = 4 * (jnp.arange(n_edges) + 1)[None, :]
+        y = jnp.arange(Hp, dtype=jnp.int32)[:, None]
+        x_edge = 4 * (jnp.arange(n_edges, dtype=jnp.int32) + 1)[None, :]
         for k in range(_WRITE_LO, _WRITE_HI):
             w = written[k] & fire_px & on
             xk = x_edge + k
             w = w & (xk >= 0) & (xk < vis_w) & (y < vis_h)
-            dn = (vals[k] - Wsrc[k]).astype(jnp.int64)
-            od = (W[k] - Wsrc[k]).astype(jnp.int64)
-            delta = delta + jnp.where(w, dn * dn - od * od, 0).sum()
+            # per-edge deltas fit int32 (|d| < 2^21); widen at the sum
+            dn = vals[k] - Wsrc[k]
+            od = W[k] - Wsrc[k]
+            delta = delta + jnp.where(w, dn * dn - od * od, 0).sum(
+                dtype=jnp.int64)
 
     # compose the output plane: pixel x = 4*mc' + dx is written by edge
-    # mc' (k = dx), mc'+1 (k = dx-4) or mc'+2 (k = dx-8, only dx >= 2);
-    # AV1's size selection makes the writers mutually exclusive
-    out = plane
+    # mc'-1 (k = dx), mc' (k = dx-4) or mc'+1 (k = dx-8, only dx >= 2);
+    # AV1's size selection makes the writers mutually exclusive. Pure
+    # gather/interleave — strided scatters cost ~20 ms each on the chip.
     Wp = plane.shape[1]
-    for k in range(_WRITE_LO, _WRITE_HI):
-        w = written[k] & fire_px & on
-        # scatter back: column x = 4*(mc+1) + k for edge index mc; clip
-        # the edge range to columns inside the plane (AV1's size
-        # selection means the clipped-away lanes are never written)
-        x0 = 4 + k
-        e_lo = max(0, (-x0 + 3) // 4)
-        e_hi = min(n_edges, (Wp - 1 - x0) // 4 + 1)
-        if e_hi <= e_lo:
-            continue
-        xs = x0 + 4 * e_lo
-        cur = out[:, xs : x0 + 4 * e_hi : 4]
-        out = out.at[:, xs : x0 + 4 * e_hi : 4].set(
-            jnp.where(w[:, e_lo:e_hi], vals[k][:, e_lo:e_hi], cur)
-        )
+    n4 = Wp // 4
+    Hp_ = plane.shape[0]
+
+    def edge_arr(k, shift):
+        # value/mask of write-offset k mapped onto mc' = e + 1 - shift
+        # (edge e writes absolute col 4*(e+1)+k = 4*mc'+dx with
+        # mc' = e + (4+k-dx)//4); pad so index mc' in [0, n4)
+        w_ = written[k] & fire_px & on
+        v_ = vals[k]
+        lead = 1 - shift
+        if lead >= 0:
+            v_ = jnp.pad(v_, ((0, 0), (lead, n4)))[:, :n4]
+            w_ = jnp.pad(w_, ((0, 0), (lead, n4)))[:, :n4]
+        else:
+            v_ = jnp.pad(v_, ((0, 0), (0, n4)))[:, -lead : n4 - lead]
+            w_ = jnp.pad(w_, ((0, 0), (0, n4)))[:, -lead : n4 - lead]
+        return v_, w_
+
+    cols_out = []
+    for dx in range(4):
+        cur = plane[:, dx::4]
+        if cur.shape[1] < n4:
+            cur = jnp.pad(cur, ((0, 0), (0, n4 - cur.shape[1])))
+        out_dx = cur
+        # writers of column 4*mc'+dx: k = dx - 4*shift for shift in
+        # {-1, 0, 1, 2} intersected with the write window [-6, 6) —
+        # shift -1 is the edge TWO cells left reaching forward with its
+        # k = +4/+5 size-14 writes. Ascending-k application order
+        # matches the original per-k scatter (exclusive on clean maps).
+        for shift in (2, 1, 0, -1):
+            k = dx - 4 * shift
+            if not (_WRITE_LO <= k < _WRITE_HI):
+                continue
+            v_, w_ = edge_arr(k, shift)
+            out_dx = jnp.where(w_, v_, out_dx)
+        cols_out.append(out_dx)
+    out = jnp.stack(cols_out, axis=2).reshape(Hp_, n4 * 4)[:, :Wp]
     if horizontal:
         out = out.T
     return out, delta
@@ -333,8 +358,9 @@ def _deblock_search_apply(rec, src, txw_l2, txh_l2, edge_v, edge_h,
     subsample), then chroma candidates, pick with the host's
     strict-< / delta<0 rule, and run the full decoder-exact apply at the
     winners. Returns (levels[4] int32, filtered stack, deltas (2, NC))."""
+    import jax
+
     import jax.numpy as jnp
-    from jax import lax
 
     P = rec.shape[0]
 
@@ -350,15 +376,15 @@ def _deblock_search_apply(rec, src, txw_l2, txh_l2, edge_v, edge_h,
             lvl, bit_depth, mi_rows, mi_cols, False, vis, row_sub,
         )[1]
 
-    dy = lax.map(luma_delta, y_cands)
+    dy = jax.vmap(luma_delta)(y_cands)
     # host rule: first strict improvement under iteration order of the
     # sorted candidate list == first argmin, taken only when < 0
     iy = jnp.argmin(dy)
     y = jnp.where(dy[iy] < 0, y_cands[iy], 0).astype(jnp.int32)
 
     if P == 3:
-        du = lax.map(partial(chroma_delta, 1), uv_cands)
-        dv_ = lax.map(partial(chroma_delta, 2), uv_cands)
+        du = jax.vmap(partial(chroma_delta, 1))(uv_cands)
+        dv_ = jax.vmap(partial(chroma_delta, 2))(uv_cands)
         iu, iv = jnp.argmin(du), jnp.argmin(dv_)
         # u/v levels are only coded when the y level is nonzero
         u = jnp.where((y > 0) & (du[iu] < 0), uv_cands[iu], 0)
@@ -499,8 +525,8 @@ def _cdef_taps(stack_pl, region, coded, dirs_px):
     Hc, Wc8 = region
     cw, ch = coded
     pad = jnp.pad(stack_pl[:Hc + 2, :Wc8 + 2], ((2, 2), (2, 2)))
-    y = jnp.arange(Hc)[:, None]
-    x = jnp.arange(Wc8)[None, :]
+    y = jnp.arange(Hc, dtype=jnp.int32)[:, None]
+    x = jnp.arange(Wc8, dtype=jnp.int32)[None, :]
     px = pad[2:2 + Hc, 2:2 + Wc8]
 
     # cache of shifted planes by offset
@@ -708,8 +734,8 @@ def _cdef_search_apply(stack, src, skip_mi, damping, *, bit_depth,
         .reshape(sb8r, sb8c, 4)
         == 0
     ).any(-1)
-    br = jnp.arange(sb8r)[:, None]
-    bc = jnp.arange(sb8c)[None, :]
+    br = jnp.arange(sb8r, dtype=jnp.int32)[:, None]
+    bc = jnp.arange(sb8c, dtype=jnp.int32)[None, :]
     if sub == 2:
         sub_blk = ((br + bc) & 1) == 0
     elif sub >= 4:
@@ -717,8 +743,8 @@ def _cdef_search_apply(stack, src, skip_mi, damping, *, bit_depth,
     else:
         sub_blk = jnp.ones((sb8r, sb8c), bool)
     score_blk = nonskip_blk & sub_blk
-    y = jnp.arange(region[0])[:, None]
-    x = jnp.arange(region[1])[None, :]
+    y = jnp.arange(region[0], dtype=jnp.int32)[:, None]
+    x = jnp.arange(region[1], dtype=jnp.int32)[None, :]
     coded_px = (y < ch) & (x < cw)
     vis_px = coded_px & (y < vis_h) & (x < vis_w)
     score_px = _blk_to_px(score_blk, region) & vis_px
@@ -731,7 +757,7 @@ def _cdef_search_apply(stack, src, skip_mi, damping, *, bit_depth,
         taps = _cdef_taps(stack[pl], region, (cw, ch), dirs_px)
         px = taps["px"]
         s = src[pl][: region[0], : region[1]]
-        base_e = (px - s).astype(jnp.int64) ** 2
+        base_e = (px - s) ** 2  # <= 2^20: int32
         damping_eff = damping + cs - (0 if luma else 1)
         psums, use_ps = {}, {}
         for cand in cands:
@@ -778,8 +804,9 @@ def _cdef_search_apply(stack, src, skip_mi, damping, *, bit_depth,
                     mn = jnp.minimum(mn, smn)
                     mx = jnp.maximum(mx, smx)
                 v = _cdef_combine(px, total, mn, mx)
-                nd = (v - s).astype(jnp.int64) ** 2
-                row.append(jnp.where(score_px, nd - base_e, 0).sum())
+                nd = (v - s) ** 2
+                row.append(jnp.where(score_px, nd - base_e, 0).sum(
+                    dtype=jnp.int64))
             acc.append(jnp.stack(row))
         return jnp.stack(acc), taps
 
@@ -991,16 +1018,18 @@ def _unit_clamp_idx(n, u, m):
     }
 
 
-def _wiener_basis(rec, src, h, w, u, rows, cols):
-    """The 18 basis images (int32, (h, w)). Order: 0 ones, 1 rec, 2 t,
-    3..5 Lh_k(rec) k=(3,2,1), 6..8 Lv_i(rec), 9..17 Lv_i(Lh_k(rec))
-    (i-major)."""
+def _wiener_basis(rec, src, h, w, u, rows, cols, ntaps=3):
+    """The basis images (int32, (h, w)). Full (ntaps=3) order: 0 ones,
+    1 rec, 2 t, 3..5 Lh_k(rec) k=(3,2,1), 6..8 Lv_i(rec),
+    9..17 Lv_i(Lh_k(rec)) (i-major). ntaps=2 (chroma) drops the k=3
+    offset images (11 images, 2.6x fewer Gram pairs)."""
     import jax.numpy as jnp
 
     r = rec[:h, :w]
     t = src[:h, :w] - r
     ci = _unit_clamp_idx(w, u, cols)
     ri = _unit_clamp_idx(h, u, rows)
+    offs = (3, 2, 1) if ntaps == 3 else (2, 1)
 
     def lh(img, k):
         xm, xp = ci[k]
@@ -1010,63 +1039,103 @@ def _wiener_basis(rec, src, h, w, u, rows, cols):
         ym, yp = ri[k]
         return img[ym, :] + img[yp, :] - 2 * img
 
-    G = [lh(r, k) for k in (3, 2, 1)]
-    B = [lv(r, k) for k in (3, 2, 1)]
-    C = [lv(g, i) for i in (3, 2, 1) for g in G]
+    G = [lh(r, k) for k in offs]
+    B = [lv(r, k) for k in offs]
+    C = [lv(g, i) for i in offs for g in G]
     return [jnp.ones_like(r), r, t] + G + B + C
 
 
-def _unit_sums(P, ys, xs):
-    """Exact int64 per-unit sums of image P via integral images; ys/xs
-    are the static (y0, y1) / (x0, x1) unit boundary arrays."""
+def _basis_logical_map(ntaps):
+    """Physical index of each 18-basis logical index for the ntaps
+    basis subset (identity for ntaps=3)."""
+    if ntaps == 3:
+        return {i: i for i in range(18)}
+    # ntaps=2: logical G/B order (3,2,1) keeps only (2,1); C keeps the
+    # (i, k) pairs with both offsets in {2, 1}
+    m = {0: 0, 1: 1, 2: 2, 4: 3, 5: 4, 7: 5, 8: 6}
+    # logical C index 9 + i*3 + k (i,k in 0..2 over offsets 3,2,1)
+    p = 7
+    for i in (1, 2):
+        for k in (1, 2):
+            m[9 + i * 3 + k] = p
+            p += 1
+    return m
+
+
+def _unit_sums_batch(P, ys, xs):
+    """Batched exact int64 per-unit sums: P is (C, h, w), any integer
+    dtype (widened at the reduction). Static slice-reductions per unit
+    band (int64 2D cumsums measured ~340 ms for a 171-image stack on
+    the chip; slice-reduce is ~10 ms)."""
     import jax.numpy as jnp
 
-    S = jnp.cumsum(jnp.cumsum(P.astype(jnp.int64), axis=0), axis=1)
-    S = jnp.pad(S, ((1, 0), (1, 0)))
     (Y0, Y1), (X0, X1) = ys, xs
-    return (S[Y1][:, X1] - S[Y0][:, X1] - S[Y1][:, X0] + S[Y0][:, X0])
+    bands = jnp.stack(
+        [P[:, int(y0):int(y1), :].sum(axis=1, dtype=jnp.int64)
+         for y0, y1 in zip(Y0, Y1)], axis=1,
+    )  # (C, rows, w)
+    return jnp.stack(
+        [bands[:, :, int(x0):int(x1)].sum(axis=2)
+         for x0, x1 in zip(X0, X1)], axis=2,
+    )  # (C, rows, cols)
 
 
-def _wiener_gram(rec, src, *, h, w, u, rows, cols):
+def _unit_sums(P, ys, xs):
+    """Exact int64 per-unit sums of one image."""
+    return _unit_sums_batch(P[None], ys, xs)[0]
+
+
+def _wiener_gram(rec, src, *, h, w, u, rows, cols, ntaps=3):
     import jax.numpy as jnp
 
-    imgs = _wiener_basis(rec, src, h, w, u, rows, cols)
+    imgs = _wiener_basis(rec, src, h, w, u, rows, cols, ntaps)
+    nb = len(imgs)
     y0 = np.array([ur * u for ur in range(rows)])
     y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
                    for ur in range(rows)])
     x0 = np.array([uc * u for uc in range(cols)])
     x1 = np.array([w if uc == cols - 1 else (uc + 1) * u
                    for uc in range(cols)])
+    # basis magnitudes are <= 2^14, so pair products fit int32 — the
+    # multiplies run native int32 (emulated int64 costs ~3x) and only
+    # the band reduction widens
+    X = jnp.stack(imgs).astype(jnp.int32)  # (nb, h, w)
+    li = np.array([i for i in range(nb) for j in range(i, nb)])
+    rj = np.array([j for i in range(nb) for j in range(i, nb)])
+    # pair-chunked so the transient (C, h, w) product stack stays ~1 GB
+    # even at 8K while keeping the op count ~C/chunk
+    chunk = max(4, min(len(li), int(1e9 // (max(h * w, 1) * 4 * 3))))
     out = []
-    for i in range(_N_BASIS):
-        a = imgs[i].astype(jnp.int64)
-        for j in range(i, _N_BASIS):
-            out.append(_unit_sums(a * imgs[j], (y0, y1), (x0, x1)))
-    return jnp.stack(out)  # (171, rows, cols)
+    for c0 in range(0, len(li), chunk):
+        L = X[li[c0 : c0 + chunk]]
+        R = X[rj[c0 : c0 + chunk]]
+        out.append(_unit_sums_batch(L * R, (y0, y1), (x0, x1)))
+    return jnp.concatenate(out)  # (nb*(nb+1)/2, rows, cols)
 
 
 @lru_cache(maxsize=None)
 def _wiener_gram_program(key):
     import jax
 
-    (h, w, u, rows, cols) = key
+    (h, w, u, rows, cols, ntaps) = key
     from .device_pass1 import _ensure_compile_cache
 
     _ensure_compile_cache()
     with jax.enable_x64():
         return jax.jit(
             lambda rec, src: _wiener_gram(
-                rec, src, h=h, w=w, u=u, rows=rows, cols=cols
+                rec, src, h=h, w=w, u=u, rows=rows, cols=cols,
+                ntaps=ntaps,
             )
         )
 
 
 @lru_cache(maxsize=None)
-def _pair_index():
+def _pair_index(nb=_N_BASIS):
     idx = {}
     p = 0
-    for i in range(_N_BASIS):
-        for j in range(i, _N_BASIS):
+    for i in range(nb):
+        for j in range(i, nb):
             idx[(i, j)] = p
             idx[(j, i)] = p
             p += 1
@@ -1247,11 +1316,15 @@ def lr_wiener_plane_device(src, rec, h, w, unit, rows, cols, ntaps,
     import jax.numpy as jnp
 
     if gram is None:
-        fn = _wiener_gram_program((h, w, unit, rows, cols))
+        fn = _wiener_gram_program((h, w, unit, rows, cols, ntaps))
         with jax.enable_x64():
             gram = np.asarray(fn(jnp.asarray(rec, jnp.int32),
                                  jnp.asarray(src, jnp.int32)))
-    pidx = _pair_index()
+    nb = 18 if ntaps == 3 else 11
+    ppidx = _pair_index(nb)
+    lmap = _basis_logical_map(ntaps)
+    pidx = {(i, j): ppidx[(pi, lmap[j])]
+            for i, pi in lmap.items() for j in lmap}
     U = rows * cols
     use = np.zeros(U, np.int32)
     taps = np.zeros((U, 6), np.int32)
@@ -1341,38 +1414,48 @@ def _sgr_pass(rec, h, w, r, s, bit_depth):
     the extension clamp is at PLANE borders)."""
     import jax.numpy as jnp
 
-    xby_t, oneby_t = _sgr_tables()
+    _xby_t, oneby_t = _sgr_tables()
     d = bit_depth - 8
     k = 2 * r + 1
     nn = k * k
-    p = rec[:h, :w].astype(jnp.int64)
+    p = rec[:h, :w].astype(jnp.int32)
     ext = jnp.pad(p, ((3, 3), (3, 3)), mode="edge")
-    S1 = jnp.pad(jnp.cumsum(jnp.cumsum(ext, 0), 1), ((1, 0), (1, 0)))
-    S2 = jnp.pad(jnp.cumsum(jnp.cumsum(ext * ext, 0), 1),
-                 ((1, 0), (1, 0)))
 
     # A/B grids over global positions R in [-1, h], C in [-1, w]:
-    # window rows/cols [R-r, R+r] with plane-border replication (the
-    # ext pad is 3 so indices stay in range)
-    R0 = np.arange(-1, h + 1) - r + 3
-    C0 = np.arange(-1, w + 1) - r + 3
+    # window rows/cols [R-r, R+r] with plane-border replication.
+    # Separable shifted adds (2*(2r+1) slice-adds) — int64 cumsum
+    # integral images measured ~100x slower on the chip.
+    def box(E):
+        # rows: out[R+1, c] = sum_{dy} E[(R+3)+dy, c], R in -1..h
+        rs = None
+        for dy in range(-r, r + 1):
+            sl = E[2 + dy : 2 + dy + (h + 2), :]
+            rs = sl if rs is None else rs + sl
+        out = None
+        for dx in range(-r, r + 1):
+            sl = rs[:, 2 + dx : 2 + dx + (w + 2)]
+            out = sl if out is None else out + sl
+        return out
 
-    def box(S):
-        a = S[R0 + k][:, C0 + k]
-        b = S[R0][:, C0 + k]
-        c = S[R0 + k][:, C0]
-        e = S[R0][:, C0]
-        return a - b - c + e
-
-    bsum = box(S1)
-    asum = box(S2)
+    # int32 throughout (asum <= 25*2^20): only p*s and the b2 triple
+    # product need 64 bits
+    bsum = box(ext)
+    asum = box(ext * ext)
     a_ = _rpot(asum, 2 * d)
     bd_ = _rpot(bsum, d)
     pvar = a_ * nn - bd_ * bd_
     pvar = jnp.maximum(pvar, 0)
-    z = jnp.minimum(_rpot(pvar * s, 20), 255)
-    a2 = jnp.take(jnp.asarray(xby_t), z)
-    b2 = _rpot((256 - a2) * bsum * int(oneby_t[nn - 1]), 12)
+    z = jnp.minimum(_rpot(pvar.astype(jnp.int64) * s, 20), 255)
+    z = z.astype(jnp.int32)
+    # x_by_xplus1 computed arithmetically — a 256-entry gather over the
+    # whole grid measured ~20 ms; the integer divide is vector math
+    a2 = jnp.where(
+        z == 0, 1,
+        jnp.where(z == 255, 256,
+                  ((z << 8) + (z >> 1)) // (z + 1)),
+    )
+    b2 = _rpot((256 - a2).astype(jnp.int64) * bsum
+               * int(oneby_t[nn - 1]), 12).astype(jnp.int32)
 
     # filter application; grid row/col G maps to index G+1 in a2/b2
     gU = lambda A, dy, dx: A[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
@@ -1429,39 +1512,57 @@ def _sgr_moments(rec, src, *, h, w, u, rows, cols, bit_depth, tier):
 
     passes, refs = _sgr_pass_list(tier)
     flt = [_sgr_pass(rec, h, w, r, s, bit_depth) for (r, s) in passes]
-    uu = (rec[:h, :w].astype(jnp.int64)) << 4
-    tt_img = ((src[:h, :w].astype(jnp.int64)) << 4) - uu
+    uu = (rec[:h, :w].astype(jnp.int32)) << 4
+    tt_img = ((src[:h, :w].astype(jnp.int32)) << 4) - uu
     y0 = np.array([ur * u for ur in range(rows)])
     y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
                    for ur in range(rows)])
     x0 = np.array([uc * u for uc in range(cols)])
     x1 = np.array([w if uc == cols - 1 else (uc + 1) * u
                    for uc in range(cols)])
-    us = lambda P: _unit_sums(P, (y0, y1), (x0, x1))
-    z = jnp.zeros((rows, cols), jnp.int64)
-    tt = us(tt_img * tt_img)
-    su = us(uu)
-    per_set = []
+    z = jnp.zeros((h, w), jnp.int32)
+    # build every product image once, reduce them with ONE batched
+    # integral-image pass (plus the shared tt/su and the unit moments)
+    prods = [tt_img * tt_img, uu]
+    slots = {}
     for (si, i0, i1) in refs:
         f0 = (flt[i0] - uu) if i0 >= 0 else None
         f1 = (flt[i1] - uu) if i1 >= 0 else None
-        h00 = us(f0 * f0) if f0 is not None else z
-        h11 = us(f1 * f1) if f1 is not None else z
-        h01 = us(f0 * f1) if (f0 is not None and f1 is not None) else z
-        c0 = us(f0 * tt_img) if f0 is not None else z
-        c1 = us(f1 * tt_img) if f1 is not None else z
-        sg0 = us(f0) if f0 is not None else z
-        sg1 = us(f1) if f1 is not None else z
-        ug0 = us(uu * f0) if f0 is not None else z
-        ug1 = us(uu * f1) if f1 is not None else z
-        per_set.append(jnp.stack(
-            [h00, h11, h01, c0, c1, tt, sg0, sg1, su, ug0, ug1]))
-    rsum = us(rec[:h, :w].astype(jnp.int64))
-    rsq = us(rec[:h, :w].astype(jnp.int64) ** 2)
-    ssum = us(src[:h, :w].astype(jnp.int64))
-    ssq = us(src[:h, :w].astype(jnp.int64) ** 2)
-    unit_m = jnp.stack([rsum, rsq, ssum, ssq])
-    return jnp.stack(per_set), unit_m
+        row = []
+        for name, img in (
+            ("h00", f0 * f0 if f0 is not None else None),
+            ("h11", f1 * f1 if f1 is not None else None),
+            ("h01", f0 * f1 if (f0 is not None and f1 is not None)
+             else None),
+            ("c0", f0 * tt_img if f0 is not None else None),
+            ("c1", f1 * tt_img if f1 is not None else None),
+            ("tt", None), ("sg0", f0), ("sg1", f1), ("su", None),
+            ("ug0", uu * f0 if f0 is not None else None),
+            ("ug1", uu * f1 if f1 is not None else None),
+        ):
+            if name == "tt":
+                row.append(0)
+            elif name == "su":
+                row.append(1)
+            elif img is None:
+                row.append(-1)
+            else:
+                row.append(len(prods))
+                prods.append(img)
+        slots[si] = row
+    r64 = rec[:h, :w].astype(jnp.int32)
+    s64 = src[:h, :w].astype(jnp.int32)
+    unit_base = len(prods)
+    prods += [r64, r64 * r64, s64, s64 * s64]
+    red = _unit_sums_batch(jnp.stack(prods), (y0, y1), (x0, x1))
+    zero_rc = jnp.zeros((rows, cols), jnp.int64)
+    per_set = jnp.stack([
+        jnp.stack([red[si] if si >= 0 else zero_rc
+                   for si in slots[ref[0]]])
+        for ref in refs
+    ])
+    unit_m = red[unit_base : unit_base + 4]
+    return per_set, unit_m
 
 
 def _sgr_exact_sse(rec, src, cand_idx, cand_dq, *, h, w, u, rows, cols,
@@ -1475,8 +1576,8 @@ def _sgr_exact_sse(rec, src, cand_idx, cand_dq, *, h, w, u, rows, cols,
     flt = jnp.stack(
         [_sgr_pass(rec, h, w, r, s, bit_depth) for (r, s) in passes]
     )
-    uu = (rec[:h, :w].astype(jnp.int64)) << 4
-    sp = src[:h, :w].astype(jnp.int64)
+    uu = (rec[:h, :w].astype(jnp.int32)) << 4
+    sp = src[:h, :w].astype(jnp.int32)
     maxv = (1 << bit_depth) - 1
     y0 = np.array([ur * u for ur in range(rows)])
     y1 = np.array([h if ur == rows - 1 else (ur + 1) * u
@@ -1491,10 +1592,11 @@ def _sgr_exact_sse(rec, src, cand_idx, cand_dq, *, h, w, u, rows, cols,
     out = []
     for c in range(2):
         idx_px = [
-            cand_idx[c, :, :, j][uid_y][:, uid_x] for j in range(2)
+            cand_idx[c, :, :, j][uid_y][:, uid_x].astype(jnp.int32)
+            for j in range(2)
         ]
         dq_px = [
-            cand_dq[c, :, :, j][uid_y][:, uid_x].astype(jnp.int64)
+            cand_dq[c, :, :, j][uid_y][:, uid_x].astype(jnp.int32)
             for j in range(2)
         ]
         v = uu << 7
@@ -1646,16 +1748,29 @@ def lr_sgr_plane_device(src, rec, h, w, unit, rows, cols, bit_depth,
         unit_m = np.asarray(unit_m)
     else:
         per_set, unit_m = moments
-    U = rows * cols
-    nsets = per_set.shape[0]
-    # host solve per unit -> candidate pass indices/weights for the
-    # exact-SSE device pass
+    cands, ci, cd = _sgr_host_candidates(
+        per_set, h, w, unit, rows, cols, mu, tier
+    )
+    if sse_eval is None:
+        fn2 = _sgr_sse_program(key)
+        with jax.enable_x64():
+            sse_eval = np.asarray(fn2(
+                jnp.asarray(rec, jnp.int32), jnp.asarray(src, jnp.int32),
+                jnp.asarray(ci), jnp.asarray(cd),
+            ))
+    return _sgr_host_select(cands, sse_eval, unit_m, rows, cols,
+                            want_var, mu)
+
+
+def _sgr_host_candidates(per_set, h, w, unit, rows, cols, mu, tier):
+    """Host half 1: per-unit per-set solve + top-2 pick; returns the
+    candidate records and the (2, rows, cols, 2) pass-index / weight
+    arrays for the exact-SSE device pass."""
     cands = []
     ci = np.full((2, rows, cols, 2), -1, np.int32)
     cd = np.zeros((2, rows, cols, 2), np.int32)
     for ur in range(rows):
         for uc in range(cols):
-            ui = ur * cols + uc
             y1 = h if ur == rows - 1 else (ur + 1) * unit
             x1 = w if uc == cols - 1 else (uc + 1) * unit
             n = (y1 - ur * unit) * (x1 - uc * unit)
@@ -1668,13 +1783,13 @@ def lr_sgr_plane_device(src, rec, h, w, unit, rows, cols, bit_depth,
                 C = cl[li]
                 ci[c, ur, uc] = (C["i0"], C["i1"])
                 cd[c, ur, uc] = (C["dq0"], C["dq1"])
-    if sse_eval is None:
-        fn2 = _sgr_sse_program(key)
-        with jax.enable_x64():
-            sse_eval = np.asarray(fn2(
-                jnp.asarray(rec, jnp.int32), jnp.asarray(src, jnp.int32),
-                jnp.asarray(ci), jnp.asarray(cd),
-            ))
+    return cands, ci, cd
+
+
+def _sgr_host_select(cands, sse_eval, unit_m, rows, cols, want_var, mu):
+    """Host half 2: final best-of-two on the exact SSE (C++ met
+    comparison mirror)."""
+    U = rows * cols
     out_set = np.zeros(U, np.int32)
     out_xqd = np.zeros((U, 2), np.int32)
     out_sse = np.zeros(U, np.float64)
@@ -1718,3 +1833,353 @@ def lr_sgr_plane_device(src, rec, h, w, unit, rows, cols, bit_depth,
     if want_var:
         return out_set, out_xqd, out_sse, out_var
     return out_set, out_xqd, out_sse
+
+
+# ---------------------------------------------------------------------------
+# Fused per-frame filter chain: deblock -> CDEF -> LR statistics as ONE
+# device program (F1), plus the small exact-SSE follow-up (F2) once the
+# host has solved the LR projections — exactly the "one or two jitted
+# programs per frame" shape the tunnel attachment needs (each extra
+# round trip costs ~25 ms; the host C++ chain this replaces costs ~65 ms
+# of host CPU per MP, which the batch schedulers reclaim).
+# ---------------------------------------------------------------------------
+
+
+def _filter_chain(rec, src, tw, th, ev, eh, skip, y_cands, uv_cands,
+                  damping, *, P, bit_depth, mi_rows, mi_cols, vis,
+                  db_sub, cdef_on, cdef_sub, cdef_fast_sec, cdef_cands,
+                  lr_h, lr_w, lr_u, lr_rows, lr_cols, lrf_on, sgr_tier,
+                  sgr_planes):
+    import jax.numpy as jnp
+
+    levels, dstack, _deltas = _deblock_search_apply(
+        rec, src, tw, th, ev, eh, y_cands, uv_cands,
+        bit_depth=bit_depth, mi_rows=mi_rows, mi_cols=mi_cols, vis=vis,
+        row_sub=db_sub,
+    )
+    if cdef_on:
+        strengths, cstack, _ay, _auv, _dirs, _vars = _cdef_search_apply(
+            dstack, src, skip, damping, bit_depth=bit_depth,
+            mi_rows=mi_rows, mi_cols=mi_cols, vis=vis, sub=cdef_sub,
+            fast_sec=cdef_fast_sec, cands=cdef_cands,
+        )
+    else:
+        strengths = jnp.zeros(4, jnp.int32)
+        cstack = dstack
+    out = dict(levels=levels, strengths=strengths, dstack=dstack,
+               cstack=cstack, src=src)
+    if lrf_on:
+        for bi, stack in (("a", cstack), ("b", dstack)):
+            out["gram_" + bi + "_y"] = _wiener_gram(
+                stack[0], src[0], h=lr_h, w=lr_w, u=lr_u, rows=lr_rows,
+                cols=lr_cols, ntaps=3,
+            )
+            if P == 3:
+                # chroma solves use 2 taps: the 11-image basis (66
+                # pairs) costs 2.6x less than the full Gram
+                out["gram_" + bi + "_uv"] = jnp.stack([
+                    _wiener_gram(stack[pl], src[pl], h=lr_h, w=lr_w,
+                                 u=lr_u, rows=lr_rows, cols=lr_cols,
+                                 ntaps=2)
+                    for pl in (1, 2)
+                ])
+            if sgr_tier is not None:
+                moms = []
+                unitms = []
+                for pl in sgr_planes:
+                    ms, um = _sgr_moments(
+                        stack[pl], src[pl], h=lr_h, w=lr_w, u=lr_u,
+                        rows=lr_rows, cols=lr_cols,
+                        bit_depth=bit_depth, tier=sgr_tier,
+                    )
+                    moms.append(ms)
+                    unitms.append(um)
+                out["sgr_" + bi] = jnp.stack(moms)
+                out["sgru_" + bi] = jnp.stack(unitms)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _filter_chain_program(key):
+    import jax
+
+    (P, Hp, Wp, bit_depth, mi_rows, mi_cols, vis, db_sub, cdef_on,
+     cdef_sub, cdef_fast_sec, cdef_cands, lr_h, lr_w, lr_u, lr_rows,
+     lr_cols, lrf_on, sgr_tier, sgr_planes) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        return jax.jit(
+            lambda rec, src, tw, th, ev, eh, skip, yc, uc, damping:
+            _filter_chain(
+                rec, src, tw, th, ev, eh, skip, yc, uc, damping,
+                P=P, bit_depth=bit_depth, mi_rows=mi_rows,
+                mi_cols=mi_cols, vis=vis, db_sub=db_sub,
+                cdef_on=cdef_on, cdef_sub=cdef_sub,
+                cdef_fast_sec=cdef_fast_sec, cdef_cands=cdef_cands,
+                lr_h=lr_h, lr_w=lr_w, lr_u=lr_u, lr_rows=lr_rows,
+                lr_cols=lr_cols, lrf_on=lrf_on, sgr_tier=sgr_tier,
+                sgr_planes=sgr_planes,
+            )
+        )
+
+
+def _filter_sse_chain(dstack, cstack, src, use_a, ci, cd, *, bit_depth,
+                      lr_h, lr_w, lr_u, lr_rows, lr_cols, sgr_tier,
+                      sgr_planes):
+    """F2: exact SGR SSE for the branch the host picked. ci/cd:
+    (n_sgr_planes, 2, rows, cols, 2)."""
+    import jax.numpy as jnp
+
+    outs = []
+    for i, pl in enumerate(sgr_planes):
+        plane = jnp.where(use_a, cstack[pl], dstack[pl])
+        outs.append(_sgr_exact_sse(
+            plane, src[pl], ci[i], cd[i], h=lr_h, w=lr_w, u=lr_u,
+            rows=lr_rows, cols=lr_cols, bit_depth=bit_depth,
+            tier=sgr_tier,
+        ))
+    return jnp.stack(outs)
+
+
+@lru_cache(maxsize=None)
+def _filter_sse_program(key):
+    import jax
+
+    (bit_depth, lr_h, lr_w, lr_u, lr_rows, lr_cols, sgr_tier,
+     sgr_planes) = key
+    from .device_pass1 import _ensure_compile_cache
+
+    _ensure_compile_cache()
+    with jax.enable_x64():
+        return jax.jit(
+            lambda dstack, cstack, src, use_a, ci, cd:
+            _filter_sse_chain(
+                dstack, cstack, src, use_a, ci, cd,
+                bit_depth=bit_depth, lr_h=lr_h, lr_w=lr_w, lr_u=lr_u,
+                lr_rows=lr_rows, lr_cols=lr_cols, sgr_tier=sgr_tier,
+                sgr_planes=sgr_planes,
+            )
+        )
+
+
+def device_filters_enabled(fe) -> bool:
+    """Device filter chain gate: CAVIF_TPU_DEVICE_FILTERS=1 forces on,
+    =0 off; unset = auto — on when the frame's pass-1 already runs on
+    device AND the recorded attachment probe says the part is
+    direct-attached (ops/attachment.py). Through the ~25 ms tunnel the
+    chain's device work starves the chip pass-1 needs (24-image batch
+    measured 2.3 vs 6.2 MP/s), so auto only engages where the same
+    programs cost milliseconds. Requires the native library (replay op
+    streams build the filter maps)."""
+    import os
+
+    v = os.environ.get("CAVIF_TPU_DEVICE_FILTERS")
+    if v is not None:
+        return v not in ("", "0", "off")
+    if not getattr(fe, "_device_search", None):
+        return False
+    from .attachment import engage_device_filters
+
+    return engage_device_filters()
+
+
+def run_filter_chain(fe):
+    """Run the full post-recon filter chain (deblock level search +
+    apply, CDEF search + apply, CDEF-vs-deblock arbitration, loop-
+    restoration solves) with the pixel work on device: one fused F1
+    program + one small F2 (exact SGR SSE), all decisions bit-equal to
+    the host C++ chain. Mutates `fe` exactly like the host path
+    (_filter_maps, _lf_levels, _lr_wiener_cache/_lr_sgr_cache,
+    _filtered_stack as a device-resident array) and finishes with the
+    shared _lr_solve selection. Returns (lf_levels, cdef_y, cdef_uv,
+    cdef_damping, lr_on), or None to fall back to the host chain."""
+    import os
+
+    import jax
+
+    import jax.numpy as jnp
+
+    from ..native import build_filter_maps
+    from .device_pass1 import PASS1_HOOKS
+
+    ops = fe._output_filter_ops()
+    rec = fe._recon_full()
+    if ops is None or rec is None:
+        return None
+    cfg = fe.cfg
+    P = fe.num_planes
+    h, w = cfg.height, cfg.width
+    speed = cfg.tweaks.speed_preset
+    maps = build_filter_maps(ops, fe.mi_rows, fe.mi_cols, P)
+    fe._filter_maps = maps
+    skip, txw_l2, txh_l2, edge_v, edge_h = maps
+
+    # -- deblock params (mirror _deblock_apply)
+    hint = fe._lf_hint()
+    cands = sorted(
+        {max(1, hint // 2), max(1, hint), hint + 2, min(63, 2 * hint + 4)}
+    )
+    cands = cands + [cands[-1]] * (4 - len(cands))
+    db_sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
+
+    # -- cdef params (mirror _cdef_apply)
+    minq = int(os.environ.get("CAVIF_TPU_CDEF_MINQ", "0"))
+    cdef_on = bool(cfg.tweaks.cdef) and fe.base_q >= minq
+    damping = min(6, 3 + (fe.base_q >> 6))
+    pri = fe.CDEF_PRI if speed <= 3 else fe.CDEF_PRI_FAST
+    cdef_cands = (0,) + tuple(pri)
+    cdef_sub = 1 if speed <= 2 else (2 if speed <= 3 else 4)
+    fast_sec = 1 if speed >= 4 else 0
+
+    # -- LR params (mirror _lr_solve / _lr_wiener_stage)
+    lrf_on = bool(cfg.tweaks.lrf)
+    u = fe.LR_UNIT
+    rows, cols = fe._lr_grid()
+    sgr_full = bool(cfg.tweaks.sgr_complexity_full)
+    tier = 1 if sgr_full else (2 if speed >= 4 else 0)
+    sgr_planes = tuple(range(P)) if sgr_full else (0,)
+    mu = fe._lr_psy_mu()
+    want_var = fe._lr_var_guard() > 0.0 or mu > 0.0
+    lam = fe._lambda()
+    psy_px = float(os.environ.get("CAVIF_TPU_LR_MARGIN_PX", "0"))
+
+    key = (P, rec.shape[1], rec.shape[2], fe.bit_depth, fe.mi_rows,
+           fe.mi_cols, (w, h), db_sub, cdef_on, cdef_sub, fast_sec,
+           cdef_cands, h, w, u, rows, cols, lrf_on,
+           tier if lrf_on else None, sgr_planes if lrf_on else ())
+    fn = _filter_chain_program(key)
+
+    def grids(a):
+        a = np.asarray(a).reshape(-1, fe.mi_rows, fe.mi_cols)
+        if a.shape[0] == 1:
+            a = np.concatenate([a, a])
+        return jnp.asarray(a, jnp.int32)
+
+    hooks = PASS1_HOOKS.get()
+    if hooks is not None:
+        hooks.start()
+    try:
+        with jax.enable_x64():
+            res = fn(
+                jnp.asarray(rec), jnp.asarray(fe._src_stack()),
+                grids(txw_l2), grids(txh_l2), grids(edge_v),
+                grids(edge_h),
+                jnp.asarray(np.asarray(skip).reshape(fe.mi_rows,
+                                                     fe.mi_cols),
+                            jnp.int32),
+                jnp.asarray(np.asarray(cands), jnp.int32),
+                jnp.asarray(np.asarray(cands), jnp.int32),
+                jnp.int32(damping),
+            )
+            levels = tuple(int(x) for x in np.asarray(res["levels"]))
+            strengths = tuple(
+                int(x) for x in np.asarray(res["strengths"])
+            )
+    finally:
+        if hooks is not None:
+            hooks.done()
+
+    fe._lf_levels = levels
+    y_pri, y_sec, uv_pri, uv_sec = strengths
+    coded = lambda s: 3 if s == 4 else s
+    cdef_applied = cdef_on and any(strengths)
+    if cdef_applied:
+        cdef_y = ((y_pri, coded(y_sec)),)
+        cdef_uv = ((uv_pri, coded(uv_sec)),) if P == 3 else ()
+    else:
+        cdef_y, cdef_uv = (), ()
+    damping_ret = damping if cdef_on else 3
+
+    lr_on = False
+    use_a = cdef_applied
+    if lrf_on:
+        margin_w = 2.0 * lam * 40.0 + psy_px * float(u * u)
+        gram_y = {"a": np.asarray(res["gram_a_y"]),
+                  "b": np.asarray(res["gram_b_y"])}
+        gram_uv = ({"a": np.asarray(res["gram_a_uv"]),
+                    "b": np.asarray(res["gram_b_uv"])}
+                   if P == 3 else None)
+        arb = (cdef_applied
+               and fe.base_q >= int(
+                   os.environ.get("CAVIF_TPU_LR_MINQ", "0"))
+               and os.environ.get("CAVIF_TPU_CDEF_ARB", "1") != "0")
+
+        def wiener_stage_luma(gram_pl):
+            # mirror of _lr_wiener_stage's luma-only branch metric
+            r_ = lr_wiener_plane_device(
+                None, None, h, w, u, rows, cols, 3, margin_w,
+                want_var=want_var, mu=mu, gram=gram_pl,
+            )
+            wu, wsse, wbase = r_[0], r_[2], r_[3]
+            if mu > 0.0:
+                var = r_[4]
+                j_f = wsse - mu * var[:, 2]
+                j_b = wbase - mu * var[:, 1]
+                fs = float(np.where(wu != 0, j_f, j_b).sum())
+            else:
+                fs = float(np.where(wu != 0, wsse, wbase).sum())
+            return r_, fs
+
+        win_cache = [None] * P
+        if arb:
+            ra, fa = wiener_stage_luma(gram_y["a"])
+            rb, fb = wiener_stage_luma(gram_y["b"])
+            if fb <= fa:
+                use_a = False
+                cdef_y, cdef_uv = (), ()
+                win_cache[0] = rb
+            else:
+                win_cache[0] = ra
+        br = "a" if use_a else "b"
+        for pl in range(P):
+            if win_cache[pl] is None:
+                win_cache[pl] = lr_wiener_plane_device(
+                    None, None, h, w, u, rows, cols,
+                    2 if pl > 0 else 3, margin_w, want_var=want_var,
+                    mu=mu,
+                    gram=(gram_y[br] if pl == 0
+                          else gram_uv[br][pl - 1]),
+                )
+        fe._lr_wiener_cache = win_cache
+
+        # SGR: host candidate solve from F1 moments, one F2 exact-SSE
+        # call on the winning branch, then the C++ final pick
+        sgr_cache = {}
+        moms = np.asarray(res["sgr_a" if use_a else "sgr_b"])
+        unitm = np.asarray(res["sgru_a" if use_a else "sgru_b"])
+        all_c = []
+        ci = np.full((len(sgr_planes), 2, rows, cols, 2), -1, np.int32)
+        cd = np.zeros((len(sgr_planes), 2, rows, cols, 2), np.int32)
+        for i, pl in enumerate(sgr_planes):
+            cands_i, ci_i, cd_i = _sgr_host_candidates(
+                moms[i], h, w, u, rows, cols, mu, tier
+            )
+            all_c.append(cands_i)
+            ci[i] = ci_i
+            cd[i] = cd_i
+        fkey = (fe.bit_depth, h, w, u, rows, cols, tier, sgr_planes)
+        fn2 = _filter_sse_program(fkey)
+        if hooks is not None:
+            hooks.start()
+        try:
+            with jax.enable_x64():
+                sse_eval = np.asarray(fn2(
+                    res["dstack"], res["cstack"], res["src"],
+                    jnp.bool_(use_a), jnp.asarray(ci), jnp.asarray(cd),
+                ))
+        finally:
+            if hooks is not None:
+                hooks.done()
+        for i, pl in enumerate(sgr_planes):
+            sgr_cache[pl] = _sgr_host_select(
+                all_c[i], sse_eval[i], unitm[i], rows, cols, want_var,
+                mu,
+            )
+        fe._lr_sgr_cache = sgr_cache
+        fe._filtered_stack = res["cstack"] if use_a else res["dstack"]
+        lr_on = fe._lr_solve()
+    else:
+        fe._filtered_stack = res["cstack"] if use_a else res["dstack"]
+    return levels, cdef_y, cdef_uv, damping_ret, lr_on
