@@ -259,3 +259,46 @@ def test_device_sgr_matches_native(dims, tier, mu, seed):
     for name, a, b in zip(("set", "xqd", "sse", "var"), host, dev):
         assert np.array_equal(np.asarray(a), np.asarray(b)), (
             name, np.asarray(a), np.asarray(b))
+
+
+def test_filter_chain_end_to_end_byte_identity(monkeypatch):
+    """Full encode with the fused device filter chain (forced on) must
+    produce the same AVIF bytes as the host C++ chain."""
+    from dataclasses import replace
+
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(3)
+    grad = np.mgrid[0:192, 0:224][0].astype(np.float64) * 1.3
+    img = np.clip(
+        grad[..., None] + rng.normal(0, 25, (192, 224, 3)) + 80, 0, 255
+    ).astype(np.uint8)
+    enc = replace(Encoder.new().with_quality(70).with_speed(4),
+                  device="off")
+    monkeypatch.setenv("CAVIF_TPU_DEVICE_FILTERS", "0")
+    a = enc.encode_rgb(img).avif_file
+    monkeypatch.setenv("CAVIF_TPU_DEVICE_FILTERS", "1")
+    b = enc.encode_rgb(img).avif_file
+    assert a == b
+
+
+def test_filter_chain_tune_ssim_byte_identity(monkeypatch):
+    """Same identity under tune=ssim (the psy-LR mu>0 path exercises
+    the Gram-based gamma rescale and variance-penalized selection)."""
+    from dataclasses import replace
+
+    from cavif_tpu import Encoder
+
+    rng = np.random.default_rng(9)
+    img = np.clip(
+        rng.normal(128, 40, (160, 160, 3)), 0, 255
+    ).astype(np.uint8)
+    enc = replace(
+        Encoder.new().with_quality(85).with_speed(4).with_tune("ssim"),
+        device="off",
+    )
+    monkeypatch.setenv("CAVIF_TPU_DEVICE_FILTERS", "0")
+    a = enc.encode_rgb(img).avif_file
+    monkeypatch.setenv("CAVIF_TPU_DEVICE_FILTERS", "1")
+    b = enc.encode_rgb(img).avif_file
+    assert a == b
