@@ -1631,6 +1631,36 @@ static double trellis_ctx_env() {
 
 static inline int bitlen_u32(uint32_t x);
 
+// Adaptive-CDF trellis rates (CAVIF_TPU_TRELLIS_ADAPT, default 1): the
+// trellis prices each |level| step from LIVE mirrors of the tile's
+// coefficient CDFs (base/base_eob/br), initialized from the same
+// per-qctx defaults the TileCoder loads and advanced with the exact
+// spec update_cdf as each txb's FINAL levels are counted in coding
+// order. The static trellis_* tables price every block with the
+// frame-initial distributions; on real content the CDFs adapt sharply
+// within the first superblock rows, so frame-initial prices
+// systematically mis-rank level steps (VERDICT r05 next-2: the
+// residual BD-SSIM gap is coefficient-level coding efficiency).
+// 0 = frame-initial tables (the r04 behavior).
+static int trellis_adapt_env() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("CAVIF_TPU_TRELLIS_ADAPT");
+    v = e ? atoi(e) : 1;
+  }
+  return v;
+}
+
+// symbol cost in 1/128-bit units from a live CDF row (same formula as
+// tables.trellis_cost: round((15 - log2(p)) * 128))
+static inline int acdf_cost(const CdfRow& r, int sym, int nsym) {
+  int hi = sym == 0 ? 32768 : (int)r.v[sym - 1];
+  int lo = sym == nsym - 1 ? 0 : (int)r.v[sym];
+  int p = hi - lo;
+  if (p < 1) p = 1;
+  return (int)lrint((15.0 - log2((double)p)) * 128.0);
+}
+
 // Bits (1/128 units) to code |level| = L in fixed contexts: base symbol
 // (base_eob row at the eob-1 position, base row otherwise), up to 4
 // coeff_br rounds past level 2, golomb tail past 14, plus 1 bit of sign
@@ -1647,6 +1677,30 @@ static inline int trellis_cost_level(int L, bool is_eob,
     for (int r = 0; r < 4; r++) {
       int sym = rem < 3 ? rem : 3;
       c += (int)brrow[sym];
+      rem -= sym;
+      if (sym < 3) break;
+    }
+    if (L > 14) {
+      int n = bitlen_u32((uint32_t)(L - 14));
+      c += 128 * (2 * n - 1);
+    }
+  }
+  return c;
+}
+
+// live-CDF twin of trellis_cost_level
+static inline int trellis_cost_level_a(int L, bool is_eob,
+                                       const CdfRow& baser,
+                                       const CdfRow& brr) {
+  if (L == 0) return is_eob ? 0 : acdf_cost(baser, 0, 4);
+  int c = is_eob ? acdf_cost(baser, (L < 3 ? L : 3) - 1, 3)
+                 : acdf_cost(baser, L < 3 ? L : 3, 4);
+  c += 128;  // sign bit
+  if (L > 2) {
+    int rem = (L < 15 ? L : 15) - 3;
+    for (int r = 0; r < 4; r++) {
+      int sym = rem < 3 ? rem : 3;
+      c += acdf_cost(brr, sym, 4);
       rem -= sym;
       if (sym < 3) break;
     }
@@ -1723,6 +1777,96 @@ struct BlockPipe {
   std::vector<double> fbuf, tbuf, cbuf, rbuf, wbuf;
   std::vector<int32_t> lvbuf;
   std::vector<int32_t> pred;
+
+  // adaptive-CDF trellis mirrors (per tile, like the EC's CDF state;
+  // see trellis_adapt_env). Counted on each txb's FINAL levels after
+  // the EOB cut, so the mirrors track exactly the symbols the replay
+  // coder will code.
+  CdfRow acdf_base[5][2][42];
+  CdfRow acdf_base_eob[5][2][4];
+  CdfRow acdf_br[5][2][21];
+  bool acdf_ready = false;
+
+  void acdf_init() {
+    SpecTables& T = g_tables;
+    if (T.base.empty() || T.base_eob.empty() || T.br.empty()) return;
+    for (int t = 0; t < 5; t++)
+      for (int p = 0; p < 2; p++) {
+        for (int c = 0; c < 42; c++)
+          load_row(acdf_base[t][p][c],
+                   &T.base[(((size_t)qctx * 5 + t) * 2 + p) * 42 * 5
+                           + (size_t)c * 5], 4);
+        for (int c = 0; c < 4; c++)
+          load_row(acdf_base_eob[t][p][c],
+                   &T.base_eob[(((size_t)qctx * 5 + t) * 2 + p) * 4 * 4
+                               + (size_t)c * 4], 3);
+        for (int c = 0; c < 21; c++)
+          load_row(acdf_br[t][p][c],
+                   &T.br[(((size_t)qctx * 5 + t) * 2 + p) * 21 * 5
+                         + (size_t)c * 5], 4);
+      }
+    acdf_ready = true;
+  }
+
+  // mirror write_coeffs' level-coding CDF updates on final levels
+  void acdf_count(const int32_t* lv, int cw, int ch, int pl, int txw,
+                  int txh) {
+    int area = cw * ch;
+    int sidx = size_idx(cw, ch);
+    const int32_t* scan = g_tables.scan[sidx].data();
+    const uint8_t* nzoff = g_tables.nzoff[sidx].data();
+    int eob = 0;
+    for (int i = area - 1; i >= 0; i--)
+      if (lv[scan[i]] != 0) { eob = i + 1; break; }
+    if (eob == 0) return;
+    int tctx = txsize_ctx(txw, txh);
+    int pt = pl > 0 ? 1 : 0;
+    int brt = tctx < 3 ? tctx : 3;
+    int pstride = cw + 2;
+    int32_t pad[34 * 34];
+    std::memset(pad, 0, sizeof(int32_t) * (size_t)(ch + 2) * pstride);
+    for (int si = eob - 1; si >= 0; si--) {
+      int pos = scan[si];
+      int row = pos / cw, col = pos % cw;
+      int v = lv[pos];
+      int a = v < 0 ? -v : v;
+      if (si == eob - 1) {
+        int ectx = si == 0 ? 0
+                   : si <= area / 8 ? 1
+                   : si <= area / 4 ? 2 : 3;
+        update_cdf(acdf_base_eob[tctx][pt][ectx], (a < 3 ? a : 3) - 1,
+                   3);
+      } else {
+        int32_t* p0 = &pad[(size_t)row * pstride + col];
+        int mag = (p0[1] < 3 ? p0[1] : 3) + (p0[pstride] < 3 ? p0[pstride] : 3)
+                  + (p0[pstride + 1] < 3 ? p0[pstride + 1] : 3)
+                  + (p0[2] < 3 ? p0[2] : 3)
+                  + (p0[2 * pstride] < 3 ? p0[2 * pstride] : 3);
+        int mctx = (mag + 1) >> 1;
+        if (mctx > 4) mctx = 4;
+        int bctx = pos == 0 ? 0 : mctx + (int)nzoff[pos];
+        update_cdf(acdf_base[tctx][pt][bctx], a < 3 ? a : 3, 4);
+      }
+      if (a > 2) {
+        int32_t* p0 = &pad[(size_t)row * pstride + col];
+        int magb = (p0[1] < 15 ? p0[1] : 15)
+                   + (p0[pstride] < 15 ? p0[pstride] : 15)
+                   + (p0[pstride + 1] < 15 ? p0[pstride + 1] : 15);
+        int bmag = (magb + 1) >> 1;
+        if (bmag > 6) bmag = 6;
+        int brctx = pos == 0 ? bmag
+                    : (row < 2 && col < 2) ? bmag + 7 : bmag + 14;
+        int rem = (a < 15 ? a : 15) - 3;
+        for (int k = 0; k < 4; k++) {
+          int sym = rem < 3 ? rem : 3;
+          update_cdf(acdf_br[brt][pt][brctx], sym, 4);
+          rem -= sym;
+          if (sym < 3) break;
+        }
+      }
+      pad[(size_t)row * pstride + col] = a < 127 ? a : 127;
+    }
+  }
   // Optional replay-stream recorder: the expanded op stream (concrete
   // OP_BLOCK/OP_COEFFS rows + levels) of this encode, so a later
   // re-serialization (output-filter parameter pass) re-runs ONLY the
@@ -2325,6 +2469,11 @@ struct BlockPipe {
     // cut below owns tail moves). encoder._trellis_optimize mirrors
     // this pass bit-for-bit.
     double tru = trellis_ctx_env() * trellis_ramp(frame_base_q);
+    bool use_acdf = trellis_adapt_env() != 0;
+    if (use_acdf && !acdf_ready) {
+      acdf_init();
+      use_acdf = acdf_ready;
+    }
     if (nz && lam > 0.0 && tru > 0.0 && !g_tables.trellis_base.empty()) {
       int sidx = size_idx(cw, ch);
       const int32_t* scan = g_tables.scan[sidx].data();
@@ -2354,11 +2503,13 @@ struct BlockPipe {
         if (l > 0) {
           bool is_eob = si == eob - 1;
           const uint16_t* baserow;
+          const CdfRow* abase = nullptr;
           if (is_eob) {
             int ectx = si == 0 ? 0
                        : si <= area / 8 ? 1
                        : si <= area / 4 ? 2 : 3;
             baserow = te + (size_t)ectx * 3;
+            if (use_acdf) abase = &acdf_base_eob[tctx][pt][ectx];
           } else {
             const int32_t* p0 = &padbuf[(size_t)row * padw + col];
             int mag = (p0[1] < 3 ? p0[1] : 3) +
@@ -2370,6 +2521,7 @@ struct BlockPipe {
             if (mctx > 4) mctx = 4;
             int bctx = pos == 0 ? 0 : mctx + (int)nzoff[pos];
             baserow = tb + (size_t)bctx * 4;
+            if (use_acdf) abase = &acdf_base[tctx][pt][bctx];
           }
           const int32_t* p0 = &padbuf[(size_t)row * padw + col];
           int magb = (p0[1] < 15 ? p0[1] : 15) +
@@ -2380,6 +2532,8 @@ struct BlockPipe {
           int brctx = pos == 0 ? bmag
                       : (row < 2 && col < 2) ? bmag + 7 : bmag + 14;
           const uint16_t* brrow = tbr + (size_t)brctx * 4;
+          const CdfRow* abr = use_acdf ? &acdf_br[brt][pt][brctx]
+                                       : nullptr;
           double q = pos == 0 ? s_dc : s_ac;
           double cf = std::fabs(cbuf[(size_t)row * txw + col]);
           int min_l = is_eob ? 1 : 0;
@@ -2387,8 +2541,11 @@ struct BlockPipe {
             double d_cur = cf - l * q;
             double d_new = cf - (l - 1) * q;
             double dd = d_new * d_new - d_cur * d_cur;
-            int dr = trellis_cost_level(l, is_eob, baserow, brrow) -
-                     trellis_cost_level(l - 1, is_eob, baserow, brrow);
+            int dr = use_acdf
+                ? trellis_cost_level_a(l, is_eob, *abase, *abr) -
+                      trellis_cost_level_a(l - 1, is_eob, *abase, *abr)
+                : trellis_cost_level(l, is_eob, baserow, brrow) -
+                      trellis_cost_level(l - 1, is_eob, baserow, brrow);
             double thr = lam * psy_mul * tru * ((double)dr / 128.0);
             double S = trellis_lf_env();
             if (S > 0.0) thr *= (double)si / ((double)si + S);
@@ -2402,8 +2559,11 @@ struct BlockPipe {
               double d_cur = cf - l * q;
               double d_new = cf - (l + 1) * q;
               double dd = d_cur * d_cur - d_new * d_new;  // >0 = improves
-              int dr = trellis_cost_level(l + 1, is_eob, baserow, brrow) -
-                       trellis_cost_level(l, is_eob, baserow, brrow);
+              int dr = use_acdf
+                  ? trellis_cost_level_a(l + 1, is_eob, *abase, *abr) -
+                        trellis_cost_level_a(l, is_eob, *abase, *abr)
+                  : trellis_cost_level(l + 1, is_eob, baserow, brrow) -
+                        trellis_cost_level(l, is_eob, baserow, brrow);
               if (dd > lam * psy_mul * uu * ((double)dr / 128.0)) l++;
               else break;
             }
@@ -2788,6 +2948,13 @@ struct BlockPipe {
     for (int i = 0; i < nrec; i++) {
       const TxbRec& t = recs[i];
       int eq = (t.txw == bw && t.txh == bh) ? 1 : 0;
+      // advance the adaptive-CDF trellis mirrors on the block's FINAL
+      // (winner-candidate, post-EOB-cut) levels, in coding order —
+      // compute_txb runs speculatively for tx/CfL candidates, so
+      // counting must happen here, not inside the quantizer
+      if (acdf_ready)
+        acdf_count(&all_levels[t.lvl_off], t.cw, t.ch, t.pl, t.txw,
+                   t.txh);
       tc.write_coeffs(t.pl, (t.py / 4) - mi_r0, (t.px / 4) - mi_c0, t.txw,
                       t.txh, eq, t.ch, t.cw, &all_levels[t.lvl_off], y_mode,
                       t.va, t.ha);

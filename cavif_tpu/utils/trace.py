@@ -30,6 +30,22 @@ def _table():
     return t
 
 
+ACCUM: dict = {}  # cross-thread span totals (set_accumulate)
+_acc_lock = threading.Lock()
+ACCUM_ENABLED = False
+
+
+def set_accumulate(flag: bool) -> None:
+    """Also merge every span into a process-global table (batch stage
+    breakdowns: the sharded/hybrid pools run encodes on many threads
+    whose thread-local tables are otherwise unreachable)."""
+    global ACCUM_ENABLED
+    ACCUM_ENABLED = bool(flag)
+    if flag:
+        with _acc_lock:
+            ACCUM.clear()
+
+
 @contextmanager
 def span(name: str):
     """Accumulate the wall time of the enclosed block under `name`."""
@@ -43,6 +59,10 @@ def span(name: str):
         dt = time.perf_counter() - t0
         tab = _table()
         tab[name] = tab.get(name, 0.0) + dt
+        if ACCUM_ENABLED:
+            with _acc_lock:
+                ACCUM[name] = ACCUM.get(name, 0.0) + dt
+                ACCUM["n_" + name] = ACCUM.get("n_" + name, 0) + 1
 
 
 def count(name: str, n: int = 1) -> None:

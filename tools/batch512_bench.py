@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--paths", default="hybrid,sharded")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--trace", action="store_true",
+                    help="stage breakdown of the LAST rep per path "
+                         "(cross-thread span totals + per-image means)")
     args = ap.parse_args()
 
     from cavif_tpu import Encoder
@@ -68,9 +71,14 @@ def main():
     enc = Encoder.new().with_quality(80).with_speed(4)
     print(f"{args.n} images, {total_mp:.1f} MP total", flush=True)
 
+    from cavif_tpu.utils import trace
+
     for path in args.paths.split(","):
         best = None
         for rep in range(args.reps):
+            if args.trace and rep == args.reps - 1:
+                trace.set_enabled(True)
+                trace.set_accumulate(True)
             t0 = time.perf_counter()
             if path == "hybrid":
                 res = encode_batch(imgs, enc)
@@ -88,6 +96,18 @@ def main():
                 f"{total_mp / dt:.2f} MP/s ({nbytes} B)",
                 flush=True,
             )
+            if args.trace and rep == args.reps - 1:
+                trace.set_enabled(False)
+                trace.set_accumulate(False)
+                tab = {k: v for k, v in trace.ACCUM.items()
+                       if not k.startswith("n_")}
+                print(f"  {path} stage totals (thread-seconds over "
+                      f"{args.n} images; wall {dt:.1f} s):", flush=True)
+                for k, v in sorted(tab.items(), key=lambda kv: -kv[1]):
+                    n = trace.ACCUM.get("n_" + k, 0)
+                    print(f"    {k:24s} {v:8.1f} s  "
+                          f"({1e3 * v / max(n, 1):6.1f} ms x {n})",
+                          flush=True)
         print(f"{path}: warm {total_mp / best:.2f} MP/s", flush=True)
 
 
