@@ -2879,7 +2879,7 @@ def _eob_bits_env() -> float:
 def _trellis_env() -> float:
     import os
 
-    return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "1.2") or 0.0)
+    return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "0.9") or 0.0)
 
 
 def _trellis_ramp(base_q: int) -> float:

@@ -1574,15 +1574,19 @@ static double trellis_lf_env() {
   return v;
 }
 
-// EXPERIMENTAL (A/B tooling, default off): RD-justified UP-steps — undo
-// the AC deadzone where the distortion drop of |level|+1 beats its
-// context-priced rate (the deadzone floor leaves frac in (0.5, 1-bias)
-// rounded down regardless of how cheap the extra level is locally).
+// RD-justified UP-steps — undo the AC deadzone where the distortion
+// drop of |level|+1 beats its context-priced rate (the deadzone floor
+// leaves frac in (0.5, 1-bias) rounded down regardless of how cheap the
+// extra level is locally). Default 1.0 since r05: with the ADAPTIVE
+// CDF rates the up-steps are priced correctly and measure positive on
+// both tunes (psnr +0.271 -> +0.285 dB at BD-rate -0.1 -> -0.3%; ssim
+// +0.236 -> +0.240 / -0.00080 -> -0.00078); with the frame-initial
+// tables they were mispriced and previously measured negative.
 static double trellis_up_env() {
   static double v = -1.0;
   if (v < 0.0) {
     const char* e = getenv("CAVIF_TPU_TRELLIS_UP");
-    v = e ? atof(e) : 0.0;
+    v = e ? atof(e) : 1.0;
   }
   return v;
 }
@@ -1621,10 +1625,15 @@ static double trellis_ramp(int base_q) {
 // then BD-PSNR-positive. Stronger keeps buying PSNR on those images
 // but BD-SSIM falls off fast (-0.0041 at 1.6, -0.0056 at 2.4).
 static double trellis_ctx_env() {
+  // default 0.9 = the r05 knee with ADAPTIVE rates (dense BD, device
+  // path): 0.9 dominates {0.6, 0.75, 1.2, 1.6} on both axes at both
+  // tunes (psnr +0.271 dB / -0.00117); 1.2 was the knee for the
+  // frame-initial tables, whose mispriced steps needed a stronger
+  // multiplier to trim the same coefficients.
   static double v = -1.0;
   if (v < 0.0) {
     const char* e = getenv("CAVIF_TPU_TRELLIS_CTX");
-    v = e ? atof(e) : 1.2;
+    v = e ? atof(e) : 0.9;
   }
   return v;
 }
@@ -1643,12 +1652,10 @@ static inline int bitlen_u32(uint32_t x);
 // residual BD-SSIM gap is coefficient-level coding efficiency).
 // 0 = frame-initial tables (the r04 behavior).
 static int trellis_adapt_env() {
-  static int v = -1;
-  if (v < 0) {
-    const char* e = getenv("CAVIF_TPU_TRELLIS_ADAPT");
-    v = e ? atoi(e) : 1;
-  }
-  return v;
+  // re-read per call (cheap): tests flip it per case, and a static
+  // cache would freeze whichever value the first encode saw
+  const char* e = getenv("CAVIF_TPU_TRELLIS_ADAPT");
+  return e ? atoi(e) : 1;
 }
 
 // symbol cost in 1/128-bit units from a live CDF row (same formula as

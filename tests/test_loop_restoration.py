@@ -83,9 +83,13 @@ def test_lr_unit_serializer_equality():
 
 
 @pytest.mark.skipif(not _native_available(), reason="no native library")
-def test_lr_full_encode_backend_equality():
+def test_lr_full_encode_backend_equality(monkeypatch):
     import dataclasses
 
+    # the adaptive-CDF trellis (round 5) is native-pipeline-only — pin
+    # backend equality under the shared frame-initial pricing
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_ADAPT", "0")
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_UP", "0")
     img = _noisy(256)[:, :, 0].astype(np.int32) * 4
     outs = {}
     # cdef off: the simulated CDEF can absorb the gain LR would get,

@@ -126,7 +126,11 @@ def test_tx64_residual_decodes_bit_exact():
             assert np.array_equal(ddec, recon), "dav1d recon mismatch"
 
 
-def test_tx64_native_python_byte_equality():
+def test_tx64_native_python_byte_equality(monkeypatch):
+    # the adaptive-CDF trellis + RD up-steps are native-pipeline-only
+    # (r05): pin backend equality under the shared static pricing
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_ADAPT", "0")
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_UP", "0")
     # gentle gradient + low-amplitude waves, 4:4:4: 64 leaves win AND carry
     # residuals in luma and chroma (the chroma path exercises the 32x32
     # sub-block txb_skip ctx offset 10 — a 64-block-only context); the
