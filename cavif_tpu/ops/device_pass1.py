@@ -343,34 +343,26 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
     # candidate intermediates. TX_64-family shapes (ncoded != n2) keep
     # the materialized path: their tail distortion term needs the
     # full-area residual energy.
-    tail64 = None
-    if cdir:
+    # TX_64-family coef-domain tail (r05, tried and REVERTED): Parseval
+    # gives the discarded-area energy as
+    #   tail = ||b||^2 - 2<b,p> + ||p||^2 - sum(coef_coded^2)
+    # from three small candidate tensors (U = b@M, the quadratic form
+    # over M_c M_c^T, and ext@rowsum(M)) — an exact identity, but
+    # numerically CATASTROPHIC: the terms are ~4e9 (||b||^2 for a 64x64
+    # 10-bit block) cancelling to a ~1e6 tail, so bf16 matmul error
+    # (~4e-3 relative, ~1.6e7 through the ||ext@M||^2 term) and even
+    # f32 (~0.8% of candidate costs on a numeric check) swamp the RD
+    # margins — the chip-run 64-tier quality test measured -0.7 dB.
+    # The materialized residual path computes res at RESIDUAL scale and
+    # stays stable; going below its bandwidth needs a fused
+    # (pallas) matmul+quant kernel, not algebra.
+    if ncoded == n2 and cdir:
         m3 = mdir.astype(np.float64).reshape(E, cdir, n2)
         mk3 = np.einsum("ecj,jk->eck", m3, kron_f64)
         mk_dir = np.ascontiguousarray(
             mk3.reshape(E, cdir * ncoded).astype(np.float32)
         )
         coef_const = (0.5 * kron_f64.sum(axis=0)).astype(np.float32)
-        if ncoded != n2:
-            # TX_64-family tail energy WITHOUT materializing residuals
-            # (r05: the blocker was an accounting identity, not a
-            # structural one). With p = ext@M/32 + 0.5 and orthonormal
-            # full-area DCT, Parseval gives
-            #   tail = ||b - p||^2 - sum(coef_coded^2)
-            #        = ||b||^2 - 2<b, ext@M>/32 - sum(b)
-            #          + ||ext@M||^2/1024 + sum(ext@M)/32 + n2/4
-            #          - sum(coef^2)
-            # from three candidate-indexed SMALL tensors: U[...,e,c] =
-            # sum_j M[e,c,j] b[j] (one MXU matmul), the quadratic form
-            # over G_c = M_c M_c^T (precomputed (C, E, E) constant), and
-            # ext @ rowsum(M).
-            mT = np.ascontiguousarray(
-                m3.transpose(2, 0, 1).reshape(n2, E * cdir)
-                .astype(np.float32)
-            )
-            gq = np.einsum("ecj,fcj->cef", m3, m3).astype(np.float32)
-            msum = m3.sum(axis=2).astype(np.float32)  # (E, C)
-            tail64 = (mT, gq, msum)
     else:
         mk_dir = coef_const = None
 
@@ -477,23 +469,6 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
                 preferred_element_type=jnp.float32,
             )  # (P, nby, nbx, ncoded), candidate-independent
             cc = jnp.asarray(coef_const)
-            if tail64 is not None:
-                mT, gq, msum = tail64
-                bb = (blocks_f * blocks_f).sum(-1)  # (...,)
-                bsum = blocks_f.sum(-1)
-                # U: (..., E*C) -> (..., E, C); one MXU matmul, the
-                # largest tail tensor at E*C vs the materialized path's
-                # C*n2 (~16x smaller for 64x64)
-                U = jnp.einsum(
-                    "...j,jk->...k", blocks_f, jnp.asarray(mT),
-                    preferred_element_type=jnp.float32,
-                ).reshape(P, nby, nbx, E, cdir)
-                bp_dir = (U * ext[..., :, None]).sum(-2)  # <b, ext@M>
-                sum_em = jnp.einsum(
-                    "...e,ec->...c", ext, jnp.asarray(msum),
-                    preferred_element_type=jnp.float32,
-                )
-                Gq = jnp.asarray(gq)
             # (bf16 storage for cp was tried and reverted: casting the
             # einsum output to bf16 broke XLA's epilogue fusion — the f32
             # output, the bf16 copy, AND the upcast all materialized,
@@ -509,24 +484,7 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
                     cp.reshape(P, nby, nbx, c1 - c0, ncoded)
                     * (1.0 / 32.0) + cc
                 )
-                if tail64 is None:
-                    costs.append(chain(coef))
-                    continue
-                w1 = jnp.einsum(
-                    "...e,cef->...cf", ext, Gq[c0:c1],
-                    preferred_element_type=jnp.float32,
-                )
-                quad = (w1 * ext[..., None, :]).sum(-1)
-                tail = (
-                    bb[..., None]
-                    - bp_dir[..., c0:c1] * (2.0 / 32.0)
-                    - bsum[..., None]
-                    + quad * (1.0 / 1024.0)
-                    + sum_em[..., c0:c1] * (1.0 / 32.0)
-                    + 0.25 * n2
-                    - (coef * coef).sum(-1)
-                )
-                costs.append(chain(coef) + tail)
+                costs.append(chain(coef))
         else:
             M = jnp.asarray(mdir)
             for c0 in range(0, cdir, chunk):
