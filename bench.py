@@ -207,13 +207,13 @@ def main() -> None:
     dt_batch = min(bt) / len(imgs)
 
     mp = img.shape[0] * img.shape[1] / 1e6
-    # per-run batch throughput: the headline is the MEDIAN with the
-    # min/max spread alongside; single-stream only takes over when it
-    # beats every batch run (tiny hosts)
+    # per-run batch throughput: the headline is the MEDIAN batch run
+    # with the min/max spread alongside — never a best-of figure (the
+    # single-stream min stays in the detail block only)
     runs = sorted(mp * len(imgs) / t for t in bt)
     med = runs[len(runs) // 2] if len(runs) % 2 else (
         0.5 * (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]))
-    mps = max(med, mp / dt_single)
+    mps = med
     anchor = _libaom_anchor(img, len(out.avif_file))
     if anchor is not None:
         aom_mps, aom_bytes, aom_q = anchor

@@ -2879,7 +2879,10 @@ def _eob_bits_env() -> float:
 def _trellis_env() -> float:
     import os
 
-    return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "0.9") or 0.0)
+    # python-pipeline default stays at the STATIC-table knee (1.2): the
+    # adaptive-CDF mirrors are native-only, and 0.9 is the knee measured
+    # under the adaptive rates (tilecoder.cpp trellis_ctx_env)
+    return float(os.environ.get("CAVIF_TPU_TRELLIS_CTX", "1.2") or 0.0)
 
 
 def _trellis_ramp(base_q: int) -> float:

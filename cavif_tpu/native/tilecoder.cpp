@@ -1583,12 +1583,10 @@ static double trellis_lf_env() {
 // +0.236 -> +0.240 / -0.00080 -> -0.00078); with the frame-initial
 // tables they were mispriced and previously measured negative.
 static double trellis_up_env() {
-  static double v = -1.0;
-  if (v < 0.0) {
-    const char* e = getenv("CAVIF_TPU_TRELLIS_UP");
-    v = e ? atof(e) : 1.0;
-  }
-  return v;
+  // re-read per call (tests flip it per case); callers hoist to one
+  // read per transform block so the coefficient loops stay getenv-free
+  const char* e = getenv("CAVIF_TPU_TRELLIS_UP");
+  return e ? atof(e) : 1.0;
 }
 
 // Quality ramp for the trellis strength: the high-rate probe
@@ -1630,12 +1628,8 @@ static double trellis_ctx_env() {
   // tunes (psnr +0.271 dB / -0.00117); 1.2 was the knee for the
   // frame-initial tables, whose mispriced steps needed a stronger
   // multiplier to trim the same coefficients.
-  static double v = -1.0;
-  if (v < 0.0) {
-    const char* e = getenv("CAVIF_TPU_TRELLIS_CTX");
-    v = e ? atof(e) : 0.9;
-  }
-  return v;
+  const char* e = getenv("CAVIF_TPU_TRELLIS_CTX");
+  return e ? atof(e) : 0.9;
 }
 
 static inline int bitlen_u32(uint32_t x);
@@ -2499,6 +2493,7 @@ struct BlockPipe {
       const uint16_t* tbr =
           &g_tables.trellis_br[((((size_t)qctx * 5 + brt) * 2 + pt) * 21) * 4];
       double s_ac = (double)ac_q * gsz, s_dc = (double)dc_q * gsz;
+      const double uu = trellis_up_env();  // hoisted: per-txb, not per-coef
       int padw = cw + 2;
       int32_t padbuf[34 * 34];
       std::memset(padbuf, 0, sizeof(int32_t) * (size_t)(ch + 2) * padw);
@@ -2559,7 +2554,6 @@ struct BlockPipe {
             if (dd < thr) l--;
             else break;
           }
-          double uu = trellis_up_env();
           if (uu > 0.0 && l == (lv < 0 ? -lv : lv)) {
             int lim = pos == 0 ? max_dc : max_ac;
             while (l < lim) {

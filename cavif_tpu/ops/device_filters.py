@@ -1384,14 +1384,12 @@ _SGR_FAST = (6, 9, 14)
 
 @lru_cache(maxsize=None)
 def _sgr_tables():
-    xby = np.empty(256, np.int64)
-    xby[0] = 1
-    for z in range(1, 255):
-        xby[z] = ((z << 8) + z // 2) // (z + 1)
-    xby[255] = 256
+    # x_by_xplus1 is computed arithmetically in _sgr_pass (a 256-entry
+    # per-pixel gather measured ~20 ms on chip); only one_by_x remains
+    # a table (scalar per pass)
     oneby = np.array([(4096 + n // 2) // n for n in range(1, 26)],
                      np.int64)
-    return xby, oneby
+    return (oneby,)
 
 
 def _tier_sets(tier):
@@ -1414,7 +1412,7 @@ def _sgr_pass(rec, h, w, r, s, bit_depth):
     the extension clamp is at PLANE borders)."""
     import jax.numpy as jnp
 
-    _xby_t, oneby_t = _sgr_tables()
+    (oneby_t,) = _sgr_tables()
     d = bit_depth - 8
     k = 2 * r + 1
     nn = k * k

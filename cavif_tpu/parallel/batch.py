@@ -233,10 +233,18 @@ def encode_batch_sharded(
     full reference alpha treatment (alpha-mode preprocessing, opaque
     auto-drop, separate Cs400 full-range alpha stream at the alpha
     quantizer/tweaks) with the alpha planes batched through the mono
-    device program. Every process receives all grids (replicated output),
-    so multi-process runs produce byte-identical AVIFs to single-process
-    ones; host threads then run pass 2 + EC + mux per image. Returns AVIF
-    bytes per image, input order.
+    device program. Host threads then run pass 2 + EC + mux per image.
+    Returns AVIF bytes per image, input order.
+
+    Determinism contract: multi-process MESH runs are byte-identical to
+    each other (every process sees all grids, chunks form in a fixed
+    serial order, stealing is disabled — test_multihost pins it).
+    Single-process runs default to HOST-CORE STEALING (r05): idle
+    workers take whole images onto the host cascade while device chunks
+    stream, which is timing-dependent — stolen images carry host-path
+    decisions, so bytes may differ run-to-run and from a mesh run.
+    Set CAVIF_TPU_SHARDED_STEAL=0 for reproducible single-process
+    output (test_sharded_device_determinism pins that mode on chip).
     """
     from .. import Encoder
     from ..av1.config import AV1Config

@@ -73,6 +73,9 @@ def count(name: str, n: int = 1) -> None:
         return
     tab = _table()
     tab[name] = tab.get(name, 0.0) + n
+    if ACCUM_ENABLED:
+        with _acc_lock:
+            ACCUM[name] = ACCUM.get(name, 0.0) + n
 
 
 def set_enabled(flag: bool) -> None:

@@ -117,11 +117,17 @@ def test_cfl_dav1d_exact(au, av, backend):
         )
 
 
-def test_cfl_selected_and_gains():
+def test_cfl_selected_and_gains(monkeypatch):
     """On luma-correlated chroma the encoder picks CfL naturally (both
     backends agree) and the stream decodes in both decoders."""
     import aom_probe
     import dav1d_probe
+
+    # compare the two pipelines under the SHARED static trellis pricing
+    # (the adaptive-CDF rates + re-tuned defaults are native-only, r05)
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_ADAPT", "0")
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_UP", "0")
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_CTX", "1.2")
 
     rng = np.random.default_rng(7)
     h = w = 128

@@ -90,6 +90,9 @@ def test_lr_full_encode_backend_equality(monkeypatch):
     # backend equality under the shared frame-initial pricing
     monkeypatch.setenv("CAVIF_TPU_TRELLIS_ADAPT", "0")
     monkeypatch.setenv("CAVIF_TPU_TRELLIS_UP", "0")
+    # the native/python strength defaults split in r05 (0.9 adaptive
+    # knee vs 1.2 static knee) — pin one value for the parity check
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_CTX", "1.2")
     img = _noisy(256)[:, :, 0].astype(np.int32) * 4
     outs = {}
     # cdef off: the simulated CDEF can absorb the gain LR would get,

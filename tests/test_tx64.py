@@ -131,6 +131,9 @@ def test_tx64_native_python_byte_equality(monkeypatch):
     # (r05): pin backend equality under the shared static pricing
     monkeypatch.setenv("CAVIF_TPU_TRELLIS_ADAPT", "0")
     monkeypatch.setenv("CAVIF_TPU_TRELLIS_UP", "0")
+    # the native/python strength defaults split in r05 (0.9 adaptive
+    # knee vs 1.2 static knee) — pin one value for the parity check
+    monkeypatch.setenv("CAVIF_TPU_TRELLIS_CTX", "1.2")
     # gentle gradient + low-amplitude waves, 4:4:4: 64 leaves win AND carry
     # residuals in luma and chroma (the chroma path exercises the 32x32
     # sub-block txb_skip ctx offset 10 — a 64-block-only context); the
