@@ -1653,13 +1653,27 @@ static int trellis_adapt_env() {
 }
 
 // symbol cost in 1/128-bit units from a live CDF row (same formula as
-// tables.trellis_cost: round((15 - log2(p)) * 128))
+// tables.trellis_cost: round((15 - log2(p)) * 128)). The cost of every
+// possible probability is a 64 KB table filled once with the exact
+// formula — the trellis inner loops call this several times per
+// coefficient and the log2+lrint pair was measurable there.
+static const uint16_t* acdf_cost_table() {
+  static uint16_t tab[32769];
+  static std::once_flag once;
+  std::call_once(once, [] {
+    tab[0] = tab[1] = (uint16_t)lrint(15.0 * 128.0);
+    for (int p = 2; p <= 32768; p++)
+      tab[p] = (uint16_t)lrint((15.0 - log2((double)p)) * 128.0);
+  });
+  return tab;
+}
+
 static inline int acdf_cost(const CdfRow& r, int sym, int nsym) {
   int hi = sym == 0 ? 32768 : (int)r.v[sym - 1];
   int lo = sym == nsym - 1 ? 0 : (int)r.v[sym];
   int p = hi - lo;
   if (p < 1) p = 1;
-  return (int)lrint((15.0 - log2((double)p)) * 128.0);
+  return (int)acdf_cost_table()[p];
 }
 
 // Bits (1/128 units) to code |level| = L in fixed contexts: base symbol
