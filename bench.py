@@ -132,6 +132,10 @@ def _device_mfu(img, dt_device_s: float):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         hbm = float(ca.get("bytes accessed", 0.0))
+        # the fused pallas directional kernels are XLA custom calls whose
+        # flops are invisible to cost_analysis — add their analytic
+        # (logical, unpadded) count so the roofline stays honest
+        flops += device_pass1.pallas_flops(key)
         np.asarray(prog(*args))  # warm
         times = []
         for _ in range(3):

@@ -462,6 +462,15 @@ class FrameEncoder:
             # already near-optimal; distortion dominates at lambda << q^2)
             tx_exhaustive=False,
             psy_map=self._psy_map(),
+            # adaptive-EOB cut pricing (tilecoder eob_adapt_env): ships
+            # at 0.8 for tune=psnr — the dense-corpus Pareto point vs the
+            # static model (BD-PSNR +0.285->+0.291, BD-rate -0.3%->-1.8%,
+            # BD-SSIM -0.00116->-0.00121 ~ noise; 1.0 buys -2.0%/+0.302
+            # for -0.00133) — and off for tune=ssim, whose headline axis
+            # the extra tail-cutting trades away (-0.00078->-0.00096 at
+            # 1.0, still -0.00089 at 0.6). CAVIF_TPU_EOB_ADAPT overrides
+            # either way (A/B sweeps).
+            eob_adapt=0.0 if self.cfg.tune == "ssim" else 0.8,
         )
         if record:
             out, rops, rlvl = out

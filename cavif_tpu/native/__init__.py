@@ -145,6 +145,7 @@ def _load():
             ctypes.c_int,                    # cfl_search
             ctypes.c_int,                    # edge_filter
             ctypes.c_int,                    # tx_exhaustive
+            ctypes.c_double,                 # eob_adapt (tune-dep scale)
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,  # psy map, cols
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -384,6 +385,7 @@ def encode_tile_bp(
     tx_exhaustive: bool = False,
     psy_map: np.ndarray = None,
     ec_skip: bool = False,
+    eob_adapt: float = 1.0,
 ):
     """Native pass-2 tile encode: skeleton ops (partition walk + block modes)
     drive intra predict + DCT + quantize + reconstruct + entropy coding in
@@ -425,6 +427,7 @@ def encode_tile_bp(
             p.base_q, p.bit_depth, p.num_planes, int(p.disable_cdf_update),
             int(p.reduced_tx_set), dc_q, ac_q, gain, lam,
             int(cfl_search), int(edge_filter), int(tx_exhaustive),
+            float(eob_adapt),
             psy_map.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
             if psy_map is not None else None,
             psy_map.shape[1] if psy_map is not None else 0,

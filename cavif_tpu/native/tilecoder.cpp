@@ -1754,6 +1754,24 @@ static double eob_bits_env() {
   return v;
 }
 
+// Adaptive-CDF EOB-cut rate model (CAVIF_TPU_EOB_ADAPT, scale-per-bit
+// like EOB_BITS; requires TRELLIS_ADAPT). Prices a tail cut with the
+// LIVE mirrors instead of the static LEVEL_BITS model, and fixes three
+// blind spots of the static model: (a) the zero coefficients inside
+// the dropped tail each cost a base-0 symbol today — the cut drops
+// them too, previously unpriced; (b) the new last coefficient switches
+// from a base context to the (cheaper, 3-ary) base_eob context; (c)
+// the eob position class change is priced from the live eob_pt /
+// eob_extra rows rather than a flat 2 bits per class. The effective
+// value is per-call config (tune-dependent: the accurate pricing cuts
+// more tail, a BD-rate/BD-PSNR win that tune=ssim's headline axis does
+// not want — see BASELINE.md r05 A/B); CAVIF_TPU_EOB_ADAPT overrides
+// for sweeps, re-read per call so tests can flip it per case.
+static double eob_adapt_env(double cfg) {
+  const char* e = getenv("CAVIF_TPU_EOB_ADAPT");
+  return e ? atof(e) : cfg;
+}
+
 static inline int bitlen_u32(uint32_t x) {
   int n = 0;
   while (x) { n++; x >>= 1; }
@@ -1766,6 +1784,9 @@ static const int MODE_V_ADST[13] = {0, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1};
 static const int MODE_H_ADST[13] = {0, 0, 1, 0, 1, 0, 1, 1, 0, 1, 0, 1, 1};
 
 struct BlockPipe {
+  // adaptive-EOB cut scale (eob_adapt_env): per-call config from the
+  // encoder (1.0 at tune=psnr, 0 at tune=ssim), env-overridable
+  double eob_adapt_cfg = 1.0;
   int cfl_search = 0;
   int tx_exhaustive = 0;   // slow presets: RD over all 4 DCT/ADST combos
   int tx_override = -1;    // compute_txb: force (va | ha<<1) when >= 0
@@ -1800,11 +1821,31 @@ struct BlockPipe {
   CdfRow acdf_base[5][2][42];
   CdfRow acdf_base_eob[5][2][4];
   CdfRow acdf_br[5][2][21];
+  CdfRow acdf_eob_pt[7][2];        // [log2 area idx][ptype], ctx = 0
+  CdfRow acdf_eob_extra[5][2][9];
   bool acdf_ready = false;
 
   void acdf_init() {
     SpecTables& T = g_tables;
     if (T.base.empty() || T.base_eob.empty() || T.br.empty()) return;
+    const std::vector<uint16_t>* eob_tabs[7] = {
+        &T.eob_pt16, &T.eob_pt32, &T.eob_pt64, &T.eob_pt128,
+        &T.eob_pt256, &T.eob_pt512, &T.eob_pt1024};
+    for (int k = 0; k < 7; k++) {
+      if (eob_tabs[k]->empty()) return;
+      int stride = 5 + k + 1;  // nsym + 1
+      for (int p = 0; p < 2; p++)
+        load_row(acdf_eob_pt[k][p],
+                 &(*eob_tabs[k])[(((size_t)qctx * 2 + p) * 2 + 0) * stride],
+                 5 + k);
+    }
+    if (T.eob_extra.empty()) return;
+    for (int t = 0; t < 5; t++)
+      for (int p = 0; p < 2; p++)
+        for (int c = 0; c < 9; c++)
+          load_row(acdf_eob_extra[t][p][c],
+                   &T.eob_extra[((((size_t)qctx * 5 + t) * 2 + p) * 9 + c) * 3],
+                   2);
     for (int t = 0; t < 5; t++)
       for (int p = 0; p < 2; p++) {
         for (int c = 0; c < 42; c++)
@@ -1836,6 +1877,21 @@ struct BlockPipe {
     if (eob == 0) return;
     int tctx = txsize_ctx(txw, txh);
     int pt = pl > 0 ? 1 : 0;
+    // mirror the EC's eob position-class updates (write_coeffs eob_pt /
+    // eob_extra MSB; ctx = 0 slice, matching cdf_eob_pt)
+    {
+      int ept = eob == 1 ? 1
+                : eob == 2 ? 2
+                           : bitlen_u32((uint32_t)(eob - 1)) + 1;
+      int kidx = 0;
+      for (int a2 = area; a2 > 16; a2 >>= 1) kidx++;
+      update_cdf(acdf_eob_pt[kidx][pt], ept - 1, 5 + kidx);
+      if (ept >= 3) {
+        int base_v = (1 << (ept - 2)) + 1;
+        int msb = ((eob - base_v) >> (ept - 3)) & 1;
+        update_cdf(acdf_eob_extra[tctx][pt][ept - 3], msb, 2);
+      }
+    }
     int brt = tctx < 3 ? tctx : 3;
     int pstride = cw + 2;
     int32_t pad[34 * 34];
@@ -2489,6 +2545,16 @@ struct BlockPipe {
       acdf_init();
       use_acdf = acdf_ready;
     }
+    // Adaptive-EOB recording (eob_adapt_env): per-position live-CDF
+    // costs captured during the trellis walk for the cut model below.
+    // rec_full[si] = 1/128-bit cost the EC will pay for position si's
+    // final level at its real context (incl. base-0 symbols for zeros
+    // before the eob — the static model's unpriced tail zeros);
+    // rec_bmid/rec_beob = the base symbol alone at the mid vs eob
+    // context (the cut's new-last-coefficient context switch).
+    int32_t rec_full[1024], rec_bmid[1024], rec_beob[1024];
+    int rec_eob = -1;
+    const bool rec = use_acdf && eob_adapt_env(eob_adapt_cfg) > 0.0;
     if (nz && lam > 0.0 && tru > 0.0 && !g_tables.trellis_base.empty()) {
       int sidx = size_idx(cw, ch);
       const int32_t* scan = g_tables.scan[sidx].data();
@@ -2584,9 +2650,42 @@ struct BlockPipe {
             }
           }
           lvbuf[pos] = lv < 0 ? -l : l;
+          if (rec) {
+            if (l > 0) {
+              rec_full[si] = trellis_cost_level_a(l, is_eob, *abase, *abr);
+              if (is_eob) {
+                rec_bmid[si] = rec_beob[si] = 0;  // never a cut's new last
+              } else {
+                rec_bmid[si] = acdf_cost(*abase, l < 3 ? l : 3, 4);
+                int ectx = si == 0 ? 0
+                           : si <= area / 8 ? 1
+                           : si <= area / 4 ? 2 : 3;
+                rec_beob[si] = acdf_cost(acdf_base_eob[tctx][pt][ectx],
+                                         (l < 3 ? l : 3) - 1, 3);
+              }
+            } else {  // trellis zeroed a mid position: EC pays base-0
+              rec_full[si] = acdf_cost(*abase, 0, 4);
+              rec_bmid[si] = rec_beob[si] = 0;
+            }
+          }
+        } else if (rec) {
+          // zero mid position (is_eob impossible): base-0 symbol cost
+          // at its live context
+          const int32_t* p0 = &padbuf[(size_t)row * padw + col];
+          int mag = (p0[1] < 3 ? p0[1] : 3) +
+                    (p0[padw] < 3 ? p0[padw] : 3) +
+                    (p0[padw + 1] < 3 ? p0[padw + 1] : 3) +
+                    (p0[2] < 3 ? p0[2] : 3) +
+                    (p0[2 * padw] < 3 ? p0[2 * padw] : 3);
+          int mctx = (mag + 1) >> 1;
+          if (mctx > 4) mctx = 4;
+          int bctx = pos == 0 ? 0 : mctx + (int)nzoff[pos];
+          rec_full[si] = acdf_cost(acdf_base[tctx][pt][bctx], 0, 4);
+          rec_bmid[si] = rec_beob[si] = 0;
         }
         padbuf[(size_t)row * padw + col] = l < 127 ? l : 127;
       }
+      if (rec) rec_eob = eob;
       nz = false;
       for (int i = 0; i < ch * cw; i++)
         if (lvbuf[i]) { nz = true; break; }
@@ -2605,6 +2704,56 @@ struct BlockPipe {
       double dd = 0.0, dr = 0.0, best = 0.0;
       int best_cut = eob;
       double ueb = eob_bits_env();
+      if (rec_eob == eob) {
+        // Live-CDF cut model (see eob_adapt_env): the rate saved by a
+        // cut at si is the recorded EC cost of every dropped position
+        // (nonzero levels AND the base-0 symbols of the tail zeros),
+        // plus the new last coefficient's base->base_eob context switch,
+        // plus the exact eob_pt/eob_extra position saving — all from
+        // the same live mirrors the trellis priced with. Survivor
+        // contexts shrink after a cut (their tail neighbors zero), so
+        // the model is conservative in the cut's favor.
+        const double uad = eob_adapt_env(eob_adapt_cfg);
+        int tctx = txsize_ctx(txw, txh);
+        int pt = pl > 0 ? 1 : 0;
+        int kidx = 0;
+        for (int a2 = area; a2 > 16; a2 >>= 1) kidx++;
+        const CdfRow& eptrow = acdf_eob_pt[kidx][pt];
+        auto eob_pos_cost = [&](int e) -> int {
+          int ept = e == 1 ? 1
+                    : e == 2 ? 2
+                             : bitlen_u32((uint32_t)(e - 1)) + 1;
+          int c = acdf_cost(eptrow, ept - 1, 5 + kidx);
+          if (ept >= 3) {
+            int base_v = (1 << (ept - 2)) + 1;
+            int msb = ((e - base_v) >> (ept - 3)) & 1;
+            c += acdf_cost(acdf_eob_extra[tctx][pt][ept - 3], msb, 2);
+            c += 128 * (ept - 3);  // literal offset bits
+          }
+          return c;
+        };
+        const int c_eob_old = eob_pos_cost(eob);
+        int dr128 = 0;
+        for (int si = eob - 1; si >= 1; si--) {
+          int pos = scan[si];
+          int lvv = lvbuf[pos];
+          if (lvv != 0) {
+            int row = pos / cw, col = pos % cw;
+            double cf = cbuf[row * txw + col];
+            double dq = lvv * (pos == 0 ? s_dc : s_ac);
+            dd += cf * cf - (cf - dq) * (cf - dq);
+          }
+          dr128 += rec_full[si];
+          // context switch of the new last coefficient (zero there means
+          // the EC will shorten the eob further; priced as the static
+          // model does — no switch term)
+          int sw = lvbuf[scan[si - 1]] != 0 ? rec_beob[si - 1] - rec_bmid[si - 1]
+                                            : 0;
+          int dre = dr128 + sw + c_eob_old - eob_pos_cost(si);
+          double delta = lam * psy_mul * uad * ((double)dre / 128.0) - dd;
+          if (delta > best) { best = delta; best_cut = si; }
+        }
+      } else
       for (int si = eob - 1; si >= 1; si--) {
         int pos = scan[si];
         int lvv = lvbuf[pos];
@@ -4114,7 +4263,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
                    int disable_cdf_update, int reduced_tx_set,
                    int dc_q, int ac_q, double gain, double lam,
                    int cfl_search, int edge_filter, int tx_exhaustive,
-                   const double* psy_map, int psy_sb_cols,
+                   double eob_adapt, const double* psy_map, int psy_sb_cols,
                    const int32_t* ops, int n_ops, uint8_t* out, int cap,
                    int32_t* recon_out, int32_t* rec_ops, int rec_ops_cap,
                    int32_t* rec_levels, int rec_levels_cap,
@@ -4133,6 +4282,7 @@ int bp_encode_tile(const int32_t* src, int Hp, int Wp, int mi_rows,
   bp.cfl_search = cfl_search;
   bp.edge_filter = edge_filter;
   bp.tx_exhaustive = tx_exhaustive;
+  bp.eob_adapt_cfg = eob_adapt;
   if (rec_ops) {
     bp.rops = rec_ops;
     bp.rops_cap = rec_ops_cap;

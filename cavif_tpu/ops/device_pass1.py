@@ -71,6 +71,56 @@ def _ensure_compile_cache() -> None:
 
 from ..av1.transforms import AC_BIAS, dct2_matrix, get_gain
 
+
+def pallas_flops(key) -> float:
+    """Useful (logical, unpadded) flops executed INSIDE the fused pallas
+    directional kernels for one _program/_program_batch key — invisible
+    to XLA's cost_analysis (custom calls report no flops), so bench.py's
+    roofline adds this to the compiled-program count when key[-1] (the
+    pallas gate) is True. Per tier: the ext @ MK matmul (2*R*E*cdir*n2)
+    plus the segment-sum reduce (R*cdir*n2 adds)."""
+    if isinstance(key[3], str):  # single-frame: (H, W, depth, model, P, ...)
+        H, W, _, _, P = key[:5]
+        min_px, max_px, use_deltas = key[5:8]
+        B = 1
+    else:  # batch: (B, H, W, depth, model, ...)
+        B, H, W, _, model = key[:5]
+        P = 3 if model == "ycbcr" else 1
+        min_px, max_px, use_deltas = key[5:8]
+    if not key[-1]:
+        return 0.0
+    total = 0.0
+    sq = SQ_TIERS + ((64,) if max_px >= 64 else ())
+    for (bw, bh) in [(s, s) for s in sq] + list(RECT_SHAPES):
+        if max(bw, bh) > 32:
+            continue  # TX_64 family keeps the materialized XLA path
+        ud = bool(use_deltas) and min(bw, bh) >= 8 and max(bw, bh) < 64
+        cdir = len(_dir_cands(ud))
+        E = 2 * (bw + bh) + 1
+        n2 = bw * bh
+        R = B * P * (H // bh) * (W // bw)
+        total += 2.0 * R * E * cdir * n2 + R * cdir * n2
+    return total
+
+
+def _pass1_pallas_enabled() -> bool:
+    """Fused pallas directional-cost kernel gate: on by default on a
+    single real TPU (the tunnel/production config). Off on CPU (pallas
+    needs interpret mode there — the hermetic tests and the multichip
+    dryrun keep the XLA formulation) and under multi-device meshes
+    (GSPMD cannot partition the kernel; the sharded batch path's mesh is
+    1-device on this attachment). CAVIF_TPU_PASS1_PALLAS=0 forces the
+    XLA path for A/B."""
+    e = os.environ.get("CAVIF_TPU_PASS1_PALLAS", "1").strip().lower()
+    if e in ("0", "off", "false"):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    except Exception:  # pragma: no cover - jax always importable here
+        return False
+
 # candidate order: 5 non-directional (elementwise predictors), then the
 # directional family (one MXU matmul): V, H, 6 diagonals at delta 0, then
 # every (mode, delta != 0) pair when use_deltas
@@ -366,6 +416,109 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
     else:
         mk_dir = coef_const = None
 
+    # Fused pallas kernel constants (see _fused_dir_cost): MK padded to
+    # (Ep, Cp*n2) and pre-rounded to bf16 (the same RNE rounding XLA's
+    # default-precision einsum applies to its f32 inputs), plus the 0/1
+    # segment-sum matrix S. TC packs candidates into the lane dim so each
+    # grid step works a (TR, TC*n2) tile; K ~ 512 keeps the MXU fed at
+    # every tier (n2 = 16 would otherwise leave 7/8 of the lanes idle).
+    if mk_dir is not None:
+        _TC = max(1, 512 // n2)
+        _Cp = ((cdir + _TC - 1) // _TC) * _TC
+        _K = _TC * n2
+        _Ep = ((E + 127) // 128) * 128
+        _mkp = np.zeros((_Ep, _Cp * n2), np.float32)
+        _mkp[:E, : cdir * n2] = mk_dir
+        _mk_bf16 = _mkp.astype(np.dtype("bfloat16"))
+        _S = np.zeros((_K, _TC), np.float32)
+        for _t in range(_TC):
+            _S[_t * n2 : (_t + 1) * n2, _t] = 1.0
+    else:
+        _mk_bf16 = _S = None
+
+    def _fused_dir_cost(ext2, bkt2, inv_scale, scale, bias, cc, lam):
+        """Directional-family costs as ONE pallas kernel per tier: the
+        ext @ MK matmul, the quant chain, and the per-candidate cost
+        reduction all happen on a (TR, TC*n2) VMEM tile, so the
+        (rows, C*n2) candidate-coefficient tensor — the pass-1 program's
+        dominant HBM traffic (written by the XLA matmul, read back by the
+        fused reduce; ~1.4 GB per tier at 1 MP) — never touches HBM.
+
+        Numerics vs the XLA path: the matmul sees the same bf16-rounded
+        inputs (RNE), the quant chain runs in the |coef| domain (bit-
+        identical — abs/negation are exact and floor(|t|+b) == the
+        sign-split form), and the segment reduce is a 0/1 matmul at
+        HIGHEST precision (exact f32 products, MXU f32 accumulation) —
+        only reduction order differs from XLA's tree sum, flipping
+        argmins on ~2e-5 of blocks (near-ties only; quality pinned by
+        tests/test_device_search.py).
+
+        ext2 (R, E) f32, bkt2 (R, n2) f32; returns (R, cdir) f32."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        R = ext2.shape[0]
+        TR = 512
+        Rp = ((R + TR - 1) // TR) * TR
+        if Rp != R:
+            ext2 = jnp.pad(ext2, ((0, Rp - R), (0, 0)))
+            bkt2 = jnp.pad(bkt2, ((0, Rp - R), (0, 0)))
+        if _Ep != E:
+            ext2 = jnp.pad(ext2, ((0, 0), (0, _Ep - E)))
+        nC = _Cp // _TC
+        ccT = jnp.tile(cc, _TC)[None, :]
+        invT = jnp.tile(inv_scale.reshape(-1), _TC)[None, :]
+        sclT = jnp.tile(scale.reshape(-1), _TC)[None, :]
+        biaT = jnp.tile(bias.reshape(-1), _TC)[None, :]
+        lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+        TC, K, n2_ = _TC, _K, n2
+
+        def kern(lam_ref, ext_ref, bkt_ref, mk_ref, cc_ref, inv_ref,
+                 scl_ref, bia_ref, s_ref, o_ref):
+            lamv = lam_ref[0, 0]
+            cp = jax.lax.dot_general(
+                ext_ref[:].astype(jnp.bfloat16), mk_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bt = jnp.concatenate([bkt_ref[:]] * TC, axis=1)
+            a = jnp.abs(bt - (cp * (1.0 / 32.0) + cc_ref[:]))
+            l = jnp.floor(a * inv_ref[:] + bia_ref[:])
+            e = a - l * scl_ref[:]
+            u = e * e + lamv * (l + 2.0 * (l != 0.0))
+            o_ref[0] = jax.lax.dot_general(
+                s_ref[:], u, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        out = pl.pallas_call(
+            kern,
+            grid=(Rp // TR, nC),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TR, _Ep), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, n2_), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_Ep, K), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)] * 4
+              + [pl.BlockSpec((K, TC), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, TC, TR), lambda i, j: (j, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nC, TC, Rp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+        )(lam2, ext2, bkt2, jnp.asarray(_mk_bf16), ccT, invT, sclT,
+          biaT, jnp.asarray(_S))
+        return out.reshape(_Cp, Rp)[:cdir, :R].T
+
     def body(planes, dc_q, ac_q, lam, tile_px):
         P, H, W = planes.shape
         # chunk the candidate family so the (P, nblocks, CH, n2) f32
@@ -461,30 +614,39 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         # directional family: one MXU matmul per chunk of candidates
         ext = nb["ext"]  # (P, nby, nbx, E) f32
         if mk_dir is not None:
-            # coefficient-domain path (see _cost_body preamble): one
-            # matmul straight to DCT coefficients per chunk
-            MK = jnp.asarray(mk_dir)
             blocks_kt = jnp.einsum(
                 "...j,jk->...k", blocks_f, KT,
                 preferred_element_type=jnp.float32,
             )  # (P, nby, nbx, ncoded), candidate-independent
             cc = jnp.asarray(coef_const)
-            # (bf16 storage for cp was tried and reverted: casting the
-            # einsum output to bf16 broke XLA's epilogue fusion — the f32
-            # output, the bf16 copy, AND the upcast all materialized,
-            # measuring 43 GB accessed / 82 ms vs f32's 26 GB / 58 ms.)
-            for c0 in range(0, cdir, chunk):
-                c1 = min(cdir, c0 + chunk)
-                sl = MK[:, c0 * ncoded : c1 * ncoded]
-                cp = jnp.einsum(
-                    "...e,ec->...c", ext, sl,
-                    preferred_element_type=jnp.float32,
+            if _pass1_pallas_enabled():
+                cd = _fused_dir_cost(
+                    ext.reshape(P * nby * nbx, E),
+                    blocks_kt.reshape(P * nby * nbx, ncoded),
+                    inv_scale, scale, bias, cc, lam,
                 )
-                coef = blocks_kt[..., None, :] - (
-                    cp.reshape(P, nby, nbx, c1 - c0, ncoded)
-                    * (1.0 / 32.0) + cc
-                )
-                costs.append(chain(coef))
+                costs.append(cd.reshape(P, nby, nbx, cdir))
+            else:
+                # XLA coefficient-domain path (see preamble): one matmul
+                # straight to DCT coefficients per chunk
+                MK = jnp.asarray(mk_dir)
+                # (bf16 storage for cp was tried and reverted: casting the
+                # einsum output to bf16 broke XLA's epilogue fusion — the
+                # f32 output, the bf16 copy, AND the upcast all
+                # materialized, measuring 43 GB accessed / 82 ms vs f32's
+                # 26 GB / 58 ms.)
+                for c0 in range(0, cdir, chunk):
+                    c1 = min(cdir, c0 + chunk)
+                    sl = MK[:, c0 * ncoded : c1 * ncoded]
+                    cp = jnp.einsum(
+                        "...e,ec->...c", ext, sl,
+                        preferred_element_type=jnp.float32,
+                    )
+                    coef = blocks_kt[..., None, :] - (
+                        cp.reshape(P, nby, nbx, c1 - c0, ncoded)
+                        * (1.0 / 32.0) + cc
+                    )
+                    costs.append(chain(coef))
         else:
             M = jnp.asarray(mdir)
             for c0 in range(0, cdir, chunk):
@@ -533,7 +695,9 @@ def _program(key):
     spec is [(tag, (bw, bh), name, (nby, nbx)), ...] describing the packed
     layout for the host unpacker."""
     (H, W, depth, model, P, min_px, max_px, use_deltas,
-     ovh_block, ovh_split, rect_ovh) = key
+     ovh_block, ovh_split, rect_ovh) = key[:11]
+    # key[11:] (when present) carries the pallas-kernel gate so flipping
+    # CAVIF_TPU_PASS1_PALLAS retraces instead of hitting the lru cache
     import jax
     import jax.numpy as jnp
 
@@ -655,7 +819,7 @@ def _program_batch(key):
     leading plane axis carries B*P). Returns (jitted fn, spec) with every
     spec grid carrying a leading B."""
     (B, H, W, depth, model, min_px, max_px, use_deltas,
-     ovh_block, ovh_split, rect_ovh) = key
+     ovh_block, ovh_split, rect_ovh) = key[:11]
     import jax
     import jax.numpy as jnp
 
@@ -835,7 +999,7 @@ def run_pass1_batch(
     key = (
         nb, H, W, depth, model, int(min_px), int(max_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),
-        float(rect_ovh),
+        float(rect_ovh), _pass1_pallas_enabled(),
     )
     prog, spec = _program_batch(key)
     arr = jnp.asarray(srcs)
@@ -937,6 +1101,7 @@ def run_pass1(
         H, W, depth, model, P,
         int(min_px), int(max_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
+        _pass1_pallas_enabled(),
     )
     global LAST_KEY, LAST_ARGS
     LAST_KEY = key

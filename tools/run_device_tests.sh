@@ -21,6 +21,7 @@ OUT="$ROOT/TESTS_TPU_r$ROUND.txt"
       tests/test_pallas_search.py tests/test_block_search.py \
       tests/test_delta_q.py tests/test_sharded_device.py \
       tests/test_device_filters.py tests/test_attachment.py \
+      tests/test_pass1_pallas.py tests/test_eob_adapt.py \
       -q 2>&1 | grep -v "WARNING"
 } > "$OUT" 2>&1
 tail -2 "$OUT"
