@@ -103,16 +103,31 @@ def pallas_flops(key) -> float:
     return total
 
 
-def _pass1_pallas_enabled() -> bool:
+_PALLAS_BAD: set = set()  # program keys whose pallas compile crashed
+
+# Compile-size ceiling for the pallas program (total pixels = B*H*W):
+# the remote TPU compiler deterministically crashes (helper subprocess
+# exit 1) building the whole-frame program at 33.4 MP (8K, min_px 4 —
+# one more live kernel than the largest passing config); 25.6 MP and
+# every smaller probe compile fine. Above the cap the XLA formulation
+# (which compiles and runs at every size) is used proactively instead
+# of paying a ~60 s failed compile per process.
+_PALLAS_PX_CAP = int(os.environ.get("CAVIF_TPU_PALLAS_PX", 26_000_000))
+
+
+def _pass1_pallas_enabled(px: int = 0) -> bool:
     """Fused pallas directional-cost kernel gate: on by default on a
     single real TPU (the tunnel/production config). Off on CPU (pallas
     needs interpret mode there — the hermetic tests and the multichip
-    dryrun keep the XLA formulation) and under multi-device meshes
-    (GSPMD cannot partition the kernel; the sharded batch path's mesh is
-    1-device on this attachment). CAVIF_TPU_PASS1_PALLAS=0 forces the
-    XLA path for A/B."""
+    dryrun keep the XLA formulation), under multi-device meshes (GSPMD
+    cannot partition the kernel; the sharded batch path's mesh is
+    1-device on this attachment), and above the compile-size cap (see
+    _PALLAS_PX_CAP). CAVIF_TPU_PASS1_PALLAS=0 forces the XLA path for
+    A/B."""
     e = os.environ.get("CAVIF_TPU_PASS1_PALLAS", "1").strip().lower()
     if e in ("0", "off", "false"):
+        return False
+    if px > _PALLAS_PX_CAP:
         return False
     try:
         import jax
@@ -338,7 +353,7 @@ def _nbrs(planes, bw: int, bh: int, bit_depth: int, tile_px):
 
 
 def _cost_body(bw: int, bh: int, bit_depth: int,
-               use_deltas: bool):
+               use_deltas: bool, pallas_on: bool = False):
     """Traceable whole-plane RD cost for one block shape: returns
     fn(planes, dc_q, ac_q, lam) -> (P, nby, nbx, C) f32 costs in the
     static candidate order of _cand_tables(use_deltas).
@@ -426,9 +441,11 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         _TC = max(1, 512 // n2)
         _Cp = ((cdir + _TC - 1) // _TC) * _TC
         _K = _TC * n2
-        _Ep = ((E + 127) // 128) * 128
-        _mkp = np.zeros((_Ep, _Cp * n2), np.float32)
-        _mkp[:E, : cdir * n2] = mk_dir
+        # E stays unpadded in HBM: Mosaic accepts block dims equal to the
+        # full array dims, and padding to a lane multiple would inflate
+        # the (rows, E) ext array 4-8x at the small tiers (plus a copy)
+        _mkp = np.zeros((E, _Cp * n2), np.float32)
+        _mkp[:, : cdir * n2] = mk_dir
         _mk_bf16 = _mkp.astype(np.dtype("bfloat16"))
         _S = np.zeros((_K, _TC), np.float32)
         for _t in range(_TC):
@@ -465,8 +482,6 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         if Rp != R:
             ext2 = jnp.pad(ext2, ((0, Rp - R), (0, 0)))
             bkt2 = jnp.pad(bkt2, ((0, Rp - R), (0, 0)))
-        if _Ep != E:
-            ext2 = jnp.pad(ext2, ((0, 0), (0, _Ep - E)))
         nC = _Cp // _TC
         ccT = jnp.tile(cc, _TC)[None, :]
         invT = jnp.tile(inv_scale.reshape(-1), _TC)[None, :]
@@ -500,11 +515,11 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((TR, _Ep), lambda i, j: (i, 0),
+                pl.BlockSpec((TR, E), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TR, n2_), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_Ep, K), lambda i, j: (0, j),
+                pl.BlockSpec((E, K), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ] + [pl.BlockSpec((1, K), lambda i, j: (0, 0),
                               memory_space=pltpu.VMEM)] * 4
@@ -619,7 +634,7 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
                 preferred_element_type=jnp.float32,
             )  # (P, nby, nbx, ncoded), candidate-independent
             cc = jnp.asarray(coef_const)
-            if _pass1_pallas_enabled():
+            if pallas_on:
                 cd = _fused_dir_cost(
                     ext.reshape(P * nby * nbx, E),
                     blocks_kt.reshape(P * nby * nbx, ncoded),
@@ -696,8 +711,10 @@ def _program(key):
     layout for the host unpacker."""
     (H, W, depth, model, P, min_px, max_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key[:11]
-    # key[11:] (when present) carries the pallas-kernel gate so flipping
-    # CAVIF_TPU_PASS1_PALLAS retraces instead of hitting the lru cache
+    # key[11] (when present) carries the pallas-kernel gate decision so
+    # flipping CAVIF_TPU_PASS1_PALLAS (or the px cap / a compile-failure
+    # fallback) retraces instead of hitting the lru cache
+    pal = len(key) > 11 and bool(key[11])
     import jax
     import jax.numpy as jnp
 
@@ -719,7 +736,7 @@ def _program(key):
         # (the host cascade's chroma-cost-spreading analog); skipping the
         # sub-8px chroma searches also shrinks the packed fetch
         uv = P > 1 and min(bw, bh) >= 8
-        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud, pal), ud, uv)
 
     spec = []
     for (bw, bh) in shapes:
@@ -820,6 +837,7 @@ def _program_batch(key):
     spec grid carrying a leading B."""
     (B, H, W, depth, model, min_px, max_px, use_deltas,
      ovh_block, ovh_split, rect_ovh) = key[:11]
+    pal = len(key) > 11 and bool(key[11])
     import jax
     import jax.numpy as jnp
 
@@ -835,7 +853,7 @@ def _program_batch(key):
     for (bw, bh) in shapes:
         ud = bool(use_deltas) and min(bw, bh) >= 8 and max(bw, bh) < 64
         uv = P > 1 and min(bw, bh) >= 8
-        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud), ud, uv)
+        bodies[(bw, bh)] = (_cost_body(bw, bh, depth, ud, pal), ud, uv)
 
     spec = []
     for (bw, bh) in shapes:
@@ -999,8 +1017,10 @@ def run_pass1_batch(
     key = (
         nb, H, W, depth, model, int(min_px), int(max_px),
         bool(use_deltas), float(ovh_block), float(ovh_split),
-        float(rect_ovh), _pass1_pallas_enabled(),
+        float(rect_ovh), _pass1_pallas_enabled(nb * H * W),
     )
+    if key in _PALLAS_BAD:
+        key = key[:11] + (False,)
     prog, spec = _program_batch(key)
     arr = jnp.asarray(srcs)
     args = (jnp.float32(dc_q), jnp.float32(ac_q), jnp.float32(lam),
@@ -1101,8 +1121,10 @@ def run_pass1(
         H, W, depth, model, P,
         int(min_px), int(max_px), bool(use_deltas),
         float(ovh_block), float(ovh_split), float(rect_ovh),
-        _pass1_pallas_enabled(),
+        _pass1_pallas_enabled(H * W),
     )
+    if key in _PALLAS_BAD:
+        key = key[:11] + (False,)
     global LAST_KEY, LAST_ARGS
     LAST_KEY = key
     LAST_ARGS = (float(dc_q), float(ac_q), float(lam),
@@ -1112,16 +1134,34 @@ def run_pass1(
     if hooks is not None:
         hooks.start()
     try:
-        packed = np.asarray(
-            prog(
-                jnp.asarray(src),
-                jnp.float32(dc_q),
-                jnp.float32(ac_q),
-                jnp.float32(lam),
-                jnp.int32(tile_px[0]),
-                jnp.int32(tile_px[1]),
-            )
+        args = (
+            jnp.asarray(src),
+            jnp.float32(dc_q),
+            jnp.float32(ac_q),
+            jnp.float32(lam),
+            jnp.int32(tile_px[0]),
+            jnp.int32(tile_px[1]),
         )
+        try:
+            packed = np.asarray(prog(*args))
+        except Exception as e:
+            if not key[-1]:
+                raise
+            # pallas program failed (observed: the remote TPU compiler
+            # crashes on the very largest whole-frame programs) — fall
+            # back to the always-compiling XLA formulation and remember
+            import sys as _sys
+
+            print(
+                "cavif-tpu: pallas pass-1 failed (%s); using the XLA "
+                "formulation for this shape" % type(e).__name__,
+                file=_sys.stderr,
+            )
+            _PALLAS_BAD.add(key)
+            key = key[:11] + (False,)
+            LAST_KEY = key
+            prog, spec = _program(key)
+            packed = np.asarray(prog(*args))
     finally:
         if hooks is not None:
             hooks.done()

@@ -35,6 +35,20 @@ def test_gate_env_override(monkeypatch):
     assert _pass1_pallas_enabled() is False
 
 
+def test_gate_px_cap():
+    """The remote TPU compiler crashes building the pallas program past
+    ~26 MP (measured cliff between 25.6 and 33.4 MP); the gate must
+    proactively fall back to the XLA formulation above the cap so an 8K
+    encode never pays a failed compile (it silently degraded to the
+    HOST cascade — 32 s vs 4.5 s — before the cap existed)."""
+    from cavif_tpu.ops.device_pass1 import (
+        _PALLAS_PX_CAP, _pass1_pallas_enabled)
+
+    assert _pass1_pallas_enabled(px=_PALLAS_PX_CAP + 1) is False
+    # 8K RGB (the BASELINE config) is above the cap
+    assert 4352 * 7680 > _PALLAS_PX_CAP
+
+
 def test_pallas_flops_accounting():
     """bench.py adds pallas_flops(key) to XLA's cost analysis; the helper
     must count only pallas-gated keys and scale with the frame area."""
