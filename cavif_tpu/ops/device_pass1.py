@@ -100,6 +100,8 @@ def pallas_flops(key) -> float:
         n2 = bw * bh
         R = B * P * (H // bh) * (W // bw)
         total += 2.0 * R * E * cdir * n2 + R * cdir * n2
+        # nondir kernel: 5 DCT dots + the 2 replication dots per tier
+        total += 5 * 2.0 * R * n2 * n2 + 2.0 * R * (bw + bh) * n2
     return total
 
 
@@ -450,8 +452,144 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
         _S = np.zeros((_K, _TC), np.float32)
         for _t in range(_TC):
             _S[_t * n2 : (_t + 1) * n2, _t] = 1.0
+        # nondir fused-kernel constants (_fused_nd_cost): 0/1 replication
+        # matrices mapping the above row / left column onto the row-major
+        # (y*bw + x) pixel order, the per-position smooth weights, and the
+        # bf16-prerounded DCT (same RNE rounding the XLA einsum applies)
+        _arep = np.zeros((bw, n2), np.float32)
+        _lrep = np.zeros((bh, n2), np.float32)
+        for _y in range(bh):
+            for _x in range(bw):
+                _arep[_x, _y * bw + _x] = 1.0
+                _lrep[_y, _y * bw + _x] = 1.0
+        _whv = np.asarray(
+            [float(sm_h[y]) for y in range(bh) for _ in range(bw)],
+            np.float32)[None, :]
+        _wwv = np.asarray(
+            [float(sm_w[x]) for _ in range(bh) for x in range(bw)],
+            np.float32)[None, :]
+        _kt_bf16 = kron_t.astype(np.dtype("bfloat16"))
     else:
-        _mk_bf16 = _S = None
+        _mk_bf16 = _S = _arep = _lrep = _whv = _wwv = _kt_bf16 = None
+
+    def _fused_nd_cost(ab2, lf2, sc2, blocks2, inv_scale, scale, bias, lam):
+        """Nondirectional-family costs (DC, SMOOTH, SMOOTH_V, SMOOTH_H,
+        PAETH — the NONDIR5 order) as one pallas kernel per tier: the
+        five predictors are built EXACTLY in VMEM from the (rows, bw/bh)
+        neighbor tensors (integer replication via 0/1 matmuls at HIGHEST
+        precision, then the same f32 expressions and floors the XLA path
+        evaluates — bit-identical predictor values), so the
+        (rows, 5, n2) predictor/residual/coefficient tensors — the
+        pass-1 program's largest remaining HBM materializations after
+        the directional fusion (63 MB apiece at 1 MP) — never leave
+        VMEM. The DCT sees the same bf16-rounded residuals as the XLA
+        einsum; only reduction structure differs (near-tie argmin flips,
+        same accepted class as _fused_dir_cost).
+
+        ab2 (R, bw), lf2 (R, bh), sc2 (R, 2) = [al, dc], blocks2 (R, n2)
+        — all f32. Returns (R, 5) f32 costs."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        R = ab2.shape[0]
+        TR = 512 if n2 <= 256 else 256
+        Rp = ((R + TR - 1) // TR) * TR
+        if Rp != R:
+            ab2 = jnp.pad(ab2, ((0, Rp - R), (0, 0)))
+            lf2 = jnp.pad(lf2, ((0, Rp - R), (0, 0)))
+            sc2 = jnp.pad(sc2, ((0, Rp - R), (0, 0)))
+            blocks2 = jnp.pad(blocks2, ((0, Rp - R), (0, 0)))
+        lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+        hi = jax.lax.Precision.HIGHEST
+
+        def kern(lam_ref, ab_ref, lf_ref, sc_ref, bl_ref, ar_ref, lr_ref,
+                 wh_ref, ww_ref, kt_ref, inv_ref, scl_ref, bia_ref, o_ref):
+            lamv = lam_ref[0, 0]
+            ab = ab_ref[:]
+            lf = lf_ref[:]
+            a2r = jax.lax.dot_general(
+                ab, ar_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            l2r = jax.lax.dot_general(
+                lf, lr_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            below = lf[:, bh - 1 : bh]
+            right = ab[:, bw - 1 : bw]
+            al = sc_ref[:, 0:1]
+            dcv = sc_ref[:, 1:2]
+            wh = wh_ref[:]
+            ww = ww_ref[:]
+            tsm = (wh * a2r + (256.0 - wh) * below + ww * l2r
+                   + (256.0 - ww) * right)
+            p1 = jnp.floor((tsm + 256.0) * (1.0 / 512.0))
+            p2 = jnp.floor((wh * a2r + (256.0 - wh) * below + 128.0) / 256.0)
+            p3 = jnp.floor((ww * l2r + (256.0 - ww) * right + 128.0) / 256.0)
+            b = l2r + a2r - al
+            pl_ = jnp.abs(b - l2r)
+            pt = jnp.abs(b - a2r)
+            ptl = jnp.abs(b - al)
+            p4 = jnp.where(
+                (pl_ <= pt) & (pl_ <= ptl), l2r,
+                jnp.where(pt <= ptl, a2r, jnp.broadcast_to(al, b.shape)))
+            p0 = jnp.broadcast_to(dcv, b.shape)
+            blocks = bl_ref[:]
+            rows = []
+            for p_c in (p0, p1, p2, p3, p4):
+                res = blocks - p_c
+                coef = jax.lax.dot_general(
+                    res.astype(jnp.bfloat16), kt_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                a = jnp.abs(coef)
+                l = jnp.floor(a * inv_ref[:] + bia_ref[:])
+                e2 = a - l * scl_ref[:]
+                u = e2 * e2 + lamv * (l + 2.0 * (l != 0.0))
+                rows.append(u.sum(axis=1))
+            o_ref[:] = jnp.stack(rows)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(Rp // TR,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TR, bw), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, bh), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n2, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((5, TR), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((5, Rp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(lam2, ab2, lf2, sc2, blocks2, jnp.asarray(_arep),
+          jnp.asarray(_lrep), jnp.asarray(_whv), jnp.asarray(_wwv),
+          jnp.asarray(_kt_bf16), inv_scale.reshape(1, n2),
+          scale.reshape(1, n2), bias.reshape(1, n2))
+        return out[:, :R].T
 
     def _fused_dir_cost(ext2, bkt2, inv_scale, scale, bias, cc, lam):
         """Directional-family costs as ONE pallas kernel per tier: the
@@ -594,38 +732,59 @@ def _cost_body(bw: int, bh: int, bit_depth: int,
                 (res * res).sum(axis=-1) if ncoded != n2 else None,
             )
 
-        shape = (P, nby, nbx, bh, bw)
-        a2 = nb["above_s"][..., None, :].astype(jnp.float32)
-        l2 = nb["left_s"][..., :, None].astype(jnp.float32)
-        dc = jnp.broadcast_to(
-            nb["dc"][..., None, None].astype(jnp.float32), shape
-        )
-        wh = jnp.asarray(sm_h, jnp.float32)[:, None]  # (bh, 1)
-        ww = jnp.asarray(sm_w, jnp.float32)[None, :]  # (1, bw)
-        below = nb["left_s"][..., bh - 1][..., None, None].astype(jnp.float32)
-        right = nb["above_s"][..., bw - 1][..., None, None].astype(jnp.float32)
-        tsm = wh * a2 + (256.0 - wh) * below + ww * l2 + (256.0 - ww) * right
-        smooth = jnp.floor((tsm + 256.0) * (1.0 / 512.0))
-        smooth_v = jnp.floor((wh * a2 + (256.0 - wh) * below + 128.0) / 256.0)
-        smooth_h = jnp.floor((ww * l2 + (256.0 - ww) * right + 128.0) / 256.0)
-        alb = nb["al_s"][..., None, None].astype(jnp.float32)
-        b = l2 + a2 - alb
-        pl_ = jnp.abs(b - l2)
-        pt = jnp.abs(b - a2)
-        ptl = jnp.abs(b - alb)
-        paeth = jnp.where(
-            (pl_ <= pt) & (pl_ <= ptl),
-            l2 + 0.0 * b,
-            jnp.where(pt <= ptl, a2 + 0.0 * b, alb + 0.0 * b),
-        )
-        nd = jnp.stack([
-            dc,
-            jnp.broadcast_to(smooth, shape),
-            jnp.broadcast_to(smooth_v, shape),
-            jnp.broadcast_to(smooth_h, shape),
-            jnp.broadcast_to(paeth, shape),
-        ], axis=3)
-        costs = [rd(nd.reshape(P, nby, nbx, 5, n2))]
+        if pallas_on and mk_dir is not None:
+            # fused nondir kernel (exact predictors in VMEM; see
+            # _fused_nd_cost) — the (rows, 5, n2) expansions never
+            # materialize
+            R0 = P * nby * nbx
+            ndc = _fused_nd_cost(
+                nb["above_s"].reshape(R0, bw).astype(jnp.float32),
+                nb["left_s"].reshape(R0, bh).astype(jnp.float32),
+                jnp.stack(
+                    [nb["al_s"].reshape(R0), nb["dc"].reshape(R0)], -1
+                ).astype(jnp.float32),
+                blocks_f.reshape(R0, n2),
+                inv_scale, scale, bias, lam,
+            )
+            costs = [ndc.reshape(P, nby, nbx, 5)]
+        else:
+            shape = (P, nby, nbx, bh, bw)
+            a2 = nb["above_s"][..., None, :].astype(jnp.float32)
+            l2 = nb["left_s"][..., :, None].astype(jnp.float32)
+            dc = jnp.broadcast_to(
+                nb["dc"][..., None, None].astype(jnp.float32), shape
+            )
+            wh = jnp.asarray(sm_h, jnp.float32)[:, None]  # (bh, 1)
+            ww = jnp.asarray(sm_w, jnp.float32)[None, :]  # (1, bw)
+            below = nb["left_s"][..., bh - 1][..., None, None].astype(
+                jnp.float32)
+            right = nb["above_s"][..., bw - 1][..., None, None].astype(
+                jnp.float32)
+            tsm = (wh * a2 + (256.0 - wh) * below + ww * l2
+                   + (256.0 - ww) * right)
+            smooth = jnp.floor((tsm + 256.0) * (1.0 / 512.0))
+            smooth_v = jnp.floor(
+                (wh * a2 + (256.0 - wh) * below + 128.0) / 256.0)
+            smooth_h = jnp.floor(
+                (ww * l2 + (256.0 - ww) * right + 128.0) / 256.0)
+            alb = nb["al_s"][..., None, None].astype(jnp.float32)
+            b = l2 + a2 - alb
+            pl_ = jnp.abs(b - l2)
+            pt = jnp.abs(b - a2)
+            ptl = jnp.abs(b - alb)
+            paeth = jnp.where(
+                (pl_ <= pt) & (pl_ <= ptl),
+                l2 + 0.0 * b,
+                jnp.where(pt <= ptl, a2 + 0.0 * b, alb + 0.0 * b),
+            )
+            nd = jnp.stack([
+                dc,
+                jnp.broadcast_to(smooth, shape),
+                jnp.broadcast_to(smooth_v, shape),
+                jnp.broadcast_to(smooth_h, shape),
+                jnp.broadcast_to(paeth, shape),
+            ], axis=3)
+            costs = [rd(nd.reshape(P, nby, nbx, 5, n2))]
         # directional family: one MXU matmul per chunk of candidates
         ext = nb["ext"]  # (P, nby, nbx, E) f32
         if mk_dir is not None:
